@@ -1,0 +1,72 @@
+"""Query registry: the engine's public query surface.
+
+Each operator module registers its queries here: a name, a Spark builder
+``(spark, sf_dir) -> DataFrame``, and (when SQL-expressible) the equivalent
+DuckDB oracle SQL. ``__spark_entry__.py`` exposes this registry to the
+verification driver; tests iterate it for local parity checks.
+
+Column-name contract: the driver's compare sorts columns by name before
+value-hashing, so the Spark result and the oracle SQL must agree on every
+output column name (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> driver does a rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query builder under a stable public name."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip(), tags)
+        return fn
+
+    return deco
+
+
+def _load_modules() -> None:
+    # Imported for their registration side effects.
+    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        dedup,
+        marts,
+        multimodal,
+        relational,
+        similarity,
+        textanalysis,
+    )
+    from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
+        stream_queries,
+    )
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_modules()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: s.builder for n, s in all_specs().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}

@@ -1,0 +1,81 @@
+"""SparkSession factory and engine runtime configuration.
+
+The reference pins nothing beyond jars/checkpoints (see SURVEY.md §4.1;
+reference: processing/spark/jobs/streaming_to_curated_stream.py:94-100), so
+everything here is our scale posture:
+
+* UTC session timezone — all event-time derivations in this engine are defined
+  over epoch arithmetic, so results are timezone-independent; UTC is pinned
+  anyway so ad-hoc `date_format`/`hour` calls match the DuckDB oracle.
+* AQE on (coalesce + skew-join): at 100 TB, runtime re-planning replaces the
+  reference's hand-tuned ``spark.sql.shuffle.partitions=4``.
+* ``nanosAsLong``: the fixture ``events.ts`` is parquet TIMESTAMP(NANOS),
+  which Spark cannot represent natively (µs max). We read it as a raw long
+  and derive µs/seconds explicitly (functions/timeops.py) — lossless for every
+  supported derivation, and it keeps the scan vectorized.
+* Arrow on for the few Pandas-UDF operators (multimodal, embeddings).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable (SQL confs). Applied both at build time and
+# defensively at read time (`apply_runtime_confs`) because the driver harness
+# may hand us a session we did not build.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas_udf / mapInPandas / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dynamic partition overwrite: replaces the reference's JVM
+    # FileSystem.delete+rename compaction swap (streaming_to_curated_stream.py:203-212)
+    # with an atomic-per-partition overwrite.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+# Build-time-only confs (can't be changed on a live session).
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.warehouse.dir": "/tmp/csdp_spark_warehouse",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime SQL confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this session (e.g. locked by the host) — the
+            # engine still works; epoch-arithmetic derivations are tz-free.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "clinical-search-data-pipeline-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    for key, value in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,68 @@
+"""Batch readers over the parquet lake / JSON logs.
+
+Maps to reference scans S3/S5 (SURVEY.md §2.1): `spark.read.parquet` with
+partition discovery (reference etl_to_analytics_mart.py:77) and schema-pinned
+JSON-lines ingestion (reference producer reads JSON line-by-line in Python,
+producer_realtime.py:45-53 — here it is a distributed `spark.read.json`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from clinical_search_data_pipeline_spark.functions import timeops
+from clinical_search_data_pipeline_spark.schemas import CLICK_EVENT_SCHEMA
+from clinical_search_data_pipeline_spark.session import apply_runtime_confs
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Applies engine runtime confs first (the events
+    table is TIMESTAMP(NANOS) parquet and needs `nanosAsLong`)."""
+    apply_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical event-log relation.
+
+    Adds the engine's derived event-time columns once, so every mart builder
+    shares identical (oracle-checked) semantics:
+
+    * ``ts``         — raw epoch nanoseconds (long)
+    * ``ts_sec``     — epoch seconds (long)
+    * ``event_ts``   — µs-precision timestamp (best Spark can hold)
+    * ``event_date`` — 'yyyy-MM-dd' string (lake partition convention, as the
+                        reference's silver layer: streaming_to_curated_stream.py:136)
+    """
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("ts_sec", timeops.epoch_sec("ts"))
+        .withColumn("event_ts", timeops.ts_micros("ts"))
+        .withColumn("event_date", timeops.event_date("ts"))
+    )
+
+
+def read_json_log(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Schema-pinned JSON-lines scan (bronze ingestion path).
+
+    Defaults to the click-event schema; unparseable rows surface as nulls
+    (Spark PERMISSIVE mode), mirroring the reference's `from_json` + null
+    filter contract (streaming_to_curated_stream.py:126,139).
+    """
+    return spark.read.schema(schema or CLICK_EVENT_SCHEMA).json(path)
+
+
+def with_lineage(df: DataFrame, ingestion_type: str, as_of=None) -> DataFrame:
+    """Bronze lineage columns (reference batch_to_archive_raw.py:156-161).
+
+    `as_of` replaces the reference's wall-clock `current_timestamp()` so runs
+    are reproducible (SURVEY.md §7.0 determinism rule).
+    """
+    ingested = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
+    return df.withColumn("ingested_at", ingested).withColumn(
+        "ingestion_type", F.lit(ingestion_type)
+    )

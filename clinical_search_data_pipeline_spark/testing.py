@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle side by side and compares
+row count, column names, and order-insensitive values — strictly (exact
+equality after each query's own rounding), which is at least as strong as the
+driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+from clinical_search_data_pipeline_spark.schemas import ALL_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """In-memory DuckDB with the fixture tables registered as views, matching
+    the driver's pre-registered view contract (__spark_entry__.py docstring)."""
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        # round-trip repr: exact for doubles that both engines agree on
+        return repr(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if pd.isna(v):
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    errors: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errors.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        errors.append(f"columns: spark={s_cols} duck={d_cols}")
+        return errors
+    s_rows, d_rows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
+    if s_rows != d_rows:
+        n_bad = 0
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            if a != b:
+                errors.append(f"row {i} (sorted): spark={a} duck={b} (cols={s_cols})")
+                n_bad += 1
+                if n_bad >= 5:
+                    errors.append("... further mismatches suppressed")
+                    break
+        if not n_bad and len(s_rows) != len(d_rows):
+            pass  # already reported as row count
+    return errors
+
+
+def check_query(spark, sf_dir: str, name: str) -> list[str]:
+    """Run query `name` on Spark and DuckDB; return mismatch list."""
+    from clinical_search_data_pipeline_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    if spec.oracle is None:
+        sdf = spec.builder(spark, sf_dir)
+        n = sdf.count()
+        return [] if n >= 0 else [f"{name}: rows-only check failed"]
+    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        duck_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, duck_pdf)
