@@ -1,0 +1,63 @@
+"""Benchmark harness: times every registered query end-to-end at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query is forced with the `noop` sink — full distributed materialization,
+no driver-side collect — so the number is the engine cost, not a transfer
+cost. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from clinical_search_data_pipeline_spark.registry import all_specs
+from clinical_search_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+    spark = get_spark(
+        app_name="csdp-bench",
+        master=f"local[{cpus}]",
+        extra_confs={"spark.sql.shuffle.partitions": cpus},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # sf marker from the dir name, e.g. ".../sf0.1" -> 0.1
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(tail[2:]) if tail.startswith("sf") else -1.0
+
+    specs = all_specs()
+    names = only or sorted(specs)
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

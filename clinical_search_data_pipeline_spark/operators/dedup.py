@@ -1,1 +1,341 @@
-"""Document-level dedup operators (exact / MinHash-LSH / SimHash / Jaccard)."""
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star operators for a 100 TB training-data pipeline (BASELINE.json).
+The reference's only dedup is key-based (streaming watermark dedup,
+streaming_to_curated_stream.py:144-151 — covered by q_dedup_events /
+streaming/dedup.py); content-level near-dup detection is this engine's
+extension, built entirely from Catalyst expressions (no UDFs):
+
+* exact        — md5 content hash, one survivor per hash
+* n-gram Jaccard — shingle self-join, exact pairwise similarity
+* MinHash-LSH  — banded signatures -> candidate pairs -> verified Jaccard;
+                 the scale path: candidate generation is an equi-join on
+                 (band, band_key), never a cross join
+* SimHash      — 16-bit sign-of-sums fingerprint; equal-fingerprint buckets
+
+Hashes are md5-derived 60-bit ints (functions/hashing.py) so DuckDB can
+replicate them bit-for-bit; swap `hash64` for `xxhash64` in production.
+
+Scale posture: every stage is shuffle-on-key (shingle, band key, doc pair).
+The shingle relation is the big intermediate (|docs| x |shingles|); at 100 TB
+prefilter by length bands and dedupe exact first. Candidate verification
+joins shingles only for candidate docs (semi-join pushdown), not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.functions import textfns
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+SHINGLE_K = 3
+NUM_HASHES = 8
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 16
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content dedup: min doc_id survives per normalized-text hash.
+    (The fixture corpus has no exact dups — planted dups are *near*-dups —
+    so this collapses nothing there; mechanics still oracle-verified.)"""
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.col(text_col))).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+
+
+def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct (doc_id, k-word shingle) pairs."""
+    return (
+        docs.select("doc_id", textfns.tokens("text").alias("w"))
+        .filter(F.expr(f"size(w) >= {k}"))
+        .select("doc_id", F.explode(textfns.shingles("w", k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
+
+    Pairs emerge from the shingle equi-join (never a cross join), so cost is
+    bounded by shingle-posting-list sizes. At 100 TB add prefix filtering
+    (only join on each doc's rarest shingles) — same plan shape.
+    """
+    sh = shingle_relation(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, k: int = SHINGLE_K
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes independent hash functions
+    h_j(s) = hash64(j || ':' || s), min over the doc's shingle set."""
+    sh = shingle_relation(docs, k)
+    mins = [
+        F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    Candidate generation: docs agreeing on ALL rows of any band meet in an
+    equi-join on (band, band_key). With 4 bands x 2 rows, P(candidate) =
+    1-(1-j^2)^4 — ~99.9% recall at j=0.9. Verification then computes exact
+    Jaccard for candidates only.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k).cache()
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[f"mh{b * rows + r}" for r in range(rows)]).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (shingles joined only for candidates)
+    sh = shingle_relation(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_col_exprs(engine: str, bits: int = SIMHASH_BITS) -> str:
+    """Sign-of-sums SimHash as one SQL expression over an exploded token hash
+    relation (column `h`, grouped by doc_id). Generated for both engines from
+    one template so they cannot drift."""
+    div = "div" if engine == "spark" else "//"
+    terms = [
+        f"(CASE WHEN sum(((h {div} {1 << i}) % 2) * 2 - 1) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over its distinct token set (unit weights)."""
+    tok = (
+        docs.select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
+        .distinct()
+        .select("doc_id", hash64(F.col("token")).alias("h"))
+    )
+    return tok.groupBy("doc_id").agg(
+        F.expr(_simhash_col_exprs("spark", bits)).alias("simhash")
+    )
+
+
+def simhash_buckets(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Candidate near-dup pairs: identical SimHash fingerprints (equi-join —
+    the scale-sane bucketing; Hamming-1 neighborhoods would add bit-flip
+    probes, same join shape)."""
+    fp = simhash_fingerprints(docs, bits)
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (generated from the same constants)
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest({textfns.duck_shingles('w', SHINGLE_K)}) AS shingle
+  FROM tok WHERE len(w) >= {SHINGLE_K}
+)"""
+
+_DUCK_JACCARD_TAIL = f"""
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+_SIG_MINS = ",\n         ".join(
+    "min({h}) AS mh{j}".format(h=duck_hash64(f"'{j}:' || shingle"), j=j)
+    for j in range(NUM_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+
+@register(
+    "q_doc_exact_dedup",
+    oracle="""
+SELECT md5(lower(text)) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+""",
+    tags=("dedup", "northstar"),
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_jaccard_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+{_DUCK_JACCARD_TAIL}
+""",
+    tags=("dedup", "northstar"),
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::DOUBLE AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+{_DUCK_JACCARD_TAIL}
+""",
+    tags=("dedup", "northstar", "lsh"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+_DUCK_TOKEN_HASH_CTE = f"""
+tok AS (
+  SELECT DISTINCT doc_id, unnest({textfns.duck_tokens('text')}) AS token
+  FROM documents
+),
+hashed AS (SELECT doc_id, {duck_hash64('token')} AS h FROM tok)
+"""
+
+
+@register(
+    "q_simhash_fingerprints",
+    oracle=f"""
+WITH {_DUCK_TOKEN_HASH_CTE}
+SELECT doc_id, {_simhash_col_exprs('duck')} AS simhash
+FROM hashed GROUP BY doc_id
+""",
+    tags=("dedup", "northstar"),
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_simhash_buckets",
+    oracle=f"""
+WITH {_DUCK_TOKEN_HASH_CTE},
+fp AS (
+  SELECT doc_id, {_simhash_col_exprs('duck')} AS simhash
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "northstar"),
+)
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_buckets(read_table(spark, sf_dir, "documents"))

@@ -1,1 +1,273 @@
-"""Text analysis operators (token stats, quality, lang-id, fingerprints)."""
+"""Text analysis: token stats, quality scoring, language heuristics,
+fingerprints, JSON property extraction.
+
+North-star training-data operators (BASELINE.json) over the `documents` and
+`events` fixtures. Everything is built-in Catalyst expressions — split,
+higher-order lambdas, regex — so the hot path is JVM-side codegen; the
+matching DuckDB fragments live in functions/textfns.py.
+
+Reference tie-ins: the props-JSON extraction generalizes the reference's
+`from_json` parse surface (P2, streaming_to_curated_stream.py:126) to
+path-level access (`get_json_object`); value_stats fills the sum/avg gap the
+reference never exercises (SURVEY.md §2.6 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.functions import textfns
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import load_events, read_table
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens + a BPE-ish subword proxy
+    (4-char chunks, ceil) — both pure arithmetic/builtins."""
+    t = docs.select("doc_id", "text", textfns.tokens("text").alias("w"))
+    return t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("w").alias("n_tokens"),
+        F.round(textfns.token_length_sum("w") / F.size("w"), 4).alias("avg_token_len"),
+        F.ceil(F.length("text") / 4).alias("n_subword_est"),
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Deterministic quality score: length band + stopword-ratio band + mean
+    token length band (each component 0/weight; sums to <= 1.0)."""
+    t = docs.select("doc_id", textfns.tokens("text").alias("w"))
+    m = t.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        (textfns.stopword_count("w").cast("double") / F.size("w")).alias("stop_ratio"),
+        (textfns.token_length_sum("w").cast("double") / F.size("w")).alias("mean_len"),
+    )
+    n_tok, stop_ratio, mean_len = F.col("n_tokens"), F.col("stop_ratio"), F.col("mean_len")
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 400), 0.4).otherwise(0.0)
+        + F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.5), 0.3).otherwise(0.0)
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.3).otherwise(0.0)
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def lang_profile(docs: DataFrame) -> DataFrame:
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(textfns.tokens("text"))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def lang_id_heuristic(docs: DataFrame) -> DataFrame:
+    """Charset/marker n-gram language guess. Honest caveat: the fixture
+    corpus is a single shared Latin vocabulary, so this degenerates to 'en'
+    — the operator (and its oracle) still verify the rule plumbing."""
+    t = F.col("text")
+    predicted = (
+        F.when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike("[áéíóúñ¿¡]"), "es")
+        .when(t.rlike("[àâçèêëîïôùûœ]"), "fr")
+        .when(t.rlike("[äößü]"), "de")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: full-text 60-bit hash + a positional
+    sampled fingerprint (hash of every 5th token joined)."""
+    sampled = F.expr("concat_ws(' ', filter(w, (x, i) -> i % 5 = 0))")
+    return docs.select("doc_id", textfns.tokens("text").alias("w")).select(
+        "doc_id",
+        hash64(F.concat_ws(" ", F.col("w"))).alias("fp64"),
+        hash64(sampled).alias("fp_sampled"),
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON path extraction over the event props column (P2 generalized)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def value_stats(events: DataFrame) -> DataFrame:
+    """sum/avg coverage on the stream table (gap noted in SURVEY.md §2.6)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+_DW = textfns.duck_tokens("text")
+
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_DW} AS w FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(w) AS n_tokens,
+       round({textfns.duck_token_length_sum('w')}::DOUBLE / len(w), 4) AS avg_token_len,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+FROM t
+""",
+    tags=("text", "northstar"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DW} AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         {textfns.duck_stopword_count('w')}::DOUBLE / len(w) AS stop_ratio,
+         {textfns.duck_token_length_sum('w')}::DOUBLE / len(w) AS mean_len
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(mean_len, 4) AS mean_token_len,
+       round((CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0.3 ELSE 0.0 END), 2)
+         AS quality_score
+FROM m
+""",
+    tags=("text", "northstar"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_lang_profile",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len({_DW})), 4) AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
+    tags=("text", "northstar"),
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_profile(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_lang_id",
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+              WHEN regexp_matches(text, '[äößü]') THEN 'de'
+              ELSE 'en' END AS predicted_lang
+  FROM documents
+)
+SELECT doc_id, lang, predicted_lang,
+       CAST(predicted_lang = lang AS INT) AS is_correct
+FROM p
+""",
+    tags=("text", "northstar"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_heuristic(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_doc_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DW} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         array_to_string(w, ' ') AS full_text,
+         array_to_string(list_filter(w, (x, i) -> (i - 1) % 5 = 0), ' ') AS sampled
+  FROM t
+)
+SELECT doc_id,
+       {duck_hash64('full_text')} AS fp64,
+       {duck_hash64('sampled')} AS fp_sampled
+FROM s
+""",
+    tags=("text", "northstar"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_props_extract",
+    oracle="""
+WITH k AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM k GROUP BY event_type
+""",
+    tags=("text", "json"),
+)
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return props_extract(load_events(spark, sf_dir))
+
+
+@register(
+    "q_value_stats",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_stats(load_events(spark, sf_dir))

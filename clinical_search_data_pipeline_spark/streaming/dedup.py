@@ -1,0 +1,51 @@
+"""Streaming watermark dedup — the reference's signature silver-layer op.
+
+Reference: streaming_to_curated_stream.py:144-151 —
+`withWatermark("event_ts", "10 minutes").dropDuplicates(["dedup_key"])` over
+an at-least-once Kafka feed gives effectively-once parquet. This module
+generalizes it: parameterized keys/watermark, any streaming source, and a
+partitioned-parquet foreachBatch sink whose compaction is an idiomatic
+dynamic-partition overwrite instead of the reference's JVM
+FileSystem.delete+rename swap (:186-214).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermark_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate keys within the watermark horizon.
+
+    State sizing at scale: state holds one entry per distinct key inside the
+    watermark; a producer-stamped content key (functions/hashing) keeps
+    entries small. Use `dropDuplicatesWithinWatermark` semantics when the
+    event-time column is not part of the key and re-delivery can exceed the
+    horizon.
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicates(list(keys))
+
+
+def silver_writer(lake_path: str, partition_col: str = "event_date"):
+    """foreachBatch sink: append each deduped micro-batch to the partitioned
+    silver lake (reference K1/K8, streaming_to_curated_stream.py:157-176).
+
+    No `coalesce(1)` (reference K3 hazard — caps write parallelism at scale);
+    small-file control belongs to AQE coalescing + periodic `compact()`
+    (sinks/parquet.py).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").partitionBy(partition_col).parquet(lake_path)
+
+    return _write

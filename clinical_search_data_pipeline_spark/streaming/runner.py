@@ -1,0 +1,63 @@
+"""Bounded streaming-run helpers.
+
+The reference bounds its streaming jobs with `awaitTermination(3600)` wall
+clock (streaming_to_curated_stream.py:181). For deterministic tests and
+backfills this engine prefers `Trigger.AvailableNow`: process everything
+available, respecting per-batch rate limits, then stop — same code path as a
+continuous run.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def checkpoint_dir(prefix: str = "csdp_ckpt") -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+    query_name: str | None = None,
+) -> str:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table; returns the table name. Test/fixture-scale sink only —
+    results are collected on the driver."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    return name
+
+
+def run_foreach_batch(
+    df: DataFrame,
+    fn,
+    timeout_sec: int = 300,
+    trigger: dict | None = None,
+) -> None:
+    """foreachBatch runner (reference K8). `trigger` defaults to availableNow
+    for bounded runs; pass {'processingTime': '5 minutes'} for continuous."""
+    writer = df.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint_dir()
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"foreachBatch query did not finish in {timeout_sec}s")

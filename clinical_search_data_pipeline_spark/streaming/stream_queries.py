@@ -1,1 +1,110 @@
-"""Bounded streaming queries exposed through the registry."""
+"""Bounded streaming queries exposed through the registry.
+
+Each stages the fixture events parquet into a file-streaming source dir,
+runs a real Structured Streaming query to completion (availableNow), and
+returns the materialized result — so the driver's batch-oriented check
+exercises true streaming execution. Both results are deterministic, hence
+fully ORACLED (stronger than the rows-only fallback the driver allows for
+streaming ops):
+
+* q_stream_dedup_keys  — watermark dedup; output = the distinct key set, so
+  survivor nondeterminism (which physical row wins) cannot leak into values.
+* q_stream_traffic_minute — tumbling 1-minute event-time window counts in
+  complete mode; equals the batch per-minute aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.functions import timeops
+from clinical_search_data_pipeline_spark.functions.timeops import (
+    duck_epoch_sec,
+    duck_event_date,
+    duck_sec_to_ts_string,
+)
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.schemas import EVENTS_SCHEMA
+from clinical_search_data_pipeline_spark.session import apply_runtime_confs
+from clinical_search_data_pipeline_spark.streaming.dedup import watermark_dedup
+from clinical_search_data_pipeline_spark.streaming.runner import run_to_memory
+
+
+def stage_events_source(sf_dir: str) -> str:
+    """Copy the fixture events parquet into a dedicated source directory
+    (file streaming sources list a directory)."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"csdp_stream_src_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    os.makedirs(staging, exist_ok=True)
+    dst = os.path.join(staging, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    return staging
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-backed streaming scan of the canonical event relation (stands in
+    for the Kafka source S2; rate-limited per micro-batch like reference T8)."""
+    apply_runtime_confs(spark)
+    src = stage_events_source(sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src)
+    )
+    return (
+        stream.withColumn("ts_sec", timeops.epoch_sec("ts"))
+        .withColumn("event_ts", timeops.ts_micros("ts"))
+        .withColumn("event_date", timeops.event_date("ts"))
+    )
+
+
+@register(
+    "q_stream_dedup_keys",
+    oracle=f"""
+SELECT DISTINCT user_id, event_type,
+       {duck_event_date('ts')} AS event_date
+FROM events
+""",
+    tags=("streaming", "dedup", "reference"),
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark dedup (D1): distinct key set after
+    `withWatermark(10 min).dropDuplicates` over the replayed event stream."""
+    deduped = watermark_dedup(
+        events_stream(spark, sf_dir),
+        keys=["user_id", "event_type", "event_date"],
+    ).select("user_id", "event_type", "event_date")
+    table = run_to_memory(deduped, output_mode="append")
+    return spark.table(table)
+
+
+@register(
+    "q_stream_traffic_minute",
+    oracle=f"""
+SELECT {duck_sec_to_ts_string(f"(({duck_epoch_sec('ts')}) // 60) * 60")} AS event_minute,
+       count(*) AS event_count
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "reference", "hot"),
+)
+def q_stream_traffic_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (T2/A6) run as a real stream;
+    complete output mode makes the bounded result equal the batch answer."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("event_ts", "1 minute").alias("win"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("event_minute"),
+            "event_count",
+        )
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table)

@@ -1,0 +1,129 @@
+"""Tier-2 tests (SURVEY.md §5.2): streaming convergence vs batch equivalents,
+sink round-trips, and the JDBC upsert protocol (no live Postgres — injected
+merge executor records the generated statements)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators import marts
+from clinical_search_data_pipeline_spark.sinks import jdbc as jdbc_sink
+from clinical_search_data_pipeline_spark.sinks import parquet as pq_sink
+from clinical_search_data_pipeline_spark.sources.readers import load_events
+from clinical_search_data_pipeline_spark.streaming.dedup import (
+    silver_writer,
+    watermark_dedup,
+)
+from clinical_search_data_pipeline_spark.streaming.hot_marts import (
+    make_hot_mart_processor,
+)
+from clinical_search_data_pipeline_spark.streaming.runner import run_foreach_batch
+from clinical_search_data_pipeline_spark.streaming.stream_queries import events_stream
+from tests.conftest import SF_SMOKE
+
+
+def test_silver_pipeline_converges_to_batch_dedup(spark, tmp_path):
+    """Streaming watermark-dedup + partitioned parquet silver lake must hold
+    exactly the batch-distinct key set once the bounded stream drains
+    (reference D1/K1/K8 end-to-end)."""
+    lake = str(tmp_path / "silver")
+    stream = events_stream(spark, SF_SMOKE)
+    deduped = watermark_dedup(
+        stream, keys=["user_id", "event_type", "event_date"]
+    ).select("user_id", "event_type", "event_date")
+    run_foreach_batch(deduped, silver_writer(lake))
+
+    got = spark.read.parquet(lake)
+    batch = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "event_type", "event_date")
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+    # hive layout: partition dirs present
+    assert glob.glob(os.path.join(lake, "event_date=*"))
+
+
+def test_hot_mart_fanout_matches_batch_builders(spark):
+    """foreachBatch fan-out (T9) writes each mart; totals must equal running
+    the same builders in plain batch (single implementation, two runtimes)."""
+    captured: dict[str, list] = {}
+
+    def sink(df, table):
+        captured.setdefault(table, []).append(df.cache())
+
+    stream = events_stream(spark, SF_SMOKE)
+    run_foreach_batch(stream, make_hot_mart_processor(sink))
+
+    batch_events = load_events(spark, SF_SMOKE)
+    assert set(captured) == {
+        "mart_traffic_minute",
+        "mart_top_docs",
+        "mart_clinical_trend",
+        "mart_anomaly_sessions",
+    }
+    # traffic-by-minute is additive across micro-batches: summing the
+    # per-batch counts per minute equals the batch aggregate.
+    parts = captured["mart_traffic_minute"]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    got = merged.groupBy("event_minute").agg(
+        F.sum("event_count").alias("event_count")
+    )
+    want = marts.traffic_by_minute(batch_events).select(
+        "event_minute", "event_count"
+    )
+    assert (
+        got.join(want, "event_minute")
+        .where(got["event_count"] != want["event_count"])
+        .isEmpty()
+    )
+
+
+def test_write_partitioned_and_compact(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    df = spark.range(200).selectExpr("id", "cast(id % 3 as string) as event_date")
+    pq_sink.write_partitioned(df, lake, mode="append")
+    pq_sink.write_partitioned(df, lake, mode="append")
+    before = len(glob.glob(lake + "/event_date=*/*.parquet"))
+    pq_sink.compact(spark, lake)
+    after = len(glob.glob(lake + "/event_date=*/*.parquet"))
+    assert spark.read.parquet(lake).count() == 400
+    assert after == 3 < before
+
+
+def test_upsert_protocol_generates_merge_and_cleanup(spark, tmp_path):
+    """K7 contract: stage (distributed JDBC write), merge ON CONFLICT,
+    drop staging. JDBC url points at nothing — we stub the stage write by
+    asserting on the generated SQL only."""
+    sql = jdbc_sink.upsert_merge_sql(
+        "mart_top_docs", "mart_top_docs_staging", ["doc_id", "clicks", "rank"], ["doc_id"]
+    )
+    assert "INSERT INTO mart_top_docs (doc_id, clicks, rank)" in sql
+    assert "ON CONFLICT (doc_id) DO UPDATE SET" in sql
+    assert "clicks = EXCLUDED.clicks" in sql and "rank = EXCLUDED.rank" in sql
+    assert "doc_id = EXCLUDED" not in sql  # keys never self-update
+
+
+def test_upsert_idempotent_merge_executor(spark):
+    """Replaying the same batch through the merge path converges (the
+    reference mart.md:56-62 idempotency contract), modeled with DuckDB as
+    the DB-API target."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (k INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute("CREATE TABLE m_staging (k INTEGER, v INTEGER)")
+    con.execute("INSERT INTO m_staging VALUES (1, 10), (2, 20)")
+    sql = jdbc_sink.upsert_merge_sql("m", "m_staging", ["k", "v"], ["k"])
+    con.execute(sql)
+    con.execute(sql)  # replay
+    con.execute("UPDATE m_staging SET v = v + 1")
+    con.execute(sql)  # updated replay upserts
+    rows = sorted(con.execute("SELECT * FROM m").fetchall())
+    assert rows == [(1, 11), (2, 21)]
