@@ -1,0 +1,101 @@
+"""Gap-based sessionization (batch form).
+
+The reference never computes sessions — TripClick pre-assigns `SessionId`
+upstream and the marts only aggregate within it (SURVEY.md §2.12 T10). A
+general engine must *derive* sessions from raw event time: a session breaks
+after `gap_sec` of inactivity. Classic two-window formulation, all builtins:
+
+    lag(ts)  -> is_new_session flag
+    running sum of flags -> session index
+    groupBy (user, session_idx) -> bounds + size
+
+This also exercises `lag` and a cumulative frame (`rowsBetween`), which the
+reference's two `row_number` windows never touch (SURVEY.md §2.7).
+
+Scale: both windows and the final aggregation share one hash partitioning on
+`user_id` — Catalyst plans a single shuffle; the per-user sort is bounded by
+a user's own event count. Skewed users (bots) are exactly the anomaly-mart
+targets; AQE skew handling applies to the shuffle.
+
+The streaming twin (arbitrary stateful processing, applyInPandasWithState)
+lives in streaming/stateful.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.functions import timeops
+from clinical_search_data_pipeline_spark.functions.timeops import (
+    duck_epoch_sec,
+    duck_sec_to_ts_string,
+)
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+GAP_SEC = 1800
+
+
+def sessionize(events: DataFrame, gap_sec: int = GAP_SEC) -> DataFrame:
+    """One row per derived session: bounds, size, duration.
+
+    Ordering inside a user is (ts_sec, event_id) — the tie-break makes the
+    session assignment deterministic when events share a second.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    cumulative = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select("user_id", "ts_sec", "event_id").withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(order) <= gap_sec, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    indexed = flagged.withColumn("session_idx", F.sum("is_new").over(cumulative))
+    return (
+        indexed.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_sec").alias("_start_sec"),
+            F.max("ts_sec").alias("_end_sec"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            timeops.sec_to_ts_string(F.col("_start_sec")).alias("session_start"),
+            timeops.sec_to_ts_string(F.col("_end_sec")).alias("session_end"),
+            "n_events",
+            (F.col("_end_sec") - F.col("_start_sec")).alias("duration_sec"),
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, {duck_epoch_sec('ts')} AS ts_sec, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ts_sec, event_id,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w <= {GAP_SEC} THEN 0 ELSE 1 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+indexed AS (
+  SELECT user_id, ts_sec,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       {duck_sec_to_ts_string('min(ts_sec)')} AS session_start,
+       {duck_sec_to_ts_string('max(ts_sec)')} AS session_end,
+       count(*) AS n_events,
+       max(ts_sec) - min(ts_sec) AS duration_sec
+FROM indexed GROUP BY user_id, session_idx
+""",
+    tags=("sessionize", "window", "northstar"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event log (30-min inactivity gap)."""
+    return sessionize(load_events(spark, sf_dir))

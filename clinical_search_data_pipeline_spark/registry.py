@@ -48,9 +48,11 @@ def _load_modules() -> None:
     # Imported for their registration side effects.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
+        ingest,
         marts,
         multimodal,
         relational,
+        sessionize,
         similarity,
         textanalysis,
     )

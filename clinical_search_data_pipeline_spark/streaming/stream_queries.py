@@ -108,3 +108,65 @@ def q_stream_traffic_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(agg, output_mode="complete")
     return spark.table(table)
+
+
+@register(
+    "q_stream_anomaly",
+    oracle=f"""
+SELECT user_id AS session_id,
+       {duck_sec_to_ts_string(f"(({duck_epoch_sec('ts')}) // 300) * 300")} AS window_start,
+       count(*) AS click_count,
+       CASE WHEN count(*) >= 3 THEN 'CRITICAL' ELSE 'WARNING' END AS severity
+FROM events
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+    tags=("streaming", "reference", "hot"),
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot anomaly mart (A9/T2/P11) as a real stream: tumbling 5-minute
+    window counts per session, threshold filter + severity grading applied
+    to the aggregate (reference
+    streaming_to_analytics_mart_realtime.py:284-300)."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.col("user_id").alias("session_id"),
+            F.window("event_ts", "5 minutes").alias("win"),
+        )
+        .agg(F.count("*").alias("click_count"))
+        .filter(F.col("click_count") >= 2)
+        .select(
+            "session_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "click_count",
+            F.when(F.col("click_count") >= 3, F.lit("CRITICAL"))
+            .otherwise(F.lit("WARNING"))
+            .alias("severity"),
+        )
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table)
+
+
+@register(
+    "q_stream_running_counts",
+    oracle="""
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "northstar"),
+)
+def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user
+    cumulative counters emitted every micro-batch. Counts are monotone, so
+    the max over all emitted updates equals the batch count regardless of
+    micro-batch boundaries — making a *stateful* streaming op fully
+    oracle-checkable."""
+    from clinical_search_data_pipeline_spark.streaming.stateful import running_counts
+
+    stream = events_stream(spark, sf_dir).select("user_id")
+    table = run_to_memory(running_counts(stream), output_mode="update")
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -85,6 +85,50 @@ def test_hot_mart_fanout_matches_batch_builders(spark):
     )
 
 
+def test_stateful_sessionize_converges_to_batch(spark):
+    """applyInPandasWithState gap sessionization must produce exactly the
+    batch sessionizer's sessions once the source drains and the state
+    timeout flushes the open tails."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.sessionize import sessionize
+    from clinical_search_data_pipeline_spark.streaming.runner import checkpoint_dir
+    from clinical_search_data_pipeline_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    sess = sessionize_stateful(
+        events_stream(spark, SF_SMOKE).select("user_id", "ts_sec")
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_conv")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    prev = -1
+    for i in range(60):
+        time.sleep(1.5)
+        cur = spark.table("sess_conv").count()
+        if cur == prev and cur > 0 and i > 4:
+            break
+        prev = cur
+    q.stop()
+    got = (
+        spark.table("sess_conv")
+        .withColumn("duration_sec", F.col("end_sec") - F.col("start_sec"))
+        .select("user_id", "n_events", "duration_sec")
+    )
+    want = sessionize(load_events(spark, SF_SMOKE)).select(
+        "user_id", "n_events", "duration_sec"
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_write_partitioned_and_compact(spark, tmp_path):
     lake = str(tmp_path / "lake")
     df = spark.range(200).selectExpr("id", "cast(id % 3 as string) as event_date")
