@@ -34,6 +34,18 @@ def main() -> None:
     tail = os.path.basename(sf_dir.rstrip("/"))
     sf = float(tail[2:]) if tail.startswith("sf") else -1.0
 
+    # Warm-up: JVM codegen, Arrow, and the Python worker pool each cost
+    # seconds on first touch; pay them before the timed loop so query times
+    # measure the queries.
+    import pandas as _pd  # noqa: F401
+
+    warm = spark.range(1000).selectExpr(
+        "id", "aggregate(sequence(0, 9), 0L, (a, x) -> a + x) AS s"
+    )
+    warm.mapInPandas(lambda it: it, schema=warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     specs = all_specs()
     names = only or sorted(specs)
     timings: dict[str, float] = {}

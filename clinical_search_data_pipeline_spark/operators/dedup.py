@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from clinical_search_data_pipeline_spark.functions import textfns
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.sources.readers import read_table
+from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
 SHINGLE_K = 3
 NUM_HASHES = 8
@@ -48,16 +48,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact content dedup: min doc_id survives per normalized-text hash.
     (The fixture corpus has no exact dups — planted dups are *near*-dups —
     so this collapses nothing there; mechanics still oracle-verified.)"""
-    hashed = docs.select(
+    hashed = fan_out(docs).select(
         "doc_id", F.md5(F.lower(F.col(text_col))).alias("content_hash")
     )
     return hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
 
 
 def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct (doc_id, k-word shingle) pairs."""
+    """Distinct (doc_id, k-word shingle) pairs.
+
+    `fan_out` first: tokenization + shingling + explode is the heaviest
+    narrow stage in the dedup family and must not ride a single input split
+    (sources/readers.fan_out)."""
     return (
-        docs.select("doc_id", textfns.tokens("text").alias("w"))
+        fan_out(docs)
+        .select("doc_id", textfns.tokens("text").alias("w"))
         .filter(F.expr(f"size(w) >= {k}"))
         .select("doc_id", F.explode(textfns.shingles("w", k)).alias("shingle"))
         .distinct()
@@ -72,8 +77,12 @@ def jaccard_pairs(
     Pairs emerge from the shingle equi-join (never a cross join), so cost is
     bounded by shingle-posting-list sizes. At 100 TB add prefix filtering
     (only join on each doc's rarest shingles) — same plan shape.
+
+    The shingle relation feeds three branches (sizes + both join sides);
+    caching it turns 3 tokenize/explode/distinct passes into 1. At 100 TB
+    use `persist(DISK_ONLY)` or a staged parquet write instead of memory.
     """
-    sh = shingle_relation(docs, k)
+    sh = shingle_relation(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -143,8 +152,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (shingles joined only for candidates)
-    sh = shingle_relation(docs, k)
+    # verify candidates with exact Jaccard (shingles joined only for
+    # candidates). Cached: the relation feeds signatures upstream plus three
+    # verification branches (see jaccard_pairs on the 100 TB variant).
+    sh = shingle_relation(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
@@ -180,7 +191,8 @@ def _simhash_col_exprs(engine: str, bits: int = SIMHASH_BITS) -> str:
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over its distinct token set (unit weights)."""
     tok = (
-        docs.select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
+        fan_out(docs)
+        .select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
         .distinct()
         .select("doc_id", hash64(F.col("token")).alias("h"))
     )

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 )
 
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.sources.readers import read_table
+from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
 MEDIA_TYPES = ("image", "audio", "video")
 
@@ -62,7 +62,10 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     media_type = F.element_at(
         F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
     )
-    return docs.select(
+    # fan_out: mapInPandas stages downstream are narrow — without the
+    # spread, Arrow batches of every payload would flow through one task
+    # (sources/readers.fan_out).
+    return fan_out(docs).select(
         "doc_id",
         media_type.alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),

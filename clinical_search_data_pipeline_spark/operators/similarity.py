@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.sources.readers import read_table
+from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
 DIM = 64
 N_PLANES = 8
@@ -70,8 +70,13 @@ _DUCK_V = "embedding::DOUBLE[]"
 
 
 def vectors_with_norms(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, v: array<double>, norm) — the canonical vector relation."""
-    return emb.select(
+    """(vec_id, label, v: array<double>, norm) — the canonical vector relation.
+
+    `fan_out` first: every downstream op (cross join probe, broadcast-join
+    stream side, LSH bucket projection) is narrow, so without it the whole
+    vector pipeline would run at the input-split count — one task for a
+    single-file scan (sources/readers.fan_out)."""
+    return fan_out(emb).select(
         "vec_id",
         "label",
         F.expr(_SPARK_V).alias("v"),

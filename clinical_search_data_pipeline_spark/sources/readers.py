@@ -44,6 +44,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Restore parallelism before a compute-heavy narrow stage.
+
+    A single-file scan yields one input split, so a shuffle-free pipeline
+    (cross join probe side, broadcast-join stream side, HOF-heavy
+    projection, mapInPandas) runs as ONE task no matter how many cores the
+    cluster has. One cheap round-robin shuffle spreads the rows; 2× core
+    oversubscription smooths stragglers when per-row cost is uneven. At
+    100 TB inputs arrive pre-split and this becomes a no-op-sized cost —
+    but a skewed upstream coalesce would recreate the same trap, so the
+    fan-out stays in the operator, not the caller.
+    """
+    n = partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def read_json_log(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:
