@@ -1,0 +1,159 @@
+"""The five reference pipelines as engine-composed, injectable jobs.
+
+Reference jobs hard-code endpoints (Kafka brokers, S3 buckets, Postgres DSNs)
+and wall-clock snapshots; here every endpoint is a parameter and every
+snapshot an `as_of` (SURVEY.md §7.0). Each job returns a small result
+summary so callers/tests can assert without re-reading sinks.
+
+Scale posture per job is inherited from the operators it composes:
+partitioned writes stay parallel (no `coalesce(1)` — sinks/parquet.py),
+dedup state is watermark-bounded (streaming/dedup.py), mart pipelines reuse
+one cached micro-batch across the four sinks (streaming/hot_marts.py), and
+the JDBC upsert stages distributed and merges once (sinks/jdbc.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clinical_search_data_pipeline_spark.operators import ingest, marts
+from clinical_search_data_pipeline_spark.sinks import parquet as pq_sink
+from clinical_search_data_pipeline_spark.streaming.dedup import (
+    silver_writer,
+    watermark_dedup,
+)
+from clinical_search_data_pipeline_spark.streaming.hot_marts import (
+    make_hot_mart_processor,
+)
+from clinical_search_data_pipeline_spark.streaming.runner import run_foreach_batch
+
+Sink = Callable[[DataFrame, str], None]
+
+
+def silver_streaming_job(
+    stream: DataFrame,
+    lake_path: str,
+    dedup_keys: tuple[str, ...] = ("dedup_key",),
+    event_time_col: str = "event_ts",
+    watermark: str = "10 minutes",
+    partition_col: str = "event_date",
+    compact_after: bool = True,
+    timeout_sec: int = 600,
+) -> None:
+    """Raw stream -> watermark dedup -> partitioned silver lake
+    (reference streaming_to_curated_stream.py:87-214). The reference's
+    end-of-run JVM-FS compaction swap becomes the per-partition-atomic
+    `compact()` rewrite."""
+    deduped = watermark_dedup(stream, list(dedup_keys), event_time_col, watermark)
+    run_foreach_batch(
+        deduped, silver_writer(lake_path, partition_col), timeout_sec=timeout_sec
+    )
+    if compact_after:
+        pq_sink.compact(stream.sparkSession, lake_path, partition_col)
+
+
+def bronze_archive_job(
+    spark: SparkSession,
+    raw_json_path: str,
+    bronze_path: str,
+    as_of: str,
+    partition_col: str = "event_date",
+) -> int:
+    """JSON-lines log -> parsed + lineage bronze, partition-appended
+    (reference batch_to_archive_raw.py:104-186). Returns rows written this
+    run — counted from the cached parse, not the reference's post-write
+    re-read-and-recount (§4.3 hazard 1)."""
+    raw = spark.read.text(raw_json_path)  # one row per wire message, col `value`
+    bronze = ingest.bronze_archive(raw, as_of=as_of).cache()
+    try:
+        pq_sink.write_partitioned(bronze, bronze_path, partition_col, mode="append")
+        return bronze.count()
+    finally:
+        bronze.unpersist()
+
+
+COLD_MART_BUILDERS: Mapping[str, Callable[[DataFrame], DataFrame]] = {
+    "mart_session_analysis": marts.session_analysis,
+    "mart_daily_traffic": marts.daily_traffic,
+    "mart_clinical_areas": marts.clinical_areas,
+    "mart_popular_documents": marts.popular_documents,
+}
+
+
+def mart_etl_job(
+    events: DataFrame,
+    out_dir: str,
+    builders: Mapping[str, Callable[[DataFrame], DataFrame]] = COLD_MART_BUILDERS,
+    partition_col: str | None = "event_date",
+) -> dict[str, int]:
+    """Silver -> four cold marts, overwrite (reference
+    etl_to_analytics_mart.py:57-207). The input is cached across the four
+    pipelines instead of the reference's four re-scans + post-write
+    re-counts; counts come from the write-side frames."""
+    events = events.cache()
+    written: dict[str, int] = {}
+    try:
+        for name, build in builders.items():
+            mart = build(events)
+            path = f"{out_dir}/{name}"
+            if partition_col and partition_col in mart.columns:
+                pq_sink.write_partitioned(mart, path, partition_col, mode="overwrite")
+            else:
+                mart.write.mode("overwrite").parquet(path)
+            written[name] = mart.count()
+    finally:
+        events.unpersist()
+    return written
+
+
+def mart_load_job(
+    spark: SparkSession,
+    marts_dir: str,
+    tables: tuple[str, ...],
+    sink: Sink,
+) -> dict[str, int]:
+    """Gold parquet -> serving DB (reference load_to_postgres.py:78-127).
+    `sink(df, table)` is the JDBC overwrite in production
+    (sinks/jdbc.write_jdbc with truncate=True keeps serving-side DDL) and a
+    recorder in tests."""
+    loaded: dict[str, int] = {}
+    for table in tables:
+        df = spark.read.parquet(f"{marts_dir}/{table}")
+        sink(df, table)
+        loaded[table] = df.count()
+    return loaded
+
+
+def hot_marts_realtime_job(
+    spark: SparkSession,
+    silver_path: str,
+    sink: Sink,
+    as_of: str = marts.AS_OF_STR,
+    as_of_sec: int = marts.AS_OF_SEC,
+    max_files_per_trigger: int = 10,
+    timeout_sec: int = 600,
+    schema=None,
+) -> None:
+    """Silver lake stream -> four hot marts per micro-batch (reference
+    streaming_to_analytics_mart_realtime.py:310-386). File-source streaming
+    with per-trigger rate limiting (T8); the processor caches each batch
+    across the four mart sinks (T9)."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # The reference enables streaming schema inference for this job
+        # (tripclick_analytics_mart_realtime_dag.py:139).
+        reader = reader.option("inferSchema", "true")
+        static = spark.read.parquet(silver_path)
+        reader = reader.schema(static.schema)
+    stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).parquet(
+        silver_path
+    )
+    run_foreach_batch(
+        stream,
+        make_hot_mart_processor(sink, as_of=as_of, as_of_sec=as_of_sec),
+        timeout_sec=timeout_sec,
+    )

@@ -134,9 +134,9 @@ def remap_event_times(
 # ---------------------------------------------------------------------------
 
 
-def _staged_click_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stage_click_log(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the JSON-lines wire form of the events fixture once per
-    sf_dir, then scan it as text (stands in for the Kafka value column)."""
+    sf_dir (stands in for the Kafka topic); returns the directory path."""
     apply_runtime_confs(spark)
     staging = os.path.join(
         tempfile.gettempdir(),
@@ -145,7 +145,12 @@ def _staged_click_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(staging, "_SUCCESS")
     if not os.path.exists(marker):
         click_log_json(load_events(spark, sf_dir)).write.mode("overwrite").text(staging)
-    return spark.read.text(staging)
+    return staging
+
+
+def _staged_click_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged wire log as a text scan (one row per message, col `value`)."""
+    return spark.read.text(stage_click_log(spark, sf_dir))
 
 
 _DUCK_TS_STR = duck_sec_to_ts_string(duck_epoch_sec("ts"))

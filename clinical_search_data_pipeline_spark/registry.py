@@ -54,6 +54,8 @@ def _load_modules() -> None:
         relational,
         sessionize,
         similarity,
+        sketches,
+        skew,
         textanalysis,
     )
     from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401

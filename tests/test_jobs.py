@@ -1,0 +1,98 @@
+"""End-to-end job tests: the five reference pipelines run on fixtures with
+tmp-dir lakes and recorder sinks (jobs/pipelines.py)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.jobs import pipelines
+from clinical_search_data_pipeline_spark.operators import marts
+from clinical_search_data_pipeline_spark.operators.ingest import stage_click_log
+from clinical_search_data_pipeline_spark.sources.readers import load_events
+from clinical_search_data_pipeline_spark.streaming.stream_queries import events_stream
+from tests.conftest import SF_SMOKE
+
+
+def test_silver_streaming_job(spark, tmp_path):
+    lake = str(tmp_path / "silver")
+    stream = events_stream(spark, SF_SMOKE)
+    pipelines.silver_streaming_job(
+        stream,
+        lake,
+        dedup_keys=("user_id", "event_type", "event_date"),
+        event_time_col="event_ts",
+    )
+    got = spark.read.parquet(lake)
+    want = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "event_type", "event_date")
+        .distinct()
+    )
+    assert got.count() == want.count()
+    # compaction leaves one file per partition
+    per_part = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(lake + "/event_date=*")
+    }
+    assert per_part and all(n == 1 for n in per_part.values())
+
+
+def test_bronze_archive_job(spark, tmp_path):
+    raw_dir = stage_click_log(spark, SF_SMOKE)  # JSON-lines wire staging
+    bronze = str(tmp_path / "bronze")
+    n_events = load_events(spark, SF_SMOKE).count()
+    n1 = pipelines.bronze_archive_job(spark, raw_dir, bronze, as_of="2024-01-31 00:00:00")
+    assert n1 == n_events
+    # append semantics: a second run doubles the lake but reports per-run rows
+    n2 = pipelines.bronze_archive_job(spark, raw_dir, bronze, as_of="2024-02-01 00:00:00")
+    assert n2 == n_events
+    assert spark.read.parquet(bronze).count() == 2 * n_events
+    assert set(spark.read.parquet(bronze).select("ingestion_type").distinct().toPandas()["ingestion_type"]) == {"batch"}
+
+
+def test_mart_etl_and_load_jobs(spark, tmp_path):
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    written = pipelines.mart_etl_job(events, out)
+    assert set(written) == set(pipelines.COLD_MART_BUILDERS)
+    assert all(n > 0 for n in written.values())
+    # overwrite is idempotent
+    rewritten = pipelines.mart_etl_job(events, out)
+    assert rewritten == written
+
+    recorded: dict[str, int] = {}
+    loaded = pipelines.mart_load_job(
+        spark,
+        out,
+        tuple(written),
+        sink=lambda df, table: recorded.__setitem__(table, df.count()),
+    )
+    assert loaded == written == recorded
+
+
+def test_hot_marts_realtime_job(spark, tmp_path):
+    silver = str(tmp_path / "silver_lake")
+    events = load_events(spark, SF_SMOKE)
+    events.write.parquet(silver)
+
+    captured: dict[str, list] = {}
+    pipelines.hot_marts_realtime_job(
+        spark,
+        silver,
+        sink=lambda df, table: captured.setdefault(table, []).append(df.cache()),
+        max_files_per_trigger=2,
+    )
+    assert set(captured) == {
+        "mart_traffic_minute",
+        "mart_top_docs",
+        "mart_clinical_trend",
+        "mart_anomaly_sessions",
+    }
+    parts = captured["mart_traffic_minute"]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    total = merged.agg(F.sum("event_count")).collect()[0][0]
+    assert total == events.count()
