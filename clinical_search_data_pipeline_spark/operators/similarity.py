@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -289,3 +291,63 @@ FROM cand QUALIFY rank <= {TOP_K}
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/numpy) brute-force scorer — the BLAS fast path
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """`cosine_topk` with the scoring done by a scalar `@pandas_udf`:
+    each Arrow batch becomes a (batch x dim) numpy matrix and one BLAS
+    matvec scores the whole batch — ~10-100x less per-row overhead than
+    interpreting higher-order lambdas when dim is large.
+
+    Same plan shape as the exact path (broadcast queries, per-query window
+    top-k). numpy's pairwise summation can differ from sequential folding in
+    the last float bits, so this op is registered ROWS-ONLY; equality of the
+    returned neighbor sets vs the exact path is asserted in
+    tests/test_vectorized.py.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def batch_cosine(v: pd.Series, qv: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)
+        q = np.asarray(qv.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", m, q)
+        den = np.linalg.norm(m, axis=1) * np.linalg.norm(q, axis=1)
+        return pd.Series(num / den)
+
+    base = fan_out(emb).select("vec_id", F.expr(_SPARK_V).alias("v"))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", batch_cosine("v", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_cosine_topk_vectorized",
+    tags=("similarity", "northstar", "pandas-udf", "rows-only"),
+)
+def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_vectorized(read_table(spark, sf_dir, "embeddings"))
