@@ -1,0 +1,130 @@
+"""Connected components over the near-duplicate pair graph.
+
+Pair detection (similarity/dedup operators) yields edges; actual
+deduplication needs *clusters* — if A~B and B~C, then {A,B,C} keep one
+survivor even though A~C may be below threshold. Components via iterative
+min-label propagation:
+
+    label(v) <- min(label(v), min label over neighbors)   until fixpoint
+
+Each iteration is one shuffle-on-key join + aggregation — the standard
+large-graph formulation (alternating large-star/small-star is the
+few-iterations refinement; same join shape). `localCheckpoint()` cuts
+lineage each round so the plan stays constant-size; at 100 TB use
+`checkpoint()` to reliable storage and cap iterations by graph diameter
+(near-dup graphs are shallow — dup clusters are cliques-ish).
+
+The result (min member id per component) is deterministic, so the query is
+fully oracled — DuckDB computes the same fixpoint with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.similarity import (
+    _DUCK_BASE_CTE,
+    _duck_dot,
+    NEARDUP_THRESHOLD,
+    embedding_neardup_pairs,
+)
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+MAX_ITER = 15
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iter: int = MAX_ITER,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable.
+
+    Converges in <= diameter iterations; each round checks a changed-count
+    and stops early. Raises if the cap is hit without convergence (a silent
+    partial result would be a wrong dedup).
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    both = both.localCheckpoint()
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_component", "component"),
+                ).alias("component"),
+                (
+                    F.coalesce("neighbor_component", "component")
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint()  # eager: cuts lineage AND materializes the round
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"components did not converge in {max_iter} iterations")
+
+
+def neardup_clusters(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """Cluster assignment for every vector participating in a near-dup pair:
+    (node, component, is_survivor) — survivor = the component's min id."""
+    pairs = embedding_neardup_pairs(emb, threshold).select("vec_a", "vec_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+@register(
+    "q_neardup_clusters",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {_duck_dot('a.v', 'b.v')} / (a.norm * b.norm) >= {NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, label FROM r
+)
+SELECT node,
+       min(label) AS component,
+       (node = min(label)) AS is_survivor
+FROM reach GROUP BY node
+""",
+    tags=("dedup", "graph", "northstar"),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> survivor marking (the
+    cluster step a content-dedup pipeline runs after pair detection)."""
+    return neardup_clusters(read_table(spark, sf_dir, "embeddings"))

@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _load_modules() -> None:
     # Imported for their registration side effects.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        components,
         dedup,
         ingest,
         marts,
@@ -58,6 +59,7 @@ def _load_modules() -> None:
         skew,
         textanalysis,
     )
+    from clinical_search_data_pipeline_spark import api  # noqa: F401
     from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
         stream_queries,
     )

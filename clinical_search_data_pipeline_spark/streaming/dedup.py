@@ -34,6 +34,22 @@ def watermark_dedup(
     return stream.withWatermark(event_time_col, watermark).dropDuplicates(list(keys))
 
 
+def watermark_dedup_within(
+    stream: DataFrame,
+    keys: Sequence[str],
+    event_time_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+) — dedups when duplicates
+    arrive within the watermark delay of EACH OTHER even if the event-time
+    column differs between them (e.g. broker-stamped times on producer
+    retries). Use this when `event_time_col` is not part of the key; plain
+    `watermark_dedup` when re-delivery reproduces the row exactly."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def silver_writer(lake_path: str, partition_col: str = "event_date"):
     """foreachBatch sink: append each deduped micro-batch to the partitioned
     silver lake (reference K1/K8, streaming_to_curated_stream.py:157-176).

@@ -16,6 +16,7 @@ from clinical_search_data_pipeline_spark.sources.readers import load_events
 from clinical_search_data_pipeline_spark.streaming.dedup import (
     silver_writer,
     watermark_dedup,
+    watermark_dedup_within,
 )
 from clinical_search_data_pipeline_spark.streaming.hot_marts import (
     make_hot_mart_processor,
@@ -83,6 +84,23 @@ def test_hot_mart_fanout_matches_batch_builders(spark):
         .where(got["event_count"] != want["event_count"])
         .isEmpty()
     )
+
+
+def test_dedup_within_watermark_converges(spark):
+    """dropDuplicatesWithinWatermark over the bounded replay must keep one
+    row per key (no late re-delivery in the fixture, so it matches the
+    distinct key set exactly)."""
+    from clinical_search_data_pipeline_spark.streaming.runner import run_to_memory
+
+    deduped = watermark_dedup_within(
+        events_stream(spark, SF_SMOKE),
+        keys=["user_id", "event_type"],
+    ).select("user_id", "event_type")
+    table = run_to_memory(deduped, output_mode="append")
+    got = spark.table(table)
+    want = load_events(spark, SF_SMOKE).select("user_id", "event_type").distinct()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty()
 
 
 def test_stateful_sessionize_converges_to_batch(spark):
