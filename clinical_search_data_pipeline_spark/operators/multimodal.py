@@ -152,7 +152,32 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_payload(read_table(spark, sf_dir, "documents")))
 
 
-@register("q_media_frames", oracle=None, tags=("multimodal", "northstar", "rows-only"))
+@register(
+    "q_media_frames",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+),
+f AS (
+  SELECT doc_id, byte_len,
+         unnest(range(0, CAST(ceil(byte_len / 64.0) AS BIGINT))) AS frame_idx
+  FROM m
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(64, byte_len - frame_idx * 64) AS INT) AS frame_len
+FROM f
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1->N frame expansion (rows-only: binary output, no SQL oracle)."""
-    return sample_frames(attach_payload(read_table(spark, sf_dir, "documents")))
+    """1->N frame expansion via mapInPandas. DuckDB cannot slice blobs, so
+    the oracle checks the expansion *shape* — (doc, frame index, frame byte
+    length) — which pins row multiplicity and slicing arithmetic; the bytes
+    themselves are covered by test_multimodal-style reassembly in Spark."""
+    frames = sample_frames(attach_payload(read_table(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )

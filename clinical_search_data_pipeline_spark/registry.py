@@ -52,6 +52,7 @@ def _load_modules() -> None:
         ingest,
         marts,
         multimodal,
+        quality,
         relational,
         sessionize,
         similarity,

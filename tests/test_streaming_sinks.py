@@ -159,6 +159,30 @@ def test_write_partitioned_and_compact(spark, tmp_path):
     assert after == 3 < before
 
 
+def test_frames_reassemble_to_payload(spark):
+    """Concatenating a doc's sampled frames in index order must reproduce
+    the original payload bytes exactly (the byte content the q_media_frames
+    oracle can't check — DuckDB has no blob slicing)."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(20)
+    media = attach_payload(docs)
+    frames = sample_frames(media)
+    # byte-exact reassembly checked driver-side (20 docs only)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame_bytes)))
+    want = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert set(got) == set(want)
+    for doc_id, chunks in got.items():
+        joined = b"".join(b for _, b in sorted(chunks))
+        assert joined == want[doc_id]
+
+
 def test_upsert_protocol_generates_merge_and_cleanup(spark, tmp_path):
     """K7 contract: stage (distributed JDBC write), merge ON CONFLICT,
     drop staging. JDBC url points at nothing — we stub the stage write by
