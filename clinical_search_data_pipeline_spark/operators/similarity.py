@@ -351,3 +351,191 @@ def cosine_topk_vectorized(
 )
 def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_vectorized(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization cells + within-cell search
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+CENTROID_BASE = 100  # deterministic coarse centroids: vec_ids 100..107
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """(vec_id, v, norm, cell) — each vector assigned to its max-cosine
+    coarse centroid (IVF cell).
+
+    Centroids here are a deterministic sample (fixed vec_ids) so the oracle
+    reproduces them; production seeds them with k-means|| (pyspark.ml
+    KMeans) — the assignment/search plan shape is identical. Assignment is
+    a broadcast of K centroids against one scan + an argmax window keyed by
+    vec_id (shuffle on vec_id only).
+    """
+    base = vectors_with_norms(emb)
+    cents = base.filter(
+        (F.col("vec_id") >= CENTROID_BASE)
+        & (F.col("vec_id") < CENTROID_BASE + n_centroids)
+    ).select(
+        (F.col("vec_id") - CENTROID_BASE).alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "_cscore", F.expr(_spark_dot("v", "cv")) / (F.col("norm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_cscore").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Approximate top-k searching only the query's IVF cell (equi-join on
+    cell — the candidate set shrinks ~n_centroids-fold; recall grows with
+    nprobe>1 by also joining the next-best cells, same plan shape)."""
+    assigned = ivf_assignments(emb).cache()
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("score", F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "rank",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+cents AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, v, norm, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents
+),
+cells AS (SELECT vec_id, v, norm, cell FROM assign WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell AS qcell
+  FROM cells WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.cell,
+         {_duck_dot('c.v', 'q.qv')} / (c.norm * q.qnorm) AS raw
+  FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cell,
+       row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id ASC) AS rank,
+       round(raw, 4) AS score
+FROM cand QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: probe the query's bucket plus all 1-bit-flip neighbors
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K, n_planes: int = N_PLANES
+) -> DataFrame:
+    """`ann_lsh_topk` with Hamming-1 multi-probe: each query probes its own
+    bucket and every bucket one sign-flip away (n_planes+1 probes). Recall
+    recovers the neighbors lost to hyperplane boundary noise while the plan
+    stays an equi-join — probes explode on the SMALL (query) side only, so
+    the big side is still scanned once and shuffled on bucket."""
+    bucketed = lsh_buckets(emb, n_planes)
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.expr(f"qbucket ^ {1 << p}").cast("int") for p in range(n_planes)],
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket").cast("int").alias("qbucket"),
+        )
+        .withColumn("probe", F.explode(probes))
+    )
+    cand = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("score", F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+_DUCK_PROBES = "[" + ", ".join(
+    ["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(N_PLANES)]
+) + "]"
+
+
+@register(
+    "q_ann_lsh_multiprobe",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+bucketed AS (
+  SELECT vec_id, v, norm, {_duck_bucket_expr()} AS bucket FROM n
+),
+q0 AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+q AS (
+  SELECT query_id, qv, qnorm, unnest({_DUCK_PROBES}) AS probe FROM q0
+),
+cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_duck_dot('b.v', 'q.qv')} / (b.norm * q.qnorm) AS raw
+  FROM bucketed b JOIN q ON b.bucket = q.probe AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id ASC) AS rank,
+       round(raw, 4) AS score
+FROM cand QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "lsh", "multiprobe"),
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_multiprobe_topk(read_table(spark, sf_dir, "embeddings"))

@@ -149,6 +149,39 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_enriched_traffic",
+    oracle="""
+SELECT e.event_type,
+       CASE WHEN e.user_id % 2 = 0 THEN 'EU' ELSE 'US' END AS region,
+       count(*) AS event_count
+FROM events e
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "reference"),
+)
+def q_stream_enriched_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a small static
+    dimension (broadcast per micro-batch — no stream state), then
+    aggregates in complete mode. The pattern behind every 'enrich the
+    stream with a reference table' pipeline; the reference has no joins in
+    its streaming path at all."""
+    stream = events_stream(spark, sf_dir).withColumn(
+        "dim_key", F.col("user_id") % 16
+    )
+    dim = spark.range(16).select(
+        F.col("id").alias("dim_key"),
+        F.when(F.col("id") % 2 == 0, "EU").otherwise("US").alias("region"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "dim_key")
+        .groupBy("event_type", "region")
+        .agg(F.count("*").alias("event_count"))
+    )
+    table = run_to_memory(agg, output_mode="complete")
+    return spark.table(table)
+
+
+@register(
     "q_stream_running_counts",
     oracle="""
 SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

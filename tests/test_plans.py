@@ -7,6 +7,7 @@ a 1000-executor scale-up."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.plans import introspect as pl
 from clinical_search_data_pipeline_spark.registry import all_specs
@@ -58,6 +59,29 @@ def test_rank_filter_uses_window_group_limit(spark):
     """The peak-hour argmax (W1) must plan WindowGroupLimit — Spark's
     top-k-per-partition pushdown — not a full sort of every group."""
     pl.assert_in_plan(build(spark, "q_daily_traffic"), "WindowGroupLimit")
+
+
+def test_partition_pruning_on_lake_reads(spark, tmp_path):
+    """A filter on the hive partition column must become a PartitionFilter
+    (pruned directory listing), not a post-scan row filter — the property
+    the event_date lake layout exists for."""
+    from clinical_search_data_pipeline_spark.sinks.parquet import write_partitioned
+    from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+    lake = str(tmp_path / "lake")
+    write_partitioned(
+        load_events(spark, SF_SMOKE).select("event_id", "user_id", "event_date"),
+        lake,
+    )
+    pruned = spark.read.parquet(lake).filter("event_date = '2024-01-03'")
+    plan = pl.physical_plan(pruned)
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    assert pruned.count() > 0
+    # and the scan reads only that partition's files
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    import glob
+
+    assert n_files == len(glob.glob(lake + "/event_date=2024-01-03/*.parquet"))
 
 
 def test_topk_plans_take_ordered(spark):

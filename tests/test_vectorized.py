@@ -18,3 +18,31 @@ def test_vectorized_matches_exact(spark):
         "query_id", "neighbor_id", "rank", "score"
     )
     assert exact.exceptAll(fast).isEmpty() and fast.exceptAll(exact).isEmpty()
+
+
+def test_ann_recall_ordering(spark):
+    """recall@5 vs the exact scan must not degrade as probes widen:
+    multiprobe >= single-probe LSH; both approximations return valid
+    (query, neighbor) pairs only."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb))
+    single = pairs(ann_lsh_topk(emb))
+    multi = pairs(ann_lsh_multiprobe_topk(emb))
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # the fixture embeddings are near-uniform (no planted cluster structure),
+    # so absolute recall is low; the invariant is that widening probes only
+    # adds candidates: multiprobe strictly dominates single-probe.
+    # (a true top-k neighbor can only be displaced by a higher-scored vector,
+    # which is itself a true top-k neighbor -> recall is monotone in probes)
+    assert 0 <= r_single <= r_multi <= 1.0
+    assert r_multi > 0
