@@ -58,6 +58,7 @@ def _load_modules() -> None:
         similarity,
         sketches,
         skew,
+        splits,
         textanalysis,
     )
     from clinical_search_data_pipeline_spark import api  # noqa: F401

@@ -149,6 +149,66 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {duck_epoch_sec('ts')} AS sec FROM events
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.sec - c.sec AS lag_sec
+FROM e c JOIN e p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.sec >= c.sec AND p.sec <= c.sec + 300
+""",
+    tags=("streaming", "join", "northstar"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases attributed to
+    clicks by the same user within 5 minutes. Both sides carry watermarks
+    and the join has an event-time range bound, so state for each side is
+    evicted once the other side's watermark passes — the bounded-state
+    formulation of the attribution join (absent from the reference, which
+    has no streaming joins at all)."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("event_ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        s.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_sec"),
+    )
+    table = run_to_memory(joined, output_mode="append")
+    return spark.table(table)
+
+
+@register(
     "q_stream_enriched_traffic",
     oracle="""
 SELECT e.event_type,
