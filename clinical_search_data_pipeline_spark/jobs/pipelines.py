@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.operators import ingest, marts
 from clinical_search_data_pipeline_spark.sinks import parquet as pq_sink
@@ -105,6 +106,39 @@ def mart_etl_job(
             written[name] = mart.count()
     finally:
         events.unpersist()
+    return written
+
+
+def mart_etl_incremental_job(
+    events: DataFrame,
+    out_dir: str,
+    event_dates: tuple[str, ...],
+    builders: Mapping[str, Callable[[DataFrame], DataFrame]] = COLD_MART_BUILDERS,
+    partition_col: str = "event_date",
+) -> dict[str, int]:
+    """Recompute only the marts' rows for the given event_dates and replace
+    exactly those lake partitions (dynamic partition overwrite). The 100 TB
+    variant of `mart_etl_job`: a late-data backfill for one day touches one
+    partition per mart, not the whole history. Marts without the partition
+    column (global snapshots) are skipped — they need the full recompute.
+
+    Correctness requires the mart to be *partition-local*: every group key
+    set must contain `partition_col` (true for the four cold marts — all
+    group by event_date), so a day's rows depend only on that day's events.
+    """
+    scoped = events.filter(F.col(partition_col).isin(list(event_dates))).cache()
+    written: dict[str, int] = {}
+    try:
+        for name, build in builders.items():
+            mart = build(scoped)
+            if partition_col not in mart.columns:
+                continue
+            pq_sink.write_partitioned(
+                mart, f"{out_dir}/{name}", partition_col, mode="overwrite"
+            )
+            written[name] = mart.count()
+    finally:
+        scoped.unpersist()
     return written
 
 

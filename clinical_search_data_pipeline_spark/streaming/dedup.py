@@ -57,6 +57,12 @@ def silver_writer(lake_path: str, partition_col: str = "event_date"):
     No `coalesce(1)` (reference K3 hazard — caps write parallelism at scale);
     small-file control belongs to AQE coalescing + periodic `compact()`
     (sinks/parquet.py).
+
+    Delivery contract: foreachBatch is at-least-once — a crash between the
+    parquet commit and the checkpoint commit replays that batch on restart
+    (same as the reference). The rows carry dedup keys, so the lake stays
+    dedup-able downstream; for exactly-once at scale write to a
+    transactional table format or make the write idempotent on batch_id.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:

@@ -72,6 +72,116 @@ def test_mart_etl_and_load_jobs(spark, tmp_path):
     assert loaded == written == recorded
 
 
+def test_mart_etl_incremental_touches_only_target_partitions(spark, tmp_path):
+    """An incremental backfill of one day must replace exactly that day's
+    partition in each partitioned mart and leave every other partition's
+    files untouched (dynamic partition overwrite — the 100 TB late-data
+    path)."""
+    import os
+
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    pipelines.mart_etl_job(events, out)
+    target = "2024-01-03"
+    mart_dir = f"{out}/mart_daily_traffic"
+    before = {
+        d: sorted(os.listdir(os.path.join(mart_dir, d)))
+        for d in os.listdir(mart_dir)
+        if d.startswith("event_date=")
+    }
+    written = pipelines.mart_etl_incremental_job(events, out, (target,))
+    assert written and all(n > 0 for n in written.values())
+    after = {
+        d: sorted(os.listdir(os.path.join(mart_dir, d)))
+        for d in os.listdir(mart_dir)
+        if d.startswith("event_date=")
+    }
+    assert set(before) == set(after)
+    changed = [d for d in before if before[d] != after[d]]
+    assert changed == [f"event_date={target}"]
+    # values for the backfilled day equal a full recompute
+    full = marts.daily_traffic(events).filter(F.col("event_date") == target)
+    incr = spark.read.parquet(mart_dir).filter(F.col("event_date") == target)
+    assert incr.count() == full.count() == 1
+
+
+def test_silver_checkpoint_recovery(spark, tmp_path):
+    """Kill the silver stream mid-run, restart with the SAME checkpoint:
+    the lake must converge to exactly the batch-distinct key set with no
+    duplicates (file-sink transactionality + checkpointed source offsets)."""
+    import shutil
+
+    from clinical_search_data_pipeline_spark.schemas import EVENTS_SCHEMA
+    from clinical_search_data_pipeline_spark.sources.readers import fan_out
+    from clinical_search_data_pipeline_spark.streaming.dedup import (
+        silver_writer,
+        watermark_dedup,
+    )
+    from clinical_search_data_pipeline_spark.streaming.stream_queries import (
+        events_stream,
+    )
+
+    # stage the source as MANY files so the run spans several micro-batches
+    src = str(tmp_path / "src")
+    fan_out(load_events(spark, SF_SMOKE).select(*EVENTS_SCHEMA.fieldNames()), 8).write.parquet(src)
+    lake = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build_stream():
+        from clinical_search_data_pipeline_spark.functions import timeops
+
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        enriched = (
+            raw.withColumn("ts_sec", timeops.epoch_sec("ts"))
+            .withColumn("event_ts", timeops.ts_micros("ts"))
+            .withColumn("event_date", timeops.event_date("ts"))
+        )
+        return watermark_dedup(
+            enriched, ["user_id", "event_type", "event_date"]
+        ).select("user_id", "event_type", "event_date")
+
+    # first run: stop after the first micro-batch commits
+    q = (
+        build_stream()
+        .writeStream.foreachBatch(silver_writer(lake))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    for _ in range(120):
+        time.sleep(0.5)
+        if q.lastProgress and q.lastProgress["batchId"] >= 1:
+            break
+    q.stop()
+    q.awaitTermination(60)
+
+    # restart from the same checkpoint, drain the rest
+    q2 = (
+        build_stream()
+        .writeStream.foreachBatch(silver_writer(lake))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(lake)
+    want = (
+        load_events(spark, SF_SMOKE)
+        .select("user_id", "event_type", "event_date")
+        .distinct()
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_hot_marts_realtime_job(spark, tmp_path):
     silver = str(tmp_path / "silver_lake")
     events = load_events(spark, SF_SMOKE)
