@@ -40,7 +40,7 @@ from clinical_search_data_pipeline_spark.functions.timeops import (
 )
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.schemas import CLICK_EVENT_SCHEMA
-from clinical_search_data_pipeline_spark.sources.readers import load_events, read_table
+from clinical_search_data_pipeline_spark.sources.readers import load_events
 from clinical_search_data_pipeline_spark.session import apply_runtime_confs
 
 AS_OF = "2024-01-31 00:00:00"

@@ -131,6 +131,96 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", StringType()),  # hex digest per 16-byte stride
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize plumbing: cap each payload at `target_bytes` (the byte-slice
+    stand-in for a real thumbnailer — wire PIL/ffmpeg inside `_resize` in
+    production; batch shape, schema, and 1:1 row contract are the real
+    thing)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "out_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: a deterministic digest per payload (the
+    embedding-model stand-in; in production the batch loop calls the model
+    on the whole Arrow batch — the GPU-friendly shape)."""
+    import hashlib as _hashlib
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": pdf["payload"].map(
+                        lambda b: _hashlib.md5(bytes(b)).hexdigest()[:FEATURE_DIM]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_bytes
+FROM documents
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: output size contract oracled (bytes are Spark-side)."""
+    resized = resize_media(attach_payload(read_table(spark, sf_dir, "documents")))
+    return resized.select("doc_id", "media_type", "out_bytes")
+
+
+@register(
+    "q_media_features",
+    oracle=f"""
+SELECT doc_id, substring(md5(text), 1, {FEATURE_DIM}) AS feature
+FROM documents
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: md5-derived stand-in digest — bit-identical in
+    DuckDB (payload bytes are the UTF-8 text, so md5(payload)==md5(text))."""
+    return extract_features(attach_payload(read_table(spark, sf_dir, "documents")))
+
+
 @register(
     "q_media_meta",
     oracle="""

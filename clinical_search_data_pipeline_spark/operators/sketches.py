@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clinical_search_data_pipeline_spark.functions import timeops
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import load_events
 
