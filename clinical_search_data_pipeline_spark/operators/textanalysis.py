@@ -271,3 +271,41 @@ FROM events GROUP BY event_type
 )
 def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_stats(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex pre-tokenization
+# ---------------------------------------------------------------------------
+
+# GPT-2-ish pre-tokenizer, restricted to RE2-compatible constructs (no
+# lookahead) so Spark (Java regex) and DuckDB (RE2) match byte-for-byte:
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Subword-style token counts via regex pre-tokenization (the stage a
+    real BPE tokenizer runs before merges; counts upper-bound BPE tokens).
+    `regexp_extract_all` is a Catalyst builtin — codegen'd, no UDF."""
+    # idx=0: whole-match extraction (Spark defaults to capture group 1)
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_pretokens"),
+    )
+
+
+@register(
+    "q_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_pretokens,
+       len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS n_unique_pretokens
+FROM documents
+""",
+    tags=("text", "northstar", "bpe"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_counts(read_table(spark, sf_dir, "documents"))
