@@ -14,7 +14,7 @@ has no pivots or set ops; `q_union_days` covers union).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
@@ -149,3 +149,110 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_only").alias("cohort"), "n_users"
     )
     return both_u.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Training-data mixture & stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-source keep-rate out of SPLIT_BUCKETS (a data-mixture recipe: keep all
+# of the curated source, down-weight the bulk ones). Sources not listed get
+# the default rate.
+MIX_RATES: dict[str, int] = {"src0": 100, "src1": 80, "src2": 50, "src3": 25}
+MIX_DEFAULT_RATE = 10
+STRATUM_K = 8
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, int] | None = None,
+    default_rate: int = MIX_DEFAULT_RATE,
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Weighted dataset-mixture sampling: keep ``rates[source]/buckets`` of
+    each source, chosen by identity hash (deterministic, engine-independent,
+    stable under repartitioning — the property seeded `df.sample` lacks).
+
+    One narrow projection + filter: no shuffle, pushes straight onto the
+    scan; the rate lookup is a literal MapType so Catalyst constant-folds it.
+    """
+    rates = MIX_RATES if rates is None else rates
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(rate_map[F.col(source_col)], F.lit(default_rate))
+    bucket = F.pmod(hash64(F.col(id_col).cast("string")), F.lit(buckets))
+    return df.filter(bucket < rate)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, k: int = STRATUM_K
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (class-balanced eval sets):
+    rank rows inside each stratum by identity hash and keep the first k.
+
+    One shuffle on the stratum key. At 100 TB guard stratum cardinality:
+    a single giant stratum serializes into one task — pre-filter with an
+    approximate per-stratum hash threshold first, then rank the survivors.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _duck_rate_case(source_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    )
+    return f"CASE {source_expr} {arms} ELSE {MIX_DEFAULT_RATE} END"
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE {_duck_bucket("CAST(doc_id AS VARCHAR)")} < {_duck_rate_case("source")}
+GROUP BY source
+""",
+    tags=("splits", "mixture", "northstar"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-mixture corpus composition: per-source doc and char counts after
+    weighted hash sampling (the recipe keeps 100% of src0 down to 10% of the
+    long tail)."""
+    docs = mixture_sample(read_table(spark, sf_dir, "documents"), "doc_id", "source")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_duck_bucket("CAST(doc_id AS VARCHAR)", 2**60)}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= {STRATUM_K}
+""",
+    tags=("splits", "northstar"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sample: exactly 8 deterministic docs per language."""
+    return stratified_sample(
+        read_table(spark, sf_dir, "documents"), "lang", "doc_id"
+    ).select("doc_id", "lang")

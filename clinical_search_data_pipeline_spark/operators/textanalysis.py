@@ -14,7 +14,7 @@ reference never exercises (SURVEY.md §2.6 note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.functions import textfns
@@ -309,3 +309,158 @@ FROM documents
 )
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals used by LLM-corpus quality filters
+    (duplicate-word fraction, most-common-word coverage, duplicate-bigram
+    fraction — the Gopher repetition rules re-expressed relationally).
+
+    Shape: bigram stats come from per-row array expressions (no shuffle);
+    the top-word count needs a real frequency table, so words are exploded
+    and aggregated twice — both aggregations share the doc_id key prefix, and
+    partial aggregation collapses the fan-out map-side.
+    """
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(slice(_ws, 1, size(_ws) - 1), (w, i) -> concat(w, ' ', _ws[i + 1]))"
+    )
+    base = docs.withColumn("_ws", ws).select(
+        "doc_id",
+        F.size("_ws").alias("n_words"),
+        F.when(F.size("_ws") <= 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1
+                - F.size(F.array_distinct(bigrams))
+                / F.expr("CAST(size(_ws) - 1 AS DOUBLE)"),
+                6,
+            )
+        )
+        .alias("dup_bigram_frac"),
+        F.explode("_ws").alias("word"),
+    )
+    wc = base.groupBy("doc_id", "word").agg(
+        F.count("*").alias("c"),
+        F.first("n_words").alias("n_words"),
+        F.first("dup_bigram_frac").alias("dup_bigram_frac"),
+    )
+    return wc.groupBy("doc_id").agg(
+        F.first("n_words").alias("n_words"),
+        F.count("*").alias("n_unique_words"),
+        F.round(1 - F.count("*") / F.sum("c").cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_word_frac"),
+        F.first("dup_bigram_frac").alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "q_repetition_quality",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+wordstats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS INT) AS n_words,
+         count(*) AS n_unique_words,
+         round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+bistats AS (
+  SELECT doc_id,
+         CASE WHEN len(w) <= 1 THEN 0.0
+              ELSE round(
+                1 - len(list_distinct(
+                      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                    )) / CAST(len(w) - 1 AS DOUBLE), 6)
+         END AS dup_bigram_frac
+  FROM ws
+)
+SELECT s.doc_id, s.n_words, s.n_unique_words, s.dup_word_frac,
+       s.top_word_frac, b.dup_bigram_frac
+FROM wordstats s JOIN bistats b USING (doc_id)
+""",
+    tags=("text", "quality", "northstar"),
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 10
+
+
+def tfidf_top_terms_per_lang(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Most characteristic terms per language by summed TF-IDF.
+
+    Corpus-level text analysis in three relational passes: term frequencies
+    (shuffle on doc-prefixed key), document frequencies (shuffle on word),
+    then a per-language rank. The corpus size N and the document-frequency
+    relation are aggregates, not literals, so the query stays a single
+    deterministic plan; N is a 1-row broadcast, df joins on the word key.
+    """
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("lang", "doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    per_lang = scored.groupBy("lang", "word").agg(
+        F.round(F.sum("tfidf"), 6).alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        per_lang.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "word", "score")
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT lang, doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+per_lang AS (
+  SELECT tf.lang, tf.word,
+         round(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)), 6) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, word, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, word ASC) AS rank
+  FROM per_lang
+)
+SELECT lang, rank, word, score FROM ranked WHERE rank <= {TFIDF_TOP_K}
+""",
+    tags=("text", "northstar"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms_per_lang(read_table(spark, sf_dir, "documents"))

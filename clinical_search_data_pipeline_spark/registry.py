@@ -53,6 +53,7 @@ def _load_modules() -> None:
         marts,
         multimodal,
         quality,
+        rangejoin,
         relational,
         sessionize,
         similarity,
