@@ -3,8 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Each query is forced with the `noop` sink — full distributed materialization,
 no driver-side collect — so the number is the engine cost, not a transfer
-cost. Prints ONE JSON line:
+cost. Prints ONE compact JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+and also writes the same payload (full precision) to ./bench_results.json —
+the harness that records BENCH_r{N}.json keeps only a bounded tail of stdout,
+so the stdout line is minified (2-decimal timings, no whitespace) to stay
+well inside that window, and the file is the durable full record.
 """
 
 from __future__ import annotations
@@ -57,17 +61,18 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w") as fh:
+        json.dump(payload, fh, indent=2, sort_keys=True)
+    compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     spark.stop()
 
 

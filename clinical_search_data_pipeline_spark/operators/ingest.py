@@ -136,11 +136,17 @@ def remap_event_times(
 
 def stage_click_log(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the JSON-lines wire form of the events fixture once per
-    sf_dir (stands in for the Kafka topic); returns the directory path."""
+    fixture *content* (stands in for the Kafka topic); returns the directory
+    path. The staging dir is keyed by the source parquet's mtime+size
+    fingerprint, so a regenerated fixture at the same path can never be
+    served from a stale staged copy."""
     apply_runtime_confs(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
     staging = os.path.join(
         tempfile.gettempdir(),
-        f"csdp_clicklog_{sf_dir.strip('/').replace('/', '_')}",
+        f"csdp_clicklog_{sf_dir.strip('/').replace('/', '_')}_{fingerprint}",
     )
     marker = os.path.join(staging, "_SUCCESS")
     if not os.path.exists(marker):

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clinical_search_data_pipeline_spark.functions import timeops
+from clinical_search_data_pipeline_spark.functions import hashing, timeops
 from clinical_search_data_pipeline_spark.functions.timeops import (
     duck_bucket_start_sec,
     duck_epoch_sec,
@@ -309,6 +309,20 @@ def dedup_keys(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keys_xxhash(events: DataFrame) -> DataFrame:
+    """The PRODUCTION dedup key: xxhash64 over the same joined tuple
+    (reference ingestion/producer/producer_base.py:42-53). DuckDB has no
+    xxhash64 so this registers rows-only; bit-level behavior is pinned by
+    fixed vectors in tests/test_hashing.py and the collision-free property is
+    asserted here structurally (one key per event row)."""
+    return events.select(
+        "event_id",
+        hashing.dedup_key_xxhash(
+            F.col("user_id"), F.col("event_id"), F.col("ts_sec")
+        ).alias("dedup_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -537,3 +551,13 @@ FROM e
 )
 def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keys(load_events(spark, sf_dir))
+
+
+@register(
+    "q_dedup_keys_xxhash",
+    tags=("dedup", "reference", "rows-only"),
+)
+def q_dedup_keys_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production xxhash64 dedup key (P13/D2 fast path; DuckDB has no
+    xxhash64 => rows-only; fixed vectors pinned in tests/test_hashing.py)."""
+    return dedup_keys_xxhash(load_events(spark, sf_dir))

@@ -22,13 +22,16 @@ HLL_RSD = 0.02  # ~2 % relative standard deviation
 def approx_daily_traffic(events: DataFrame, rsd: float = HLL_RSD) -> DataFrame:
     """The daily-traffic mart's distinct counts as HLL++ sketches — the
     scale path for A3's two exact countDistincts (one Expand shuffle
-    becomes two fixed-size sketch states)."""
+    becomes two fixed-size sketch states). Columns mirror the mart:
+    `unique_sessions` = distinct user_id, `unique_documents` = distinct
+    event_type (document := event_type per the fixture mapping,
+    operators/marts.daily_traffic)."""
     return (
         events.groupBy("event_date")
         .agg(
             F.count("*").alias("total_events"),
             F.approx_count_distinct("user_id", rsd).alias("approx_sessions"),
-            F.approx_count_distinct("event_id", rsd).alias("approx_documents"),
+            F.approx_count_distinct("event_type", rsd).alias("approx_documents"),
         )
         .orderBy("event_date")
     )

@@ -53,6 +53,20 @@ def compact(
     the rewrite — concurrent appends to *other* partitions are untouched.
     """
     apply_runtime_confs(spark)
+    # compact() reads and overwrites the SAME path; that is only safe when
+    # overwrite replaces just the partitions present in the rewrite. If the
+    # host locked the conf (apply_runtime_confs swallows set failures), a
+    # static overwrite would drop every partition not in this rewrite — fail
+    # loudly instead of corrupting the lake.
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if mode.lower() != "dynamic":
+        raise RuntimeError(
+            "compact() requires spark.sql.sources.partitionOverwriteMode=dynamic "
+            f"(got {mode!r}); refusing an in-place static overwrite"
+        )
+    # NOTE: appends racing into a partition *while it is being compacted* can
+    # still be replaced at commit; run compaction when the partition is cold
+    # (the reference has the same constraint on its FS rename swap).
     df = spark.read.parquet(path)
     (
         df.repartition(target_files_per_partition, partition_col)

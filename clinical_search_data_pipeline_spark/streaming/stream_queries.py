@@ -37,14 +37,20 @@ from clinical_search_data_pipeline_spark.streaming.runner import run_to_memory
 
 def stage_events_source(sf_dir: str) -> str:
     """Copy the fixture events parquet into a dedicated source directory
-    (file streaming sources list a directory)."""
+    (file streaming sources list a directory). Keyed by the source file's
+    mtime+size fingerprint so a regenerated fixture is re-staged, never
+    silently served stale."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
     staging = os.path.join(
-        tempfile.gettempdir(), f"csdp_stream_src_{sf_dir.strip('/').replace('/', '_')}"
+        tempfile.gettempdir(),
+        f"csdp_stream_src_{sf_dir.strip('/').replace('/', '_')}_{fingerprint}",
     )
     os.makedirs(staging, exist_ok=True)
     dst = os.path.join(staging, "events.parquet")
     if not os.path.exists(dst):
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+        shutil.copyfile(src, dst)
     return staging
 
 

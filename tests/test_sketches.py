@@ -18,7 +18,7 @@ def test_approx_distinct_within_bounds(spark):
     approx = approx_daily_traffic(events)
     exact = events.groupBy("event_date").agg(
         F.countDistinct("user_id").alias("exact_sessions"),
-        F.countDistinct("event_id").alias("exact_documents"),
+        F.countDistinct("event_type").alias("exact_documents"),
     )
     joined = approx.join(exact, "event_date").collect()
     assert joined
