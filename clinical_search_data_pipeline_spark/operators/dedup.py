@@ -7,10 +7,11 @@ streaming/dedup.py); content-level near-dup detection is this engine's
 extension, built entirely from Catalyst expressions (no UDFs):
 
 * exact        — md5 content hash, one survivor per hash
-* n-gram Jaccard — shingle self-join, exact pairwise similarity
+* n-gram Jaccard — EXACT pairs via prefix-filtered shingle join (lossless;
+                 hot shingles never enter the pair join)
 * MinHash-LSH  — banded signatures -> candidate pairs -> verified Jaccard;
-                 the scale path: candidate generation is an equi-join on
-                 (band, band_key), never a cross join
+                 the probabilistic scale path: candidate generation is an
+                 equi-join on (band, band_key), never a cross join
 * SimHash      — 16-bit sign-of-sums fingerprint; equal-fingerprint buckets
 
 Hashes are md5-derived 60-bit ints (functions/hashing.py) so DuckDB can
@@ -18,13 +19,15 @@ replicate them bit-for-bit; swap `hash64` for `xxhash64` in production.
 
 Scale posture: every stage is shuffle-on-key (shingle, band key, doc pair).
 The shingle relation is the big intermediate (|docs| x |shingles|); at 100 TB
-prefilter by length bands and dedupe exact first. Candidate verification
-joins shingles only for candidate docs (semi-join pushdown), not all pairs.
+additionally prefilter by length bands and dedupe exact first. The exact
+pair join is prefix-filtered (see jaccard_pairs), so common-shingle posting
+lists never quadratically explode. Candidate verification joins shingles
+only for candidate docs (semi-join pushdown), not all pairs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.functions import textfns
@@ -69,25 +72,18 @@ def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
-
-    Pairs emerge from the shingle equi-join (never a cross join), so cost is
-    bounded by shingle-posting-list sizes. At 100 TB add prefix filtering
-    (only join on each doc's rarest shingles) — same plan shape.
-
-    The shingle relation feeds three branches (sizes + both join sides);
-    caching it turns 3 tokenize/explode/distinct passes into 1. At 100 TB
-    use `persist(DISK_ONLY)` or a staged parquet write instead of memory.
-    """
-    sh = shingle_relation(docs, k).cache()
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification for a candidate-pair relation: join the
+    full shingle sets of candidate docs only (semi-join pushdown), count the
+    intersection, union from the per-doc sizes. Shared by the prefix-filtered
+    exact path and the MinHash-LSH path — identical verification semantics."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
@@ -99,6 +95,55 @@ def jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING — lossless, so the
+    all-pairs oracle is unchanged.
+
+    The naive shingle self-join explodes on common shingles: a shingle in f%
+    of docs contributes (f·N)² candidate pairs. Prefix filtering (Chaudhuri
+    et al. ICDE'06 / Bayardo et al. WWW'07) bounds that: order shingles
+    globally rarest-first (document frequency asc, shingle asc); Jaccard ≥ t
+    implies overlap ≥ ceil(t·|X|) for each side, so the *rarest-first prefix*
+    of length |X| − ceil(t·|X|) + 1 of BOTH docs must share their smallest
+    common shingle (else ≥ |X| − ceil(t·|X|) + 1 elements of X are
+    non-shared — contradiction). Candidates therefore come from a self-join
+    of PREFIXES only: ~(1−t)·|X|+1 shingles per doc (5× fewer at t=0.8) and,
+    decisively, the hottest shingles sort to the END of the order and never
+    enter the join — the 100 TB skew hazard is removed, not mitigated.
+    Candidates are then exact-verified on the full shingle sets.
+
+    The shingle relation feeds four branches; `localCheckpoint` materializes
+    it once and (unlike `cache()`) its blocks are freed by the
+    ContextCleaner when the result is GC'd, so registry-wide runs don't
+    accumulate pinned plans. At 100 TB stage it to parquet instead.
+    """
+    sh = shingle_relation(docs, k).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("n", F.count("*").over(w_doc))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(cand, sh, threshold)
 
 
 def minhash_signatures(
@@ -129,7 +174,14 @@ def minhash_lsh_pairs(
     Jaccard for candidates only.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, k).cache()
+    # ONE materialized shingle relation feeds signatures AND all three
+    # verification branches (was: two separate .cache()s of the same plan).
+    sh = shingle_relation(docs, k).localCheckpoint(eager=False)
+    mins = [
+        F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
     band_frames = [
         sig.select(
             "doc_id",
@@ -153,27 +205,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact Jaccard (shingles joined only for
-    # candidates). Cached: the relation feeds signatures upstream plus three
-    # verification branches (see jaccard_pairs on the 100 TB variant).
-    sh = shingle_relation(docs, k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    # candidates — identical semantics to the prefix-filtered exact path).
+    return _verify_pairs(cand, sh, threshold)
 
 
 def _simhash_col_exprs(engine: str, bits: int = SIMHASH_BITS) -> str:

@@ -126,25 +126,138 @@ def cosine_topk(
     )
 
 
-def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+N_BLOCKS = 16  # block-pair join width; at scale pick B ≈ n / rows-per-task
 
-    All-pairs is quadratic — correct as the verification baseline; the LSH
-    bucket join below is the scale path. Filter on the *unrounded* score so
-    the threshold semantics match the oracle exactly.
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = NEARDUP_THRESHOLD, n_blocks: int = N_BLOCKS
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT, via a block-pair
+    equi-join (no CartesianProduct node anywhere in the plan).
+
+    Exact all-pairs *semantics* is inherently Θ(n²) compute; what must not be
+    quadratic-fragile is the PLAN. Each vector lands in block
+    ``vec_id % n_blocks`` and is replicated to every unordered block-pair key
+    containing its block (left role: (blk, j) for j ≥ blk; right role:
+    (i, blk) for i ≤ blk — ≤ n_blocks+1 replicas per row, explicit and
+    bounded). Pairs then meet in a SHUFFLE HASH/SMJ EQUI-JOIN on the
+    block-pair key: B(B+1)/2 keys of (n/B)² work each — uniform by
+    construction (no skew, no driver collect), and B is the scale knob
+    (B ≈ n/√(target pairs-per-task) at 100 TB). Sub-quadratic needs an
+    approximation: see `embedding_neardup_lsh` (banded hyperplane LSH) — on
+    this fixture the τ=0.45 pairs sit at θ≈63° against a θ≈90° background,
+    too weak a gap for LSH to guarantee recall, which is WHY the exact
+    operator keeps exact semantics and the approximate one is a separate
+    contract.
+
+    Block assignment never affects the OUTPUT (only the plan), so the
+    all-pairs oracle is unchanged. Filter on the *unrounded* score so the
+    threshold semantics match the oracle exactly.
     """
-    base = vectors_with_norms(emb)
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    base = vectors_with_norms(emb).withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
+    left = base.withColumn(
+        "pk",
+        F.explode(
+            F.expr(f"transform(sequence(blk, {n_blocks - 1}), j -> blk * {n_blocks} + j)")
+        ),
+    ).select("pk", F.col("blk").alias("blk_l"), F.col("vec_id").alias("vid_l"),
+             F.col("v").alias("va"), F.col("norm").alias("na"))
+    right = base.withColumn(
+        "pk",
+        F.explode(
+            F.expr(f"transform(sequence(0, blk), i -> i * {n_blocks} + blk)")
+        ),
+    ).select("pk", F.col("blk").alias("blk_r"), F.col("vec_id").alias("vid_r"),
+             F.col("v").alias("vb"), F.col("norm").alias("nb"))
     scored = (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        left.join(
+            right,
+            (left["pk"] == right["pk"])
+            & ((F.col("blk_l") != F.col("blk_r")) | (F.col("vid_l") < F.col("vid_r"))),
+        )
+        .withColumn("score", F.expr(_spark_dot("va", "vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("score") >= threshold)
+    )
+    return scored.select(
+        F.least("vid_l", "vid_r").alias("vec_a"),
+        F.greatest("vid_l", "vid_r").alias("vec_b"),
+        F.round("score", 4).alias("cosine"),
+    )
+
+
+LSH_BANDS = 8   # banded near-dup LSH: bands
+LSH_BITS = 8    # hyperplane sign bits per band
+
+
+def banded_lsh_keys(
+    emb: DataFrame, bands: int = LSH_BANDS, bits: int = LSH_BITS
+) -> DataFrame:
+    """(vec_id, v, norm, band, bucket) — one row per (vector, band); bucket =
+    the band's `bits` hyperplane sign bits. One literal plane matrix, dots
+    via a single `transform`, bands exploded with `inline` — all JVM-side."""
+    base = vectors_with_norms(emb)
+    planes = plane_weights(bands * bits)
+    pl = F.array(*[F.array(*[F.lit(float(w)) for w in ws]) for ws in planes])
+    dots = (
+        "transform(_pl, pw -> aggregate(zip_with(v, pw, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    band_rows = (
+        f"inline(transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, "
+        f"'bucket', aggregate(sequence(0, {bits - 1}), 0, "
+        f"(acc, r) -> acc + IF(_dots[b * {bits} + r] >= CAST(0.0 AS DOUBLE), shiftleft(1, r), 0)))))"
+    )
+    return (
+        base.withColumn("_pl", pl)
+        .withColumn("_dots", F.expr(dots))
+        .select("vec_id", "v", "norm", F.expr(band_rows))
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup: candidates = pairs agreeing on all
+    `bits` hyperplane signs of at least one band (equi-join on (band,
+    bucket) — the sub-quadratic scale path), then exact re-scoring of
+    candidates only, threshold on the unrounded score.
+
+    The contract is deterministic (fixed md5-seeded planes), so the query is
+    FULLY ORACLED — the oracle reproduces the banding, not just the scoring.
+    Recall is the standard banded-LSH curve 1-(1-p^bits)^bands with
+    p = 1 - θ/π: ~93% at cosine 0.9 with the 8×8 default, while only ~3% of
+    random (θ≈90°) pairs become candidates. At this fixture's τ=0.45
+    (θ≈63°) the curve is intentionally weak — exact semantics at that
+    regime is `embedding_neardup_pairs`' job (see its docstring).
+    """
+    keyed = banded_lsh_keys(emb, bands, bits)
+    a = keyed.select("band", "bucket", F.col("vec_id").alias("vec_a"))
+    b = keyed.select(
+        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    base = vectors_with_norms(emb)
+    x = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    y = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    scored = (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
         .withColumn("score", F.expr(_spark_dot("va", "vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("score") >= threshold)
     )
@@ -256,6 +369,46 @@ FROM pairs WHERE raw >= {NEARDUP_THRESHOLD}
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_embedding_neardup_lsh",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+planes AS (
+  SELECT p, list_transform(range(0, {DIM}), d ->
+    ((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 2001) - 1000) / 1000.0) AS pw
+  FROM range(0, {LSH_BANDS * LSH_BITS}) t(p)
+),
+dots AS (
+  SELECT n.vec_id, pl.p,
+         list_reduce(list_transform(range(1, {DIM} + 1), i -> n.v[i] * pl.pw[i]),
+                     (a, b) -> a + b) AS dot
+  FROM n, planes pl
+),
+bk AS (
+  SELECT vec_id, p // {LSH_BITS} AS band,
+         sum(CASE WHEN dot >= 0 THEN (1 << (p % {LSH_BITS})) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b, {_duck_dot('x.v', 'y.v')} / (x.norm * y.norm) AS raw
+  FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(raw, 4) AS cosine FROM scored WHERE raw >= {NEARDUP_THRESHOLD}
+""",
+    tags=("similarity", "dedup", "northstar", "lsh"),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup (sub-quadratic candidates, exact re-score); the
+    oracle reproduces the deterministic md5-seeded banding bit-for-bit."""
+    return embedding_neardup_lsh(read_table(spark, sf_dir, "embeddings"))
 
 
 def _duck_bucket_expr() -> str:
@@ -399,7 +552,11 @@ def ann_ivf_topk(
     """Approximate top-k searching only the query's IVF cell (equi-join on
     cell — the candidate set shrinks ~n_centroids-fold; recall grows with
     nprobe>1 by also joining the next-best cells, same plan shape)."""
-    assigned = ivf_assignments(emb).cache()
+    # localCheckpoint, not cache(): CacheManager pins cached plans for the
+    # session lifetime (a registry-wide run would accumulate them), while
+    # localCheckpoint blocks are released by the ContextCleaner as soon as
+    # the result DataFrame is garbage-collected.
+    assigned = ivf_assignments(emb).localCheckpoint(eager=False)
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -320,19 +320,41 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     (duplicate-word fraction, most-common-word coverage, duplicate-bigram
     fraction — the Gopher repetition rules re-expressed relationally).
 
-    Shape: bigram stats come from per-row array expressions (no shuffle);
-    the top-word count needs a real frequency table, so words are exploded
-    and aggregated twice — both aggregations share the doc_id key prefix, and
-    partial aggregation collapses the fan-out map-side.
+    Shape: every signal is a per-row array expression — the whole query is a
+    single narrow projection, ZERO shuffles. The only signal that naively
+    needs a frequency table (top-word count) is computed per-row as the
+    longest run in the sorted word array (`array_sort` + `aggregate` fold:
+    O(n log n) per doc, JVM-side, no explode). At 100 TB this scans once and
+    never exchanges — the previous formulation exploded every word through
+    two hash aggregations.
     """
     ws = F.split(F.col("text"), " ")
     bigrams = F.expr(
         "transform(slice(_ws, 1, size(_ws) - 1), (w, i) -> concat(w, ' ', _ws[i + 1]))"
     )
-    base = docs.withColumn("_ws", ws).select(
+    # max word multiplicity == longest equal-run in the sorted array; the
+    # null-safe <=> handles empty-string words (split never yields NULLs).
+    top_count = F.expr(
+        """
+        aggregate(
+          array_sort(_ws),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+            'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+          acc -> acc.best)
+        """
+    )
+    n_words = F.size("_ws")
+    n_unique = F.size(F.array_distinct(F.col("_ws")))
+    return docs.withColumn("_ws", ws).select(
         "doc_id",
-        F.size("_ws").alias("n_words"),
-        F.when(F.size("_ws") <= 1, F.lit(0.0))
+        n_words.alias("n_words"),
+        n_unique.cast("long").alias("n_unique_words"),
+        F.round(1 - n_unique / n_words.cast("double"), 6).alias("dup_word_frac"),
+        F.round(top_count / n_words.cast("double"), 6).alias("top_word_frac"),
+        F.when(n_words <= 1, F.lit(0.0))
         .otherwise(
             F.round(
                 1
@@ -342,21 +364,6 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             )
         )
         .alias("dup_bigram_frac"),
-        F.explode("_ws").alias("word"),
-    )
-    wc = base.groupBy("doc_id", "word").agg(
-        F.count("*").alias("c"),
-        F.first("n_words").alias("n_words"),
-        F.first("dup_bigram_frac").alias("dup_bigram_frac"),
-    )
-    return wc.groupBy("doc_id").agg(
-        F.first("n_words").alias("n_words"),
-        F.count("*").alias("n_unique_words"),
-        F.round(1 - F.count("*") / F.sum("c").cast("double"), 6).alias(
-            "dup_word_frac"
-        ),
-        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_word_frac"),
-        F.first("dup_bigram_frac").alias("dup_bigram_frac"),
     )
 
 
