@@ -205,21 +205,49 @@ def top_documents(events: DataFrame, k: int = 20, as_of: str = AS_OF_STR) -> Dat
 def clinical_trend(
     events: DataFrame, as_of_sec: int = AS_OF_SEC, as_of: str = AS_OF_STR
 ) -> DataFrame:
-    """Area interest over the trailing 24 h before `as_of` (hot mart 3).
-    trend_pct is 0.0 at bootstrap, matching the reference's literal
-    (streaming_to_analytics_mart_realtime.py:265-266)."""
+    """Area interest over the trailing 24 h before `as_of` (hot mart 3),
+    with a REAL trend_pct: percent change vs the preceding 24 h window.
+
+    The reference never finished this — it stamps `lit(0.0)` with a "needs
+    separate computation" comment
+    (streaming_to_analytics_mart_realtime.py:265-266). Here both snapshots
+    come from ONE 48 h scan with conditional aggregation (count FILTER by
+    window membership) — a single hash-agg shuffle on clinical_area, no
+    self-join of snapshots, map-side partial aggregation intact. Areas with
+    no previous-window traffic report 0.0 (bootstrap semantics preserved);
+    only areas active in the current window are emitted.
+    """
     window_events = events.filter(
-        (F.col("ts_sec") >= as_of_sec - 86_400) & (F.col("ts_sec") < as_of_sec)
+        (F.col("ts_sec") >= as_of_sec - 172_800) & (F.col("ts_sec") < as_of_sec)
     )
     exploded = normalize_multivalue(
         window_events.withColumn("clinical_areas", _areas_spark()),
         "clinical_areas",
         out="clinical_area",
     )
-    return exploded.groupBy("clinical_area").agg(
-        F.count("*").alias("search_count_24h"),
-        F.countDistinct("user_id").alias("unique_sessions"),
-        F.lit(0.0).alias("trend_pct"),
+    cur = F.col("ts_sec") >= as_of_sec - 86_400
+    agg = (
+        exploded.groupBy("clinical_area")
+        .agg(
+            F.count(F.when(cur, 1)).alias("search_count_24h"),
+            F.countDistinct(F.when(cur, F.col("user_id"))).alias("unique_sessions"),
+            F.count(F.when(~cur, 1)).alias("_prev_count"),
+        )
+        .filter(F.col("search_count_24h") > 0)
+    )
+    trend = F.when(F.col("_prev_count") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("search_count_24h") - F.col("_prev_count"))
+            * 100.0
+            / F.col("_prev_count"),
+            2,
+        )
+    )
+    return agg.select(
+        "clinical_area",
+        "search_count_24h",
+        "unique_sessions",
+        trend.alias("trend_pct"),
         F.lit(as_of).alias("snapshot_ts"),
     )
 
@@ -446,17 +474,27 @@ def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_clinical_trend",
     oracle=f"""{_E_CTE},
-win AS (SELECT * FROM e WHERE sec >= {AS_OF_SEC - 86_400} AND sec < {AS_OF_SEC}),
+win AS (
+  SELECT *, CASE WHEN sec >= {AS_OF_SEC - 86_400} THEN 1 ELSE 0 END AS cur
+  FROM e WHERE sec >= {AS_OF_SEC - 172_800} AND sec < {AS_OF_SEC}
+),
 exploded AS (
-  SELECT user_id, trim(unnest(string_split({_AREAS_DUCK}, ','))) AS clinical_area
+  SELECT user_id, cur, trim(unnest(string_split({_AREAS_DUCK}, ','))) AS clinical_area
   FROM win
+),
+agg AS (
+  SELECT clinical_area,
+         count(*) FILTER (WHERE cur = 1) AS search_count_24h,
+         count(DISTINCT CASE WHEN cur = 1 THEN user_id END) AS unique_sessions,
+         count(*) FILTER (WHERE cur = 0) AS prev_count
+  FROM exploded WHERE clinical_area <> '' GROUP BY 1
 )
-SELECT clinical_area,
-       count(*) AS search_count_24h,
-       count(DISTINCT user_id) AS unique_sessions,
-       0.0 AS trend_pct,
+SELECT clinical_area, search_count_24h, unique_sessions,
+       CASE WHEN prev_count = 0 THEN 0.0
+            ELSE round((search_count_24h - prev_count) * 100.0 / prev_count, 2)
+       END AS trend_pct,
        '{AS_OF_STR}' AS snapshot_ts
-FROM exploded WHERE clinical_area <> '' GROUP BY 1
+FROM agg WHERE search_count_24h > 0
 """,
     tags=("mart", "reference", "hot"),
 )

@@ -500,10 +500,31 @@ def cosine_topk_vectorized(
 
 @register(
     "q_cosine_topk_vectorized",
-    tags=("similarity", "northstar", "pandas-udf", "rows-only"),
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         {_duck_dot('n.v', 'q.qv')} / (n.norm * q.qnorm) AS raw_score
+  FROM n, q WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY raw_score DESC, neighbor_id ASC) AS rank
+FROM scored QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "pandas-udf"),
 )
 def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_vectorized(read_table(spark, sf_dir, "embeddings"))
+    """BLAS-scored top-k, oracled on the (query, neighbor, rank) relation:
+    numpy's pairwise-summed floats can differ from the sequential fold in
+    the last bits, so the float score stays out of the hash — but the
+    neighbor SETS and ranks must (and do) agree exactly with the
+    sequential-fold oracle; full score equality vs the exact path is
+    additionally asserted in tests/test_vectorized.py."""
+    return cosine_topk_vectorized(read_table(spark, sf_dir, "embeddings")).drop("score")
 
 
 # ---------------------------------------------------------------------------

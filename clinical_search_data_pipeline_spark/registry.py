@@ -45,7 +45,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def _load_modules() -> None:
-    # Imported for their registration side effects.
+    # Imported for their registration side effects. ORDER MATTERS to the
+    # round driver: it checks queries in registration order under a time
+    # budget, so the modules whose queries went unchecked in round 1
+    # (stream_queries, textanalysis, splits, api — CORRECTNESS_r01 stopped
+    # at entry 50) register FIRST; the round-1-green modules follow.
+    from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
+        stream_queries,
+    )
+    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        splits,
+        textanalysis,
+    )
+    from clinical_search_data_pipeline_spark import api  # noqa: F401
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         components,
         dedup,
@@ -59,12 +71,6 @@ def _load_modules() -> None:
         similarity,
         sketches,
         skew,
-        splits,
-        textanalysis,
-    )
-    from clinical_search_data_pipeline_spark import api  # noqa: F401
-    from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
-        stream_queries,
     )
 
 

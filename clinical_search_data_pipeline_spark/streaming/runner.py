@@ -24,23 +24,40 @@ def run_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 300,
     query_name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> str:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table; returns the table name. Test/fixture-scale sink only —
-    results are collected on the driver."""
+    results are collected on the driver.
+
+    ``shuffle_partitions`` sizes the stateful-operator partition count for
+    THIS query (the state-store count is fixed by the conf at first start
+    and recorded in the fresh checkpoint). Bounded fixture replays carry a
+    per-partition state-store setup cost that dwarfs the data, so callers
+    pass a small value; production continuous jobs leave it None and inherit
+    the cluster-sized session conf."""
+    spark = df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 

@@ -87,7 +87,7 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir),
         keys=["user_id", "event_type", "event_date"],
     ).select("user_id", "event_type", "event_date")
-    table = run_to_memory(deduped, output_mode="append")
+    table = run_to_memory(deduped, output_mode="append", shuffle_partitions=8)
     return spark.table(table)
 
 
@@ -112,7 +112,7 @@ def q_stream_traffic_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_count",
         )
     )
-    table = run_to_memory(agg, output_mode="complete")
+    table = run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
     return spark.table(table)
 
 
@@ -150,7 +150,7 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("severity"),
         )
     )
-    table = run_to_memory(agg, output_mode="complete")
+    table = run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
     return spark.table(table)
 
 
@@ -177,7 +177,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the join has an event-time range bound, so state for each side is
     evicted once the other side's watermark passes — the bounded-state
     formulation of the attribution join (absent from the reference, which
-    has no streaming joins at all)."""
+    has no streaming joins at all).
+
+    The attribution contract is WHOLE-SECOND granularity (p_sec within
+    [c_sec, c_sec+300]) — the exact predicate is on epoch seconds on BOTH
+    engines (sub-second parts must not decide boundary pairs). The
+    event-time range condition is a strict SUPERSET of the seconds predicate
+    ([-1 s, +301 s]); it exists for Spark's watermark-based state eviction,
+    while the seconds predicate decides membership."""
     s = events_stream(spark, sf_dir)
     clicks = (
         s.filter("event_type = 'click'")
@@ -185,6 +192,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("click_id"),
             F.col("event_ts").alias("click_ts"),
+            F.col("ts_sec").alias("click_sec"),
         )
         .withWatermark("click_ts", "10 minutes")
     )
@@ -194,23 +202,26 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
             F.col("event_ts").alias("purchase_ts"),
+            F.col("ts_sec").alias("purchase_sec"),
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
     joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        # state-eviction range on the watermarked event-time columns
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 SECOND"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 301 SECONDS"))
+        # exact whole-second attribution predicate (the contract)
+        & (F.col("purchase_sec") >= F.col("click_sec"))
+        & (F.col("purchase_sec") <= F.col("click_sec") + 300),
     ).select(
         "user_id",
         "click_id",
         "purchase_id",
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
-        ).alias("lag_sec"),
+        (F.col("purchase_sec") - F.col("click_sec")).alias("lag_sec"),
     )
-    table = run_to_memory(joined, output_mode="append")
+    table = run_to_memory(joined, output_mode="append", shuffle_partitions=8)
     return spark.table(table)
 
 
@@ -243,7 +254,7 @@ def q_stream_enriched_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "region")
         .agg(F.count("*").alias("event_count"))
     )
-    table = run_to_memory(agg, output_mode="complete")
+    table = run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
     return spark.table(table)
 
 
@@ -263,7 +274,7 @@ def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_search_data_pipeline_spark.streaming.stateful import running_counts
 
     stream = events_stream(spark, sf_dir).select("user_id")
-    table = run_to_memory(running_counts(stream), output_mode="update")
+    table = run_to_memory(running_counts(stream), output_mode="update", shuffle_partitions=8)
     return (
         spark.table(table)
         .groupBy("user_id")

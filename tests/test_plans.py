@@ -88,3 +88,34 @@ def test_topk_plans_take_ordered(spark):
     """orderBy().limit() must fuse to TakeOrderedAndProject (O2), never a
     global sort."""
     pl.assert_in_plan(build(spark, "q_top_revenue_orders"), "TakeOrderedAndProject")
+
+
+# Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: the nested
+# side is a bounded broadcast relation (a fixed query set, K centroids, a
+# 1-row global aggregate), so the "loop" is O(n * small-constant) — not an
+# all-pairs product. CartesianProduct (shuffle all-pairs) is never allowed.
+BOUNDED_BROADCAST_NLJ_OK = {
+    "q_cosine_topk",            # broadcast fixed query set
+    "q_cosine_topk_vectorized", # broadcast fixed query set
+    "q_ann_ivf_topk",           # broadcast K centroids (assignment argmax)
+    "q_tfidf_top_terms",        # broadcast 1-row corpus size N
+    "q_time_remap",             # broadcast 1-row global min/max bounds
+}
+
+
+def test_registry_wide_no_cartesian(spark):
+    """EVERY registered batch query must plan without a CartesianProduct,
+    and without a BroadcastNestedLoopJoin unless its nested side is a
+    bounded broadcast (allowlist above). Streaming queries are excluded:
+    building them executes the stream and their returned relation is a
+    memory-sink scan, so there is no logical plan to inspect."""
+    bad = []
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("q_stream_"):
+            continue
+        plan = pl.physical_plan(spec.builder(spark, SF_SMOKE), "simple")
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in BOUNDED_BROADCAST_NLJ_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, f"quadratic join plans: {bad}"
