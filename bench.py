@@ -38,9 +38,10 @@ def main() -> None:
     tail = os.path.basename(sf_dir.rstrip("/"))
     sf = float(tail[2:]) if tail.startswith("sf") else -1.0
 
-    # Warm-up: JVM codegen, Arrow, and the Python worker pool each cost
-    # seconds on first touch; pay them before the timed loop so query times
-    # measure the queries.
+    # Warm-up: JVM codegen, Arrow, the Python worker pool, per-table file
+    # indexes and the vectorized parquet reader each cost seconds on FIRST
+    # touch; pay them before the timed loop so query times measure the
+    # queries, not whichever query happens to run first per table.
     import pandas as _pd  # noqa: F401
 
     warm = spark.range(1000).selectExpr(
@@ -49,14 +50,36 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema=warm.schema).write.format("noop").mode(
         "overwrite"
     ).save()
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    for t in ("events", "documents", "embeddings", "lineitem", "orders",
+              "customer", "part", "supplier", "nation", "region"):
+        try:
+            read_table(spark, sf_dir, t).limit(512).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    # higher-order-function eval path over a real array column
+    try:
+        read_table(spark, sf_dir, "embeddings").limit(64).selectExpr(
+            "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            "transform(embedding, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     specs = all_specs()
     names = only or sorted(specs)
     timings: dict[str, float] = {}
+    from clinical_search_data_pipeline_spark.caching import release_caches
+
     for name in names:
         t0 = time.perf_counter()
         df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        release_caches()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

@@ -51,36 +51,55 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     both = both.localCheckpoint()
-    labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("neighbor_component"))
+    # Size the ITERATION to the GRAPH, not to the corpus that produced it:
+    # the near-dup edge relation is orders of magnitude smaller than its
+    # source, and label propagation pays per-partition task overhead times
+    # per-round scans times iterations. The first localCheckpoint pins the
+    # (possibly very wide) upstream partitioning, so after the cheap count
+    # the edges are RE-materialized at ~200k edges/partition (floor 4), and
+    # the shuffle conf is pinned to the same width for the loop (restored
+    # after — the loop is fully eager, nothing lazy escapes it).
+    spark = edges.sparkSession
+    n_edges = both.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    target = max(4, min(int(prev_parts or 200), n_edges // 200_000 + 4))
+    if both.rdd.getNumPartitions() > 2 * target:
+        both = both.repartition(target).localCheckpoint()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        labels = (
+            both.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint()
         )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("neighbor_component", "component"),
-                ).alias("component"),
-                (
-                    F.coalesce("neighbor_component", "component")
-                    < F.col("component")
-                ).alias("_changed"),
+        for _ in range(max_iter):
+            neighbor_min = (
+                both.join(labels, both["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("neighbor_component"))
             )
-        ).localCheckpoint()  # eager: cuts lineage AND materializes the round
-        changed = updated.filter("_changed").limit(1).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
-            return labels
+            updated = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("neighbor_component", "component"),
+                    ).alias("component"),
+                    (
+                        F.coalesce("neighbor_component", "component")
+                        < F.col("component")
+                    ).alias("_changed"),
+                )
+            ).localCheckpoint()  # eager: cuts lineage AND materializes the round
+            changed = updated.filter("_changed").limit(1).count()
+            labels = updated.drop("_changed")
+            if changed == 0:
+                return labels
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise RuntimeError(f"components did not converge in {max_iter} iterations")
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_search_data_pipeline_spark.caching import engine_cache
 from clinical_search_data_pipeline_spark.functions import textfns
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.registry import register
@@ -116,12 +117,12 @@ def jaccard_pairs(
     enter the join — the 100 TB skew hazard is removed, not mitigated.
     Candidates are then exact-verified on the full shingle sets.
 
-    The shingle relation feeds four branches; `localCheckpoint` materializes
-    it once and (unlike `cache()`) its blocks are freed by the
-    ContextCleaner when the result is GC'd, so registry-wide runs don't
-    accumulate pinned plans. At 100 TB stage it to parquet instead.
+    The shingle relation feeds four branches; `engine_cache` materializes it
+    once, and harness loops release it per-query via `caching.release_caches`
+    so registry-wide runs don't accumulate pinned plans. At 100 TB stage it
+    to parquet instead.
     """
-    sh = shingle_relation(docs, k).localCheckpoint(eager=False)
+    sh = engine_cache(shingle_relation(docs, k))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w_pos = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     w_doc = Window.partitionBy("doc_id")
@@ -176,7 +177,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # ONE materialized shingle relation feeds signatures AND all three
     # verification branches (was: two separate .cache()s of the same plan).
-    sh = shingle_relation(docs, k).localCheckpoint(eager=False)
+    sh = engine_cache(shingle_relation(docs, k))
     mins = [
         F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)

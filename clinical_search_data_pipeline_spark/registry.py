@@ -54,6 +54,7 @@ def _load_modules() -> None:
         stream_queries,
     )
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        pipeline,
         splits,
         textanalysis,
     )

@@ -225,6 +225,76 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "q_stream_session_window",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, {duck_epoch_sec('ts')} AS ts_sec FROM events
+),
+flagged AS (
+  SELECT user_id, ts_sec,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w <= {SESSION_GAP_SEC} THEN 0 ELSE 1 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)
+),
+idx AS (
+  SELECT user_id, ts_sec,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS si
+  FROM flagged
+),
+sess AS (
+  SELECT user_id,
+         min(ts_sec) AS start_sec,
+         max(ts_sec) + {SESSION_GAP_SEC} AS end_sec,
+         count(*) AS n_events
+  FROM idx GROUP BY user_id, si
+),
+wm AS (SELECT max({duck_epoch_sec('ts')}) AS mx FROM events)
+SELECT s.user_id,
+       {duck_sec_to_ts_string('s.start_sec')} AS session_start,
+       {duck_sec_to_ts_string('s.end_sec')} AS session_end,
+       s.n_events
+FROM sess s, wm WHERE s.end_sec <= wm.mx
+""",
+    tags=("streaming", "sessionize", "northstar"),
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (T10 streaming form): Spark's
+    `session_window` merges an event's [ts, ts+gap) window with any
+    TOUCHING-or-overlapping neighbor (gap of exactly `gap` sec still merges
+    — note the INCLUSIVE `<= gap` in the oracle, unlike the batch
+    `q_sessionize` islands formulation whose break is `> gap`); append mode
+    emits a session once the watermark passes its end (last event + gap), so
+    sessions still open at stream end are correctly withheld — the oracle
+    applies the same watermark cut (end_sec <= max event time, 0s delay).
+    State is per (user, open-session) and evicted on emission — bounded by
+    active users, the production-correct formulation. The
+    applyInPandasWithState twin (custom eviction logic) lives in
+    streaming/stateful.py."""
+    s = events_stream(spark, sf_dir).withColumn(
+        "sec_ts", F.timestamp_seconds(F.col("ts_sec"))
+    )
+    agg = (
+        s.withWatermark("sec_ts", "0 seconds")
+        .groupBy(
+            "user_id",
+            F.session_window("sec_ts", f"{SESSION_GAP_SEC} seconds").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    table = run_to_memory(agg, output_mode="append", shuffle_partitions=8)
+    return spark.table(table)
+
+
 @register(
     "q_stream_enriched_traffic",
     oracle="""

@@ -81,14 +81,18 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
 
 def check_query(spark, sf_dir: str, name: str) -> list[str]:
     """Run query `name` on Spark and DuckDB; return mismatch list."""
+    from clinical_search_data_pipeline_spark.caching import release_caches
     from clinical_search_data_pipeline_spark.registry import all_specs
 
     spec = all_specs()[name]
-    if spec.oracle is None:
-        sdf = spec.builder(spark, sf_dir)
-        n = sdf.count()
-        return [] if n >= 0 else [f"{name}: rows-only check failed"]
-    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    try:
+        if spec.oracle is None:
+            sdf = spec.builder(spark, sf_dir)
+            n = sdf.count()
+            return [] if n >= 0 else [f"{name}: rows-only check failed"]
+        spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    finally:
+        release_caches()
     con = duck_connection(sf_dir)
     try:
         duck_pdf = con.sql(spec.oracle).df()
