@@ -639,6 +639,100 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+IVF_NPROBE = 2
+
+
+def ann_ivf_multiprobe_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF with nprobe>1: each query searches its `nprobe` best cells (by
+    centroid cosine), not just the argmax cell — the standard recall knob.
+    Plan shape is unchanged: probes explode on the SMALL (query) side only
+    (nprobe rows per query in the broadcast), the big side is still scanned
+    once and equi-joined on cell; no duplicate candidates since every vector
+    belongs to exactly one cell."""
+    assigned = ivf_assignments(emb)
+    base = vectors_with_norms(emb)
+    cents = base.filter(
+        (F.col("vec_id") >= CENTROID_BASE)
+        & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - CENTROID_BASE).alias("pcell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cscore").desc(), F.col("pcell").asc()
+    )
+    probes = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cscore", F.expr(_spark_dot("qv", "cv")) / (F.col("qnorm") * F.col("cnorm"))
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qnorm", F.col("pcell").alias("qcell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("score", F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_ann_ivf_multiprobe",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+cents AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, v, norm, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents
+),
+cells AS (SELECT vec_id, v, norm, cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell AS qcell
+  FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_duck_dot('c.v', 'p.qv')} / (c.norm * p.qnorm) AS raw
+  FROM cells c JOIN probes p ON c.cell = p.qcell AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id ASC) AS rank,
+       round(raw, 4) AS score
+FROM cand QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "ivf", "multiprobe"),
+)
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_multiprobe_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Multi-probe LSH: probe the query's bucket plus all 1-bit-flip neighbors
 # ---------------------------------------------------------------------------

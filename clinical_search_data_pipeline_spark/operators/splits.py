@@ -256,3 +256,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         read_table(spark, sf_dir, "documents"), "lang", "doc_id"
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-then-chunk token budgeting
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 4096
+
+
+def sequence_pack(
+    docs: DataFrame, budget: int = PACK_BUDGET_TOKENS, group_col: str = "source"
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing — the layout step an LLM
+    training pipeline runs before tokenized shards are written: documents
+    are laid end-to-end in a deterministic order and the token stream is cut
+    every `budget` tokens; each doc records the chunk range it spans.
+
+    Packing is PER GROUP (`group_col`, default source): the running token
+    sum is a window partitioned by group and ordered by doc_id, so the
+    shuffle key is the group — never a single global ordering (the W2
+    unpartitioned-window hazard). At 100 TB the groups are shard keys and
+    each group's stream packs independently; chunk ids are (group, chunk)
+    pairs.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id",
+        group_col,
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.withColumn("_cum", cum).select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("start_pos"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget).alias("chunk_start"),
+        F.floor((F.col("_cum") - 1) / budget).alias("chunk_end"),
+    )
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cum - n_tokens AS start_pos,
+       (cum - n_tokens) // {PACK_BUDGET_TOKENS} AS chunk_start,
+       (cum - 1) // {PACK_BUDGET_TOKENS} AS chunk_end
+FROM c
+""",
+    tags=("pipeline", "packing", "northstar"),
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-stream packing at a {PACK_BUDGET_TOKENS}-token chunk
+    budget (whitespace token count as the stand-in tokenizer)."""
+    return sequence_pack(read_table(spark, sf_dir, "documents"))

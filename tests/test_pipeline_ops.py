@@ -1,0 +1,100 @@
+"""Invariant tests for the pipeline compositions and approximate operators
+(complementing their oracles with cross-operator properties the driver's
+per-query check cannot see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.caching import release_caches
+from clinical_search_data_pipeline_spark.operators.dedup import jaccard_pairs
+from clinical_search_data_pipeline_spark.operators.pipeline import corpus_filter
+from clinical_search_data_pipeline_spark.operators.similarity import (
+    ann_ivf_multiprobe_topk,
+    ann_ivf_topk,
+    embedding_neardup_lsh,
+    embedding_neardup_pairs,
+)
+from clinical_search_data_pipeline_spark.operators.splits import sequence_pack
+from clinical_search_data_pipeline_spark.registry import all_specs
+from clinical_search_data_pipeline_spark.sources.readers import read_table
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+
+def test_lsh_neardup_is_subset_of_exact(spark):
+    """Candidates are exact-rescored, so every LSH pair must also be an
+    exact pair (identical threshold) — LSH only loses recall, never adds
+    false positives."""
+    emb = read_table(spark, SF_CORRECTNESS, "embeddings")
+    exact = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(emb).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_neardup_lsh(emb).collect()}
+    assert lsh <= exact
+    release_caches()
+
+
+def test_ivf_multiprobe_recall_not_worse(spark):
+    """nprobe=2 must retrieve, per query, a superset of the candidate set —
+    so summed retrieved-neighbor cosine (recall proxy) can only improve."""
+    emb = read_table(spark, SF_CORRECTNESS, "embeddings")
+    one = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb).collect()}
+    two = {(r.query_id, r.neighbor_id) for r in ann_ivf_multiprobe_topk(emb).collect()}
+    # top-k per query from a superset of candidates: at least as many rows,
+    # and every query present in nprobe=1 is present in nprobe=2
+    assert {q for q, _ in one} <= {q for q, _ in two}
+    assert len(two) >= len(one)
+    release_caches()
+
+
+def test_doc_dedup_apply_drops_exactly_nonsurvivors(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
+    n_members = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    kept = all_specs()["q_doc_dedup_apply"].builder(spark, SF_SMOKE)
+    rows = kept.collect()
+    # every doc_id appears at most once; statuses are only the two allowed
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert {r.status for r in rows} <= {"unique", "dup_survivor"}
+    n_survivors = sum(1 for r in rows if r.status == "dup_survivor")
+    # kept = all docs - cluster members + one survivor per cluster
+    assert len(rows) == n_docs - n_members + n_survivors
+    release_caches()
+
+
+def test_corpus_filter_reasons_consistent(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    rows = corpus_filter(docs).collect()
+    assert rows
+    for r in rows:
+        if r.reason == "too_short":
+            assert r.n_tokens < 20
+        elif r.reason == "low_quality":
+            assert r.n_tokens >= 20 and r.quality_score < 0.7
+        elif r.reason == "repetitive_bigrams":
+            assert r.quality_score >= 0.7 and r.dup_bigram_frac > 0.08
+        else:
+            assert r.reason == "keep" and r.keep
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+
+def test_sequence_pack_is_contiguous_per_group(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    rows = sequence_pack(docs).collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    for grp in by_group.values():
+        grp.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in grp:
+            assert r.start_pos == pos, "token stream must be gap-free"
+            assert r.chunk_start == pos // 4096
+            assert r.chunk_end == (pos + r.n_tokens - 1) // 4096
+            assert r.chunk_start <= r.chunk_end
+            pos += r.n_tokens

@@ -98,6 +98,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_cosine_topk",            # broadcast fixed query set
     "q_cosine_topk_vectorized", # broadcast fixed query set
     "q_ann_ivf_topk",           # broadcast K centroids (assignment argmax)
+    "q_ann_ivf_multiprobe",     # broadcast K centroids (probe ranking)
     "q_tfidf_top_terms",        # broadcast 1-row corpus size N
     "q_time_remap",             # broadcast 1-row global min/max bounds
 }
