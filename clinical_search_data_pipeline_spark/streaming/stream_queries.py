@@ -31,6 +31,7 @@ from clinical_search_data_pipeline_spark.functions.timeops import (
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.schemas import EVENTS_SCHEMA
 from clinical_search_data_pipeline_spark.session import apply_runtime_confs
+from clinical_search_data_pipeline_spark.sources.readers import load_events
 from clinical_search_data_pipeline_spark.streaming.dedup import watermark_dedup
 from clinical_search_data_pipeline_spark.streaming.runner import run_to_memory
 
@@ -223,6 +224,93 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = run_to_memory(joined, output_mode="append", shuffle_partitions=8)
     return spark.table(table)
+
+
+@register(
+    "q_stream_stream_left_outer",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {duck_epoch_sec('ts')} AS sec FROM events
+),
+bounds AS (
+  SELECT least(max(sec) FILTER (WHERE event_type = 'click'),
+               max(sec) FILTER (WHERE event_type = 'purchase')) AS wm_sec
+  FROM e
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.sec - c.sec AS lag_sec
+FROM e c
+LEFT JOIN e p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.sec >= c.sec AND p.sec <= c.sec + 300
+CROSS JOIN bounds
+WHERE c.event_type = 'click' AND c.sec <= bounds.wm_sec - 302
+""",
+    tags=("streaming", "join", "outer", "northstar"),
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its attributed
+    purchases or a null row if none arrived in the window. Unlike the inner
+    join, null-extended rows can only be emitted once the watermark proves
+    no match can still arrive — so the deterministic contract is scoped to
+    clicks at least (window + 2 s) older than the FINAL GLOBAL WATERMARK.
+    Spark's multi-input watermark is the MIN over each input's max event
+    time (spark.sql.streaming.multipleWatermarkPolicy=min), so the bound is
+    least(max click time, max purchase time) on both engines; the margin
+    keeps Spark's microsecond eviction boundary out of the compared set,
+    whatever its exact <=/< semantics.
+    Same whole-second attribution predicate as q_stream_stream_join."""
+    s = events_stream(spark, sf_dir)
+    clicks = (
+        s.filter("event_type = 'click'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("event_ts").alias("click_ts"),
+            F.col("ts_sec").alias("click_sec"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        s.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_ts").alias("purchase_ts"),
+            F.col("ts_sec").alias("purchase_sec"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 SECOND"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 301 SECONDS"))
+        & (F.col("purchase_sec") >= F.col("click_sec"))
+        & (F.col("purchase_sec") <= F.col("click_sec") + 300),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_sec") - F.col("click_sec")).alias("lag_sec"),
+        "click_sec",
+    )
+    table = run_to_memory(joined, output_mode="append", shuffle_partitions=8)
+    # margin-safe deterministic cut applied identically in the oracle
+    mx = (
+        load_events(spark, sf_dir)
+        .agg(F.max("ts_sec").alias("mx"))
+    )
+    return (
+        spark.table(table)
+        .join(F.broadcast(mx))
+        .filter(F.col("click_sec") <= F.col("mx") - 302)
+        .drop("click_sec", "mx")
+    )
 
 
 SESSION_GAP_SEC = 1800
