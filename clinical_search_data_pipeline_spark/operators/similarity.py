@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_search_data_pipeline_spark.caching import engine_cache
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
@@ -199,7 +200,18 @@ def banded_lsh_keys(
     via a single `transform`, bands exploded with `inline` — all JVM-side."""
     base = vectors_with_norms(emb)
     planes = plane_weights(bands * bits)
-    pl = F.array(*[F.array(*[F.lit(float(w)) for w in ws]) for ws in planes])
+    # ONE parsed SQL literal for the whole plane matrix — building it from
+    # nested F.array(F.lit(...)) costs a py4j round-trip per element (4096
+    # calls ≈ 4 s of driver time); one expr string parses JVM-side in ms.
+    # str(float) is the shortest round-tripping repr, so the parsed doubles
+    # are bit-identical to the Python-side weights the oracle uses.
+    pl = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{w!r}D" for w in ws) + ")" for ws in planes
+        )
+        + ")"
+    )
     dots = (
         "transform(_pl, pw -> aggregate(zip_with(v, pw, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t))"
@@ -236,7 +248,11 @@ def embedding_neardup_lsh(
     (θ≈63°) the curve is intentionally weak — exact semantics at that
     regime is `embedding_neardup_pairs`' job (see its docstring).
     """
-    keyed = banded_lsh_keys(emb, bands, bits)
+    # the (vec, band, bucket) relation feeds both join sides — materialize
+    # the 64-dot banding pass once (released per-query by the harness loops)
+    keyed = engine_cache(
+        banded_lsh_keys(emb, bands, bits).select("vec_id", "band", "bucket")
+    )
     a = keyed.select("band", "bucket", F.col("vec_id").alias("vec_a"))
     b = keyed.select(
         F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
