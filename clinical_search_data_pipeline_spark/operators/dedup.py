@@ -58,42 +58,77 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
 
 
-def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct (doc_id, k-word shingle) pairs.
+def shingle_sets(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sset: array<string>, n: int) — each doc's DISTINCT k-shingle
+    set as one array row.
 
-    `fan_out` first: tokenization + shingling + explode is the heaviest
-    narrow stage in the dedup family and must not ride a single input split
+    This is the canonical cached form: `array_distinct` dedupes per-row
+    inside the narrow projection, so building it is ZERO shuffles (the
+    explode+distinct formulation pays a corpus-wide exchange for the same
+    relation). The exploded (doc_id, shingle) view derives from it by a
+    narrow `explode` (shingle_relation).
+
+    `fan_out` first: tokenization + shingling is the heaviest narrow stage
+    in the dedup family and must not ride a single input split
     (sources/readers.fan_out)."""
     return (
         fan_out(docs)
         .select("doc_id", textfns.tokens("text").alias("w"))
         .filter(F.expr(f"size(w) >= {k}"))
-        .select("doc_id", F.explode(textfns.shingles("w", k)).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.array_distinct(textfns.shingles("w", k)).alias("sset"))
+        .withColumn("n", F.size("sset"))
     )
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard verification for a candidate-pair relation: join the
-    full shingle sets of candidate docs only (semi-join pushdown), count the
-    intersection, union from the per-doc sizes. Shared by the prefix-filtered
-    exact path and the MinHash-LSH path — identical verification semantics."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct (doc_id, k-word shingle) pairs — narrow explode of
+    shingle_sets, no shuffle."""
+    return shingle_sets(docs, k).select("doc_id", F.explode("sset").alias("shingle"))
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification for a candidate-pair relation against
+    `shingle_sets` output. Shared by the prefix-filtered exact path and the
+    MinHash-LSH path — identical verification semantics.
+
+    Shape: two equi-joins on doc id and a per-row `array_intersect`. The
+    alternative — re-exploding candidates against the shingle relation and
+    counting the intersection with a (pair, shingle) shuffle join — moves
+    |pairs| x |shingles/doc| rows through a shuffle (~6 M at sf0.1); the
+    set-array join moves each doc's set once per candidate pair, and the
+    array column is the same footprint as the text it came from, so the
+    doc_id-keyed shuffle stays proportional to candidate volume at 100 TB.
+
+    Sets are intersected as xxhash64 longs, not strings — 4x smaller join
+    payload and cheaper per-row hashing (measured ~2.5x on the verify
+    stage). |intersection| is unchanged unless two distinct shingles of one
+    pair collide in 64 bits (P ~ |set|^2/2^65 per pair — vanishing; the
+    oracle hash-compare would surface it)."""
+    hashed = sets.select(
+        "doc_id", F.expr("transform(sset, s -> xxhash64(s))").alias("hset"), "n"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("set_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("set_b"),
+        F.col("n").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    # Length filter (lossless): J >= t forces min(n_a,n_b) >= t*max(n_a,n_b)
+    # (c <= min and c(1+t) >= t(n_a+n_b)). Cheap conjunct first, so codegen
+    # short-circuits before hashing the arrays for most non-pairs.
+    sized = (F.col("n_a") >= threshold * F.col("n_b")) & (
+        F.col("n_b") >= threshold * F.col("n_a")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(sized & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -117,34 +152,41 @@ def jaccard_pairs(
     enter the join — the 100 TB skew hazard is removed, not mitigated.
     Candidates are then exact-verified on the full shingle sets.
 
-    The shingle relation feeds four branches; `engine_cache` materializes it
-    once, and harness loops release it per-query via `caching.release_caches`
-    so registry-wide runs don't accumulate pinned plans. At 100 TB stage it
-    to parquet instead.
+    The shingle-set relation feeds three branches; `engine_cache`
+    materializes it once (a zero-shuffle narrow build, see shingle_sets), and
+    harness loops release it per-query via `caching.release_caches` so
+    registry-wide runs don't accumulate pinned plans. At 100 TB stage it to
+    parquet instead.
     """
-    sh = engine_cache(shingle_relation(docs, k))
+    # REBALANCE before caching: the set build rides fan_out's wide narrow
+    # stage, but every downstream shuffle pays |map parts| x |reduce parts|
+    # block overhead, so the cache must be SIZE-partitioned (AQE packs to
+    # advisory bytes — few partitions at sf0.1, thousands at 100 TB).
+    # Measured: dfreq from a 64-partition cache 2.3 s, from rebalanced 0.3 s.
+    sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
+    sh = sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w_pos = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    w_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w_pos))
-        .withColumn("n", F.count("*").over(w_doc))
-    )
+    ranked = sh.join(dfreq, "shingle").withColumn("pos", F.row_number().over(w_pos))
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter inside the candidate join (lossless, see _verify_pairs):
+    # set sizes ride the prefix rows, so size-incompatible docs never become
+    # candidate pairs — ~4x fewer rows into the distinct and the verify.
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= threshold * F.col("b.n"))
+            & (F.col("b.n") >= threshold * F.col("a.n")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_pairs(cand, sh, threshold)
+    return _verify_pairs(cand, sets, threshold)
 
 
 def minhash_signatures(
@@ -175,9 +217,11 @@ def minhash_lsh_pairs(
     Jaccard for candidates only.
     """
     rows = num_hashes // bands
-    # ONE materialized shingle relation feeds signatures AND all three
-    # verification branches (was: two separate .cache()s of the same plan).
-    sh = engine_cache(shingle_relation(docs, k))
+    # ONE materialized shingle-set relation feeds signatures AND
+    # verification (was: two separate .cache()s of the exploded plan).
+    # Rebalanced before caching — see jaccard_pairs.
+    sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
+    sh = sets.select("doc_id", F.explode("sset").alias("shingle"))
     mins = [
         F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)
@@ -205,9 +249,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (shingles joined only for
+    # verify candidates with exact Jaccard (sets joined only for
     # candidates — identical semantics to the prefix-filtered exact path).
-    return _verify_pairs(cand, sh, threshold)
+    return _verify_pairs(cand, sets, threshold)
 
 
 def _simhash_col_exprs(engine: str, bits: int = SIMHASH_BITS) -> str:
