@@ -300,10 +300,19 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_sec",
     )
     table = run_to_memory(joined, output_mode="append", shuffle_partitions=8)
-    # margin-safe deterministic cut applied identically in the oracle
+    # Margin-safe deterministic cut, same bound as the oracle: Spark's
+    # multipleWatermarkPolicy=min means the final global watermark is the
+    # MIN over each input's max event time, i.e. least(max click ts,
+    # max purchase ts) — NOT the global max over all events (an unrelated
+    # late event type must not widen the emitted set).
     mx = (
         load_events(spark, sf_dir)
-        .agg(F.max("ts_sec").alias("mx"))
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts_sec"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts_sec"))),
+            ).alias("mx")
+        )
     )
     return (
         spark.table(table)
