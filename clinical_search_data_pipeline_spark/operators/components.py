@@ -98,7 +98,12 @@ def connected_components(
             if changed == 0:
                 return labels
     finally:
-        if prev_parts is not None:
+        # Restore UNCONDITIONALLY: if the conf was unset before the loop,
+        # leaving the graph-sized width set would leak it into every
+        # subsequent query on this (session-global) conf.
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise RuntimeError(f"components did not converge in {max_iter} iterations")
 

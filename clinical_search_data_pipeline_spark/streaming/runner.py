@@ -56,8 +56,13 @@ def run_to_memory(
             q.stop()
             raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
     finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # Unconditional restore: when the conf was unset before the override,
+        # unset it again rather than leaking the query-local width.
+        if shuffle_partitions is not None:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
