@@ -84,14 +84,29 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Environment fingerprint (VERDICT r03 #7): the round-3 regression was an
+    # env change (PySpark minor + parquet logical type) that was only
+    # inferable from stack traces. Stamp both into every bench artifact so
+    # the next drift is visible in the record itself.
+    import pyarrow.parquet as _pq
+    import pyspark as _ps
+
+    env = {
+        "pyspark": _ps.__version__,
+        "events_ts_type": str(_pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type),
+    }
     payload = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": env,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w") as fh:
+    # A subset run (explicit query args) must never clobber the durable
+    # full-suite record (VERDICT r03 #4): it lands in its own file.
+    out_name = "bench_results.json" if not only else "bench_results_subset.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as fh:
         json.dump(payload, fh, indent=2, sort_keys=True)
     compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
     sys.stdout.flush()

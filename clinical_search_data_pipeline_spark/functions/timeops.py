@@ -4,10 +4,12 @@ Why not `date_trunc`/`hour` on timestamps (as the reference does —
 etl_to_analytics_mart.py:122, streaming_to_analytics_mart_realtime.py:196)?
 Two reasons:
 
-1. The fixture ``events.ts`` is nanosecond-precision parquet, which Spark can
-   only hold at µs. We read it as a raw long (``nanosAsLong``) and derive
-   everything by integer division — bit-identical with any engine that keeps
-   the full ns value (the DuckDB oracle does).
+1. The physical type of ``events.ts`` is an environment detail (epoch-ns
+   long under legacy ``nanosAsLong`` readers, TIMESTAMP(MICROS) →
+   TIMESTAMP_NTZ under PySpark 4.x). ``to_epoch_ns`` normalizes every
+   supported physical type to one canonical epoch-ns long at the read
+   boundary; everything downstream is integer division — bit-identical with
+   any engine that keeps the full value (the DuckDB oracle does).
 2. Integer arithmetic is timezone-independent, so correctness does not hinge
    on ``spark.sql.session.timeZone`` of a session we may not have built.
 
@@ -21,13 +23,47 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, LongType, TimestampNTZType, TimestampType
 
 NS_PER_SEC = 1_000_000_000
 SECS_PER_DAY = 86_400
 SECS_PER_HOUR = 3_600
 
+
+def to_epoch_ns(dtype: DataType, ts: str = "ts") -> Column:
+    """Normalize an event-time column of any supported physical type to the
+    engine's canonical representation: epoch nanoseconds, LongType.
+
+    * ``LongType`` — already epoch-ns (legacy ``nanosAsLong`` parquet readers,
+      or a lake re-read of our own normalized output). Passed through.
+    * ``TimestampNTZType`` — the current fixtures: parquet
+      TIMESTAMP(MICROS, isAdjustedToUTC=false), whose wall-clock IS UTC.
+      Derived via ``timestampdiff`` against the NTZ epoch literal — pure
+      local-datetime arithmetic, **independent of the session timezone**
+      (``cast``/``to_utc_timestamp`` are not; verified against a
+      non-UTC session).
+    * ``TimestampType`` — instant semantics; ``unix_micros`` is exact and
+      tz-free by definition.
+
+    Max epoch-ns for year 2100 is ~4.1e18 < Long.MAX (9.2e18): no overflow.
+    """
+    if isinstance(dtype, LongType):
+        return F.col(ts)
+    if isinstance(dtype, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts}) * 1000"
+        )
+    if isinstance(dtype, TimestampType):
+        return F.expr(f"unix_micros({ts}) * 1000")
+    raise TypeError(
+        f"events.{ts} has unsupported physical type {dtype.simpleString()!r}; "
+        "expected LongType (epoch-ns), TIMESTAMP_NTZ, or TIMESTAMP"
+    )
+
+
 # ---------------------------------------------------------------------------
-# Spark side (input: epoch-nanoseconds LongType column name)
+# Spark side (input: epoch-nanoseconds LongType column name — the canonical
+# form produced by `to_epoch_ns` at the read boundary)
 # ---------------------------------------------------------------------------
 
 

@@ -23,11 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clinical_search_data_pipeline_spark.operators.similarity import (
+# Oracle fragments come from the non-registering fragments module; the
+# similarity *builder* is imported lazily inside `neardup_clusters` so this
+# module can register in the driver window without dragging similarity's 9
+# registrations in front of it (registry.py ordering contract).
+from clinical_search_data_pipeline_spark.operators.fragments import (
     _DUCK_BASE_CTE,
     _duck_dot,
     NEARDUP_THRESHOLD,
-    embedding_neardup_pairs,
 )
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import read_table
@@ -111,6 +114,10 @@ def connected_components(
 def neardup_clusters(emb: DataFrame, threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
     """Cluster assignment for every vector participating in a near-dup pair:
     (node, component, is_survivor) — survivor = the component's min id."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
     pairs = embedding_neardup_pairs(emb, threshold).select("vec_a", "vec_b")
     comp = connected_components(pairs)
     return comp.select(

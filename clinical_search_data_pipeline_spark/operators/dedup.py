@@ -36,12 +36,18 @@ from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, h
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
-SHINGLE_K = 3
-NUM_HASHES = 8
-BANDS = 4
-ROWS_PER_BAND = NUM_HASHES // BANDS
-JACCARD_THRESHOLD = 0.8
-SIMHASH_BITS = 16
+# Constants and the shingle oracle CTE live in operators/fragments.py (a
+# non-registering module) so that `pipeline` can use them without importing
+# this module's 5 registrations into the driver window.
+from clinical_search_data_pipeline_spark.operators.fragments import (  # noqa: F401
+    BANDS,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    _DUCK_SHINGLES_CTE,
+)
 
 # ---------------------------------------------------------------------------
 # Builders
@@ -297,14 +303,6 @@ def simhash_buckets(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Oracle SQL (generated from the same constants)
 # ---------------------------------------------------------------------------
-
-_DUCK_SHINGLES_CTE = f"""
-tok AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest({textfns.duck_shingles('w', SHINGLE_K)}) AS shingle
-  FROM tok WHERE len(w) >= {SHINGLE_K}
-)"""
 
 _DUCK_JACCARD_TAIL = f"""
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)

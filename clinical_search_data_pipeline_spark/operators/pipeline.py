@@ -25,10 +25,14 @@ from clinical_search_data_pipeline_spark.functions import textfns
 from clinical_search_data_pipeline_spark.operators.components import (
     connected_components,
 )
-from clinical_search_data_pipeline_spark.operators.dedup import (
+
+# Oracle fragments come from the non-registering fragments module; the dedup
+# *builder* is imported lazily inside `q_doc_dedup_apply` so this module can
+# register in the driver window without dragging dedup's 5 registrations in
+# front of it (registry.py ordering contract).
+from clinical_search_data_pipeline_spark.operators.fragments import (
     _DUCK_SHINGLES_CTE,
     JACCARD_THRESHOLD,
-    jaccard_pairs,
 )
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import read_table
@@ -166,6 +170,8 @@ def q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep one survivor (min doc_id) per cluster plus all
     untouched docs. The corpus a downstream tokenizer would actually
     consume."""
+    from clinical_search_data_pipeline_spark.operators.dedup import jaccard_pairs
+
     docs = read_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")

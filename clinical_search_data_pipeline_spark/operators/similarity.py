@@ -31,11 +31,21 @@ from clinical_search_data_pipeline_spark.caching import engine_cache
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
-DIM = 64
-N_PLANES = 8
-N_QUERIES = 8
-TOP_K = 5
-NEARDUP_THRESHOLD = 0.45  # fixture max pairwise cosine ~0.5
+# Constants and oracle fragments live in operators/fragments.py (a
+# non-registering module) so that `components` can use them without
+# importing this module's 9 registrations into the driver window.
+from clinical_search_data_pipeline_spark.operators.fragments import (  # noqa: F401
+    DIM,
+    N_PLANES,
+    N_QUERIES,
+    NEARDUP_THRESHOLD,
+    TOP_K,
+    _DUCK_BASE_CTE,
+    _DUCK_V,
+    _SPARK_V,
+    _duck_dot,
+    _spark_dot,
+)
 
 
 def _plane_weight(plane: int, dim: int) -> float:
@@ -47,29 +57,6 @@ def _plane_weight(plane: int, dim: int) -> float:
 
 def plane_weights(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return [[_plane_weight(p, d) for d in range(dim)] for p in range(n_planes)]
-
-
-# --- shared expression fragments (Spark SQL | DuckDB SQL) -------------------
-
-
-def _spark_dot(a: str, b: str) -> str:
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
-def _duck_dot(a: str, b: str) -> str:
-    # operands parenthesized so literal-array arguments (`[..]::DOUBLE[]`)
-    # parse when indexed
-    return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), i -> ({a})[i] * ({b})[i]), "
-        f"(acc, v) -> acc + v)"
-    )
-
-
-_SPARK_V = "transform(embedding, x -> CAST(x AS DOUBLE))"
-_DUCK_V = "embedding::DOUBLE[]"
 
 
 def vectors_with_norms(emb: DataFrame) -> DataFrame:
@@ -84,15 +71,6 @@ def vectors_with_norms(emb: DataFrame) -> DataFrame:
         "label",
         F.expr(_SPARK_V).alias("v"),
     ).withColumn("norm", F.expr(f"sqrt({_spark_dot('v', 'v')})"))
-
-
-_DUCK_BASE_CTE = f"""
-base AS (
-  SELECT vec_id, label, {_DUCK_V} AS v FROM embeddings
-),
-n AS (
-  SELECT vec_id, label, v, sqrt({_duck_dot('v', 'v')}) AS norm FROM base
-)"""
 
 
 def cosine_topk(

@@ -138,6 +138,42 @@ def value_stats(events: DataFrame) -> DataFrame:
 _DW = textfns.duck_tokens("text")
 
 
+# The two events-based queries register FIRST within this module: they were
+# the module's only r03 failures (ts regression), and the driver checks
+# queries in registration order under a ~50-slot budget (registry.py).
+@register(
+    "q_props_extract",
+    oracle="""
+WITH k AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM k GROUP BY event_type
+""",
+    tags=("text", "json"),
+)
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return props_extract(load_events(spark, sf_dir))
+
+
+@register(
+    "q_value_stats",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_stats(load_events(spark, sf_dir))
+
+
 @register(
     "q_token_stats",
     oracle=f"""
@@ -238,39 +274,6 @@ FROM s
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(read_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q_props_extract",
-    oracle="""
-WITH k AS (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
-)
-SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
-       min(k) AS min_k, max(k) AS max_k
-FROM k GROUP BY event_type
-""",
-    tags=("text", "json"),
-)
-def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return props_extract(load_events(spark, sf_dir))
-
-
-@register(
-    "q_value_stats",
-    oracle="""
-SELECT event_type, count(*) AS n,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value
-FROM events GROUP BY event_type
-""",
-    tags=("agg",),
-)
-def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return value_stats(load_events(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

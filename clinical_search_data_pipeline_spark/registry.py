@@ -51,21 +51,24 @@ def _load_modules() -> None:
     # round register FIRST, followed by modules whose builders/oracles
     # changed this round (a changed query must land a fresh driver row).
     #
-    # Round-3 order: the 31 CORRECTNESS_r02-unchecked queries live in
-    # marts/multimodal/quality/rangejoin/relational/sessionize/sketches/skew
-    # (36 entries incl. 5 re-checks); then stream_queries (left-outer bound
-    # fix), pipeline (dedup_apply perf rework) and components (cluster algo
-    # option) — 47 entries, inside the budget. Round-2-green unchanged
-    # modules follow.
+    # Round-4 order (VERDICT r03 "Next round" #3): everything the ts
+    # regression broke or that changed without a green row goes first —
+    # marts(14) quality(2) rangejoin(1) sessionize(1) sketches(2) skew(1)
+    # ingest(3) = slots 0-23; stream_queries(8, events_stream rewritten this
+    # round) 24-31; components(1) + pipeline(2) (r3-changed, never verified)
+    # 32-34; relational(10, incl. the broken asof at 44) 35-44; textanalysis
+    # 45+ with its two events-based queries (q_props_extract, q_value_stats —
+    # FAIL r3) registered first within the module. Multimodal/similarity
+    # (green r03) and dedup/splits/api (green r02 + local pytest) follow
+    # outside the window.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         marts,
-        multimodal,
         quality,
         rangejoin,
-        relational,
         sessionize,
         sketches,
         skew,
+        ingest,
     )
     from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
         stream_queries,
@@ -73,14 +76,15 @@ def _load_modules() -> None:
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         components,
         pipeline,
+        relational,
+        textanalysis,
     )
     from clinical_search_data_pipeline_spark import api  # noqa: F401
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
-        ingest,
+        multimodal,
         similarity,
         splits,
-        textanalysis,
     )
 
 

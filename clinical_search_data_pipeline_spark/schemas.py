@@ -54,13 +54,21 @@ ARCHIVE_METADATA_COLUMNS = (
 )
 
 # ---------------------------------------------------------------------------
-# Fixture tables (/root/testdata/sf*/, see FIXTURES.md §2). `events.ts` is
-# parquet TIMESTAMP(NANOS): with `nanosAsLong` it arrives as LongType.
+# Fixture tables (/root/testdata/sf*/, see FIXTURES.md §2).
+#
+# EVENTS_SCHEMA describes the engine's CANONICAL (normalized) event relation —
+# what `sources.readers.load_events` / `streaming.events_stream` emit and what
+# lake re-reads of engine output contain. The raw fixture's physical `ts` type
+# is an environment detail (TIMESTAMP(MICROS) → TIMESTAMP_NTZ under PySpark
+# 4.x; epoch-ns long under legacy nanosAsLong readers) and is normalized to
+# epoch-ns long at the read boundary by `timeops.to_epoch_ns`. Do NOT use this
+# schema to read the raw fixture directly: pinning LongType over a µs
+# timestamp file silently misreads values 1000× (VERDICT r03).
 # ---------------------------------------------------------------------------
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanoseconds (nanosAsLong)
+        StructField("ts", LongType()),  # epoch nanoseconds (canonical, normalized)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),

@@ -9,16 +9,18 @@ everything here is our scale posture:
   anyway so ad-hoc `date_format`/`hour` calls match the DuckDB oracle.
 * AQE on (coalesce + skew-join): at 100 TB, runtime re-planning replaces the
   reference's hand-tuned ``spark.sql.shuffle.partitions=4``.
-* ``nanosAsLong``: the fixture ``events.ts`` is parquet TIMESTAMP(NANOS),
-  which Spark cannot represent natively (µs max). We read it as a raw long
-  and derive µs/seconds explicitly (functions/timeops.py) — lossless for every
-  supported derivation, and it keeps the scan vectorized.
+* Event-time physical types are handled adaptively at the read boundary
+  (functions/timeops.to_epoch_ns), NOT via reader confs: round 3 proved
+  ``spark.sql.legacy.parquet.nanosAsLong`` is accepted-but-ignored by
+  PySpark 4.1.2, so the engine no longer depends on any conf for time
+  correctness.
 * Arrow on for the few Pandas-UDF operators (multimodal, embeddings).
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -27,7 +29,6 @@ from pyspark.sql import SparkSession
 # may hand us a session we did not build.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -59,15 +60,50 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+# Confs that did not verifiably take effect on the current session, keyed by
+# conf name → reason. Inspectable by tests and surfaced once via warnings.
+CONF_FAILURES: dict[str, str] = {}
+_conf_warned: set[str] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Idempotently apply runtime SQL confs to an existing session."""
+    """Idempotently apply runtime SQL confs to an existing session — and
+    VERIFY each one took effect.
+
+    Round 3's root failure mode was a conf that "set" successfully but did
+    nothing (`nanosAsLong` under PySpark 4.1.2), hidden by a blind
+    ``except: pass`` (VERDICT r03 #3). Every conf is now read back after
+    setting; a mismatch is recorded in ``CONF_FAILURES`` and warned once.
+    None of these confs is load-bearing for *correctness* (event-time math is
+    tz-free epoch arithmetic), so a failure degrades performance, not
+    results — hence warn, not raise.
+    """
     for key, value in RUNTIME_CONFS.items():
+        reason = None
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # Non-settable on this session (e.g. locked by the host) — the
-            # engine still works; epoch-arithmetic derivations are tz-free.
-            pass
+        except Exception as exc:  # locked by the host session
+            reason = f"set failed: {exc.__class__.__name__}"
+        if reason is None:
+            try:
+                observed = spark.conf.get(key, None)
+            except Exception as exc:
+                observed = None
+                reason = f"get failed: {exc.__class__.__name__}"
+            if reason is None and observed != value:
+                reason = f"set accepted but readback={observed!r}"
+        if reason is None:
+            CONF_FAILURES.pop(key, None)
+        else:
+            CONF_FAILURES[key] = reason
+            if key not in _conf_warned:
+                _conf_warned.add(key)
+                warnings.warn(
+                    f"runtime conf {key}={value!r} not in effect ({reason}); "
+                    "continuing — correctness does not depend on it",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

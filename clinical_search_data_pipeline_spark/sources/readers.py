@@ -18,30 +18,74 @@ from clinical_search_data_pipeline_spark.session import apply_runtime_confs
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Applies engine runtime confs first (the events
-    table is TIMESTAMP(NANOS) parquet and needs `nanosAsLong`)."""
+    """Read one fixture table. Applies engine runtime confs first."""
     apply_runtime_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Event-time sanity window: [2000-01-01, 2100-01-01) as epoch seconds. A unit
+# mix-up (ns-as-µs, µs-as-ns, s-as-ms…) always lands far outside it.
+SANE_TS_SEC_MIN = 946_684_800
+SANE_TS_SEC_MAX = 4_102_444_800
+
+# One guard evaluation per (source, physical type) per process — the check is
+# a single-column min/max scan, cheap but not free.
+_time_guard_ok: set[str] = set()
+
+
+def assert_event_time_sane(df: DataFrame, source: str, dtype_name: str) -> None:
+    """Loud unit-drift guard (VERDICT r03 #2): the round-3 environment change
+    silently read µs as ns (all dates collapsed to 1970) or crashed late in
+    analysis. This converts any future drift into an immediate, named error.
+    """
+    key = f"{source}:{dtype_name}"
+    if key in _time_guard_ok:
+        return
+    from pyspark.sql import functions as SF
+
+    row = df.select(
+        SF.min("ts_sec").alias("mn"), SF.max("ts_sec").alias("mx")
+    ).first()
+    if row is None or row.mn is None:
+        _time_guard_ok.add(key)  # empty relation: nothing to misinterpret
+        return
+    if not (SANE_TS_SEC_MIN <= row.mn and row.mx < SANE_TS_SEC_MAX):
+        raise ValueError(
+            f"event-time sanity check failed for {source!r}: derived ts_sec "
+            f"range [{row.mn}, {row.mx}] falls outside [2000-01-01, "
+            f"2100-01-01). The source 'ts' column has physical type "
+            f"{dtype_name}; the epoch-unit normalization in "
+            "functions/timeops.to_epoch_ns does not match this environment's "
+            "parquet logical type (see VERDICT r03: PySpark 4.1.2 ignores "
+            "spark.sql.legacy.parquet.nanosAsLong)."
+        )
+    _time_guard_ok.add(key)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical event-log relation.
 
-    Adds the engine's derived event-time columns once, so every mart builder
-    shares identical (oracle-checked) semantics:
+    Normalizes the physical ``ts`` type (epoch-ns long, TIMESTAMP_NTZ, or
+    TIMESTAMP — see timeops.to_epoch_ns) and adds the engine's derived
+    event-time columns once, so every mart builder shares identical
+    (oracle-checked) semantics:
 
-    * ``ts``         — raw epoch nanoseconds (long)
+    * ``ts``         — epoch nanoseconds (long; canonical form)
     * ``ts_sec``     — epoch seconds (long)
     * ``event_ts``   — µs-precision timestamp (best Spark can hold)
     * ``event_date`` — 'yyyy-MM-dd' string (lake partition convention, as the
                         reference's silver layer: streaming_to_curated_stream.py:136)
     """
-    return (
-        read_table(spark, sf_dir, "events")
+    raw = read_table(spark, sf_dir, "events")
+    ts_dtype = raw.schema["ts"].dataType
+    df = (
+        raw.withColumn("ts", timeops.to_epoch_ns(ts_dtype))
         .withColumn("ts_sec", timeops.epoch_sec("ts"))
         .withColumn("event_ts", timeops.ts_micros("ts"))
         .withColumn("event_date", timeops.event_date("ts"))
     )
+    assert_event_time_sane(df, f"{sf_dir}/events.parquet", ts_dtype.simpleString())
+    return df
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:

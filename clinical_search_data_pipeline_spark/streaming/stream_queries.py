@@ -29,7 +29,6 @@ from clinical_search_data_pipeline_spark.functions.timeops import (
     duck_sec_to_ts_string,
 )
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.schemas import EVENTS_SCHEMA
 from clinical_search_data_pipeline_spark.session import apply_runtime_confs
 from clinical_search_data_pipeline_spark.sources.readers import load_events
 from clinical_search_data_pipeline_spark.streaming.dedup import watermark_dedup
@@ -57,16 +56,27 @@ def stage_events_source(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
     """File-backed streaming scan of the canonical event relation (stands in
-    for the Kafka source S2; rate-limited per micro-batch like reference T8)."""
+    for the Kafka source S2; rate-limited per micro-batch like reference T8).
+
+    The stream schema is taken from the staged file's own footer (one batch
+    metadata read), NOT pinned a priori: round 3 proved that pinning ``ts``
+    as LongType over a TIMESTAMP(MICROS) file silently reinterprets raw µs
+    int64s as ns — wrong answers, no error (VERDICT r03 #2). Reading the
+    file's native type and normalizing through the same `to_epoch_ns` path
+    as the batch reader keeps stream and batch bit-identical.
+    """
     apply_runtime_confs(spark)
     src = stage_events_source(sf_dir)
+    physical = spark.read.parquet(src).schema
+    ts_dtype = physical["ts"].dataType
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src)
     )
     return (
-        stream.withColumn("ts_sec", timeops.epoch_sec("ts"))
+        stream.withColumn("ts", timeops.to_epoch_ns(ts_dtype))
+        .withColumn("ts_sec", timeops.epoch_sec("ts"))
         .withColumn("event_ts", timeops.ts_micros("ts"))
         .withColumn("event_date", timeops.event_date("ts"))
     )

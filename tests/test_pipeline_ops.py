@@ -98,3 +98,44 @@ def test_sequence_pack_is_contiguous_per_group(spark):
             assert r.chunk_end == (pos + r.n_tokens - 1) // 4096
             assert r.chunk_start <= r.chunk_end
             pos += r.n_tokens
+
+
+def test_components_restores_shuffle_conf(spark):
+    """connected_components overrides spark.sql.shuffle.partitions for its
+    iteration loop; the override must be restored on BOTH the set and the
+    unset prior state (ADVICE r02/r03: a leaked graph-sized width would
+    apply session-wide to every later query)."""
+    from clinical_search_data_pipeline_spark.operators.components import (
+        neardup_clusters,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    key = "spark.sql.shuffle.partitions"
+
+    # case 1: conf set beforehand -> restored to that exact value
+    spark.conf.set(key, "4")
+    neardup_clusters(emb).count()
+    assert spark.conf.get(key) == "4"
+
+    # case 2: conf unset beforehand -> unset again afterwards (get falls
+    # back to the cluster default, and an explicit get-with-None is None)
+    spark.conf.unset(key)
+    try:
+        neardup_clusters(emb).count()
+        assert spark.conf.get(key, None) is None
+    finally:
+        spark.conf.set(key, "4")
+
+
+def test_run_to_memory_restores_shuffle_conf(spark):
+    """Same contract for the streaming runner's per-query override."""
+    from clinical_search_data_pipeline_spark.streaming.runner import run_to_memory
+    from clinical_search_data_pipeline_spark.streaming.stream_queries import (
+        events_stream,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    spark.conf.set(key, "4")
+    agg = events_stream(spark, SF_SMOKE).groupBy("event_type").count()
+    run_to_memory(agg, output_mode="complete", shuffle_partitions=2)
+    assert spark.conf.get(key) == "4"

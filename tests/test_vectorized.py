@@ -46,3 +46,55 @@ def test_ann_recall_ordering(spark):
     # which is itself a true top-k neighbor -> recall is monotone in probes)
     assert 0 <= r_single <= r_multi <= 1.0
     assert r_multi > 0
+
+
+def test_topk_score_margins_make_rank_hash_robust(spark):
+    """The registered q_cosine_topk_vectorized oracle hashes (query,
+    neighbor, rank) — rank order is only a stable cross-engine contract if
+    no two adjacent candidate scores sit within float-summation noise of
+    each other (numpy pairwise summation, Catalyst sequential fold, and
+    DuckDB list_reduce can each differ in the last bits; ADVICE r02/r03).
+
+    Two gap regimes are safe, one is fragile:
+
+    * gap > 1e-9      — far beyond last-bit noise; order cannot flip.
+    * gap == 0.0      — an exact tie, which on this fixture only arises
+      from IDENTICAL vectors (planted embedding dups): every engine then
+      computes bit-identical scores internally, sees the same tie, and
+      resolves it with the shared `neighbor_id ASC` tie-break. Verified
+      below by comparing the tied rows' vectors element-wise.
+    * 0 < gap <= 1e-9 — fragile: engines may disagree on the order and the
+      tie-break never engages. Asserted absent down to one past the cutoff
+      rank (so a k/k+1 boundary flip is covered too)."""
+    import numpy as np
+
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    checked = 0
+    for qpos in np.flatnonzero(ids < N_QUERIES):
+        qid = ids[qpos]
+        scores = (m @ m[qpos]) / (norms * norms[qpos])
+        mask = ids != qid
+        cand_scores, cand_ids = scores[mask], ids[mask]
+        order = np.lexsort((cand_ids, -cand_scores))[: TOP_K + 1]
+        for a, b in zip(order, order[1:]):
+            gap = cand_scores[a] - cand_scores[b]
+            if gap == 0.0:
+                ia = np.flatnonzero(ids == cand_ids[a])[0]
+                ib = np.flatnonzero(ids == cand_ids[b])[0]
+                assert np.array_equal(m[ia], m[ib]), (
+                    qid, cand_ids[a], cand_ids[b],
+                    "exact score tie between non-identical vectors",
+                )
+            else:
+                assert gap > 1e-9, (qid, cand_ids[a], cand_ids[b], gap)
+            checked += 1
+    assert checked >= N_QUERIES * TOP_K
