@@ -60,6 +60,17 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+    # Warm the canonical event relation too: the first load_events pays the
+    # one-time unit-drift guard sample and footer/schema caches — that cost
+    # belongs to warm-up, not to whichever query happens to run first.
+    from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+    try:
+        load_events(spark, sf_dir).limit(64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
     # higher-order-function eval path over a real array column
     try:
         read_table(spark, sf_dir, "embeddings").limit(64).selectExpr(
