@@ -70,10 +70,18 @@ def connected_components(
         both = both.repartition(target).localCheckpoint()
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        # Fused round 1: with identity labels, the first propagation round
+        # reduces to component = min(node, min(neighbors)) — one aggregation
+        # over the edge relation, replacing the distinct-node build PLUS the
+        # first join+materialize round of the loop (one fewer full shuffle
+        # over the edges; at 100 TB that round is the expensive one).
         labels = (
-            both.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+            both.groupBy("a")
+            .agg(F.min("b").alias("_nb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least("a", "_nb").alias("component"),
+            )
             .localCheckpoint()
         )
         for _ in range(max_iter):
