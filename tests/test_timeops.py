@@ -112,3 +112,27 @@ def test_runtime_conf_failures_are_recorded(spark):
         if key in sess.CONF_FAILURES:
             pytest.fail(f"{key}: {sess.CONF_FAILURES[key]}")
         assert spark.conf.get(key) == value
+
+
+def test_to_epoch_ns_from_instant_timestamp(spark, tmp_path):
+    """TIMESTAMP (instant) parquet: unix_micros is exact regardless of the
+    session timezone used to write or read."""
+    from pyspark.sql.types import TimestampType
+
+    p = str(tmp_path / "events_instant.parquet")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+        aware = _NTZ.replace(tzinfo=datetime.timezone.utc)
+        spark.createDataFrame(
+            [(aware,)], StructType([StructField("ts", TimestampType())])
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        dtype = df.schema["ts"].dataType
+        # parquet stores instants as isAdjustedToUTC=true; Spark may read it
+        # back as TIMESTAMP or (config-dependent) TIMESTAMP_NTZ — normalize
+        # through the adaptive path either way.
+        got = df.select(timeops.to_epoch_ns(dtype).alias("ns")).first().ns
+        assert got == _EPOCH_US * 1000, dtype.simpleString()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
