@@ -171,9 +171,18 @@ def jaccard_pairs(
     # Measured: dfreq from a 64-partition cache 2.3 s, from rebalanced 0.3 s.
     sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
     sh = sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Document frequency as count-over-window, NOT groupBy+join-back. At
+    # fixture scale Catalyst broadcasts the tiny df aggregate and the two
+    # plans cost the same; at corpus scale the distinct-shingle relation is
+    # far beyond broadcast range and the join-back degrades to a second full
+    # shuffle+sort of the shingle relation (SMJ probe side). The window
+    # form needs exactly one shuffle+sort of it — same hot-shingle task
+    # size (one group per key either way), one fewer corpus-sized exchange.
+    w_df = Window.partitionBy("shingle")
     w_pos = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = sh.join(dfreq, "shingle").withColumn("pos", F.row_number().over(w_pos))
+    ranked = sh.withColumn("df", F.count("*").over(w_df)).withColumn(
+        "pos", F.row_number().over(w_pos)
+    )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "shingle", "n")
