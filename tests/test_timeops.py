@@ -136,3 +136,36 @@ def test_to_epoch_ns_from_instant_timestamp(spark, tmp_path):
         assert got == _EPOCH_US * 1000, dtype.simpleString()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_to_epoch_ns_property_ntz_matches_python_epoch(spark):
+    """Property check across the sane window: for arbitrary µs-precision
+    datetimes, the NTZ normalization equals Python's own UTC epoch
+    arithmetic. One Spark job over the whole example batch (a per-example
+    round-trip through the JVM would be too slow, so examples are drawn
+    once — seeded, hence reproducible — and asserted in bulk)."""
+    import random
+
+    rng = random.Random(0xC5D9)
+    epoch = datetime.datetime(1970, 1, 1)
+    span_us = (datetime.datetime(2100, 1, 1) - datetime.datetime(2000, 1, 1)) // datetime.timedelta(microseconds=1)
+    base = datetime.datetime(2000, 1, 1)
+    examples = [
+        base + datetime.timedelta(microseconds=rng.randrange(span_us))
+        for _ in range(200)
+    ]
+    expected = [
+        ((e - epoch).days * 86_400_000_000
+         + (e - epoch).seconds * 1_000_000
+         + (e - epoch).microseconds) * 1000
+        for e in examples
+    ]
+    df = spark.createDataFrame(
+        [(e,) for e in examples], StructType([StructField("ts", TimestampNTZType())])
+    )
+    got = [
+        r.ns
+        for r in df.select(timeops.to_epoch_ns(TimestampNTZType()).alias("ns"))
+        .collect()
+    ]
+    assert sorted(got) == sorted(expected)
