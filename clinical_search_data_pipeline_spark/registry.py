@@ -51,17 +51,27 @@ def _load_modules() -> None:
     # round register FIRST, followed by modules whose builders/oracles
     # changed this round (a changed query must land a fresh driver row).
     #
-    # Round-4 order (VERDICT r03 "Next round" #3): everything the ts
-    # regression broke or that changed without a green row goes first —
-    # marts(14) quality(2) rangejoin(1) sessionize(1) sketches(2) skew(1)
-    # ingest(3) = slots 0-23; stream_queries(8, events_stream rewritten this
-    # round) 24-31; components(1) + pipeline(2) (r3-changed, never verified)
-    # 32-34; relational(10, incl. the broken asof at 44) 35-44; textanalysis
-    # 45+ with its two events-based queries (q_props_extract, q_value_stats —
-    # FAIL r3) registered first within the module. Multimodal/similarity
-    # (green r03) and dedup/splits/api (green r02 + local pytest) follow
-    # outside the window.
+    # Round-5 order (VERDICT r04 "Next round" #1): the 31 queries whose last
+    # driver row is r02/r03 go first — dedup(5, jaccard_pairs behaviorally
+    # changed in r4) slots 0-4; similarity(9, incl. the 4 ANN queries) 5-13;
+    # splits(7) 14-20; multimodal(4 + new q_media_decode) 21-25; api(1) 26;
+    # textanalysis(10; last 5 were outside the r4 window) 27-36. Then this
+    # round's changes: components(1, large/small-star variant) + pipeline(2)
+    # 37-39; marts 40+ with the NEW q_dedup_keys_xxhash_struct registered
+    # first within the module (slot 40). The marts tail and
+    # quality/rangejoin/sessionize/sketches/skew/ingest/relational/
+    # stream_queries (all green r04, unchanged) fall outside the window.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+        splits,
+        multimodal,
+    )
+    from clinical_search_data_pipeline_spark import api  # noqa: F401
+    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        textanalysis,
+        components,
+        pipeline,
         marts,
         quality,
         rangejoin,
@@ -69,22 +79,10 @@ def _load_modules() -> None:
         sketches,
         skew,
         ingest,
+        relational,
     )
     from clinical_search_data_pipeline_spark.streaming import (  # noqa: F401
         stream_queries,
-    )
-    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
-        components,
-        pipeline,
-        relational,
-        textanalysis,
-    )
-    from clinical_search_data_pipeline_spark import api  # noqa: F401
-    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
-        dedup,
-        multimodal,
-        similarity,
-        splits,
     )
 
 
