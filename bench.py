@@ -86,26 +86,50 @@ def main() -> None:
     timings: dict[str, float] = {}
     from clinical_search_data_pipeline_spark.caching import release_caches
 
-    for name in names:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         release_caches()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        return time.perf_counter() - t0
+
+    # Sub-second queries are rerun and recorded as median-of-3: at that
+    # granularity a single shot is dominated by suite-order noise (JIT, GC,
+    # page cache), and a 0.3->0.6 s blip would read as a 2x regression
+    # (VERDICT r04 #3). Queries >= 1 s stay single-shot — their signal
+    # already dwarfs the noise floor and rerunning streaming queries
+    # (10-30 s each) would triple the suite for nothing.
+    for name in names:
+        first = run_once(name)
+        samples = [first]
+        if first < 1.0:
+            samples += [run_once(name), run_once(name)]
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            + (f" (median of {len(samples)})" if len(samples) > 1 else ""),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # Environment fingerprint (VERDICT r03 #7): the round-3 regression was an
     # env change (PySpark minor + parquet logical type) that was only
     # inferable from stack traces. Stamp both into every bench artifact so
     # the next drift is visible in the record itself.
-    import pyarrow.parquet as _pq
-    import pyspark as _ps
+    # Guarded: a fingerprint failure (missing field, directory-style parquet)
+    # must never discard the run's timings.
+    try:
+        import pyarrow.parquet as _pq
+        import pyspark as _ps
 
-    env = {
-        "pyspark": _ps.__version__,
-        "events_ts_type": str(_pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type),
-    }
+        env = {
+            "pyspark": _ps.__version__,
+            "events_ts_type": str(
+                _pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001
+        env = {"pyspark": "unknown", "events_ts_type": f"unknown ({exc})"}
     payload = {
         "metric": "total_query_wall_time",
         "value": total,

@@ -49,6 +49,12 @@ def assert_event_time_sane(df: DataFrame, source: str, dtype_name: str) -> None:
         return
     rows = df.select("ts_sec").limit(64).collect()
     secs = [r.ts_sec for r in rows if r.ts_sec is not None]
+    if not secs:
+        # An empty/all-null sample verifies nothing — returning here WITHOUT
+        # caching the key keeps the guard armed for the first batch that
+        # actually carries event times (an empty bronze dir at startup is
+        # legitimate; a silently-vacuous pass cached for the process is not).
+        return
     bad = [s for s in secs if not (SANE_TS_SEC_MIN <= s < SANE_TS_SEC_MAX)]
     if bad:
         raise ValueError(

@@ -139,3 +139,13 @@ def test_run_to_memory_restores_shuffle_conf(spark):
     agg = events_stream(spark, SF_SMOKE).groupBy("event_type").count()
     run_to_memory(agg, output_mode="complete", shuffle_partitions=2)
     assert spark.conf.get(key) == "4"
+
+    # unset-prior case (ADVICE r04): the runner must unset, not pin, a conf
+    # that was never set — mirroring the components contract above.
+    spark.conf.unset(key)
+    try:
+        agg2 = events_stream(spark, SF_SMOKE).groupBy("event_type").count()
+        run_to_memory(agg2, output_mode="complete", shuffle_partitions=2)
+        assert spark.conf.get(key, None) is None
+    finally:
+        spark.conf.set(key, "4")

@@ -99,6 +99,23 @@ def test_guard_passes_in_range_and_caches(spark):
     assert_event_time_sane(df, "synthetic-ok", "bigint")
 
 
+def test_guard_vacuous_sample_does_not_cache(spark):
+    """An empty or all-null sample proves nothing: the guard must neither
+    raise nor mark the (source, dtype) key verified, so the first batch that
+    actually carries event times still gets checked (ADVICE r04)."""
+    from clinical_search_data_pipeline_spark.sources import readers
+
+    empty = spark.range(0).select(F.col("id").alias("ts_sec"))
+    allnull = spark.range(4).select(F.lit(None).cast("bigint").alias("ts_sec"))
+    for df, src in ((empty, "synthetic-empty"), (allnull, "synthetic-allnull")):
+        assert_event_time_sane(df, src, "bigint")
+        assert f"{src}:bigint" not in readers._time_guard_ok
+    # and a later non-null out-of-range batch from the same source still fails
+    bad = spark.range(1).select(F.lit(123).alias("ts_sec"))
+    with pytest.raises(ValueError, match="event-time sanity check failed"):
+        assert_event_time_sane(bad, "synthetic-allnull", "bigint")
+
+
 def test_runtime_conf_failures_are_recorded(spark):
     """apply_runtime_confs must verify readback, not trust `set` (the r03
     nanosAsLong lesson). A conf the session accepts-and-honors leaves no
