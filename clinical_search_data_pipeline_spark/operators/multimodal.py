@@ -6,11 +6,14 @@ feature-extract / resize / frame-sample run as Arrow-batched `mapInPandas`
 stages so bytes never leave the executor and Python sees whole record
 batches, not rows.
 
-The decode step itself is STUBBED here (no image/audio libs in this
-container — clearly marked `NotImplementedError`), but everything Spark-side
-is real and tested: schema contracts, batch iteration, partitioning, and a
-deterministic metadata extractor whose output is DuckDB-oracle-checked
-(`q_media_meta`).
+Compressed-format decode (JPEG/PNG/video) needs libs this container lacks,
+so `decode_image` implements the two uncompressed raster formats that need
+none — PPM (P6) and BMP (24-bit BITMAPINFOHEADER) — end-to-end: header
+parse, comment skipping, row-stride/padding handling, pixel reads. The
+`q_media_decode` query encodes real PPM/BMP files Spark-side, decodes them
+by parsing bytes, and the DuckDB oracle recomputes width/height/pixel-sum by
+independent arithmetic. Swap the decoder body for PIL/ffmpeg to add
+compressed formats; every schema/batch contract stays identical.
 """
 
 from __future__ import annotations
@@ -72,13 +75,99 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder hook — requires an image library not present in this
-    container. The Spark-side contract (batch shape, schema) is tested via
-    `extract_media_meta`; swap this in production."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; wire your decoder here"
+def encode_ppm(width: int, height: int, pix: bytes) -> bytes:
+    """Binary PPM (P6): ASCII header (with a comment line, which decoders
+    must skip), then width*height*3 raw RGB bytes."""
+    if len(pix) != width * height * 3:
+        raise ValueError(f"PPM pixel buffer {len(pix)} != {width}x{height}x3")
+    return b"P6\n# synthetic\n%d %d\n255\n" % (width, height) + pix
+
+
+def encode_bmp(width: int, height: int, pix: bytes) -> bytes:
+    """24-bit BMP (BITMAPINFOHEADER): 54-byte header, rows padded to 4-byte
+    boundaries — the stride handling is what makes BMP a real decode test."""
+    if len(pix) != width * height * 3:
+        raise ValueError(f"BMP pixel buffer {len(pix)} != {width}x{height}x3")
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    rows = b"".join(
+        pix[r * row : (r + 1) * row] + b"\x00" * pad for r in range(height)
     )
+    header = (
+        b"BM"
+        + (54 + len(rows)).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"                     # reserved
+        + (54).to_bytes(4, "little")              # pixel data offset
+        + (40).to_bytes(4, "little")              # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")               # planes
+        + (24).to_bytes(2, "little")              # bpp
+        + (0).to_bytes(4, "little")               # compression: BI_RGB
+        + len(rows).to_bytes(4, "little")         # image size
+        + b"\x00" * 16                            # ppm resolution + palette info
+    )
+    return header + rows
+
+
+def decode_image(payload: bytes) -> dict:
+    """Parse an uncompressed raster image from raw bytes — no libraries.
+
+    Supports PPM P6 (ASCII header with comments) and 24-bit uncompressed BMP
+    (bottom-up or top-down, padded row stride). Returns
+    ``{fmt, width, height, maxval, pixel_sum, n_pixels}`` where pixel_sum
+    covers exactly the image's RGB bytes (BMP row padding excluded) — a
+    value that is wrong unless header parse AND stride arithmetic are right.
+    """
+    import numpy as _np
+
+    if payload[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            # skip whitespace and '#' comment lines between header fields
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        width, height, maxval = fields
+        n = width * height * 3
+        pix = _np.frombuffer(payload, dtype=_np.uint8, count=n, offset=pos)
+        return {
+            "fmt": "ppm",
+            "width": width,
+            "height": height,
+            "maxval": maxval,
+            "pixel_sum": int(pix.astype(_np.int64).sum()),
+            "n_pixels": width * height,
+        }
+    if payload[:2] == b"BM":
+        data_off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+        n_rows, row = abs(height), width * 3
+        stride = (row + 3) // 4 * 4
+        raster = _np.frombuffer(
+            payload, dtype=_np.uint8, count=n_rows * stride, offset=data_off
+        ).reshape(n_rows, stride)[:, :row]  # drop the padding columns
+        return {
+            "fmt": "bmp",
+            "width": width,
+            "height": n_rows,
+            "maxval": 255,
+            "pixel_sum": int(raster.astype(_np.int64).sum()),
+            "n_pixels": width * n_rows,
+        }
+    raise ValueError(f"unsupported image magic: {payload[:2]!r}")
 
 
 def extract_media_meta(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -189,6 +278,106 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def attach_synthetic_images(docs: DataFrame) -> DataFrame:
+    """Encode a real raster file per document — BMP for even doc_ids, PPM for
+    odd — with dimensions and pixel bytes that are pure functions of doc_id,
+    so an independent oracle can recompute what a correct DECODE must find:
+
+        width  = doc_id % 13 + 4          height = (doc_id * 7) % 11 + 4
+        pix[k] = (doc_id + k) % 256       for k in [0, width*height*3)
+    """
+    import numpy as _np
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 13 + 4)
+                h = int((doc_id * 7) % 11 + 4)
+                pix = ((int(doc_id) + _np.arange(w * h * 3)) % 256).astype(
+                    _np.uint8
+                ).tobytes()
+                payloads.append(
+                    encode_bmp(w, h, pix) if doc_id % 2 == 0 else encode_ppm(w, h, pix)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: every output value is read out of the byte
+    stream by `decode_image` (header fields, stride-aware pixel sum), not
+    carried through from the producer."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_image(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [m["fmt"] for m in meta],
+                    "width": pd.Series([m["width"] for m in meta], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in meta], dtype="int32"),
+                    "pixel_sum": pd.Series(
+                        [m["pixel_sum"] for m in meta], dtype="int64"
+                    ),
+                    "n_pixels": pd.Series(
+                        [m["n_pixels"] for m in meta], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+@register(
+    "q_media_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         CAST(doc_id % 13 + 4 AS INT) AS width,
+         CAST((doc_id * 7) % 11 + 4 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, fmt, width, height,
+         unnest(range(0, width * height * 3)) AS k
+  FROM d
+)
+SELECT doc_id, fmt, width, height,
+       CAST(sum((doc_id + k) % 256) AS BIGINT) AS pixel_sum,
+       CAST(width * height AS BIGINT) AS n_pixels
+FROM px GROUP BY 1, 2, 3, 4
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode round trip over real raster bytes: the Spark side
+    parses PPM/BMP headers and sums stride-trimmed pixel data; the oracle
+    recomputes the same values arithmetically from doc_id. A header-parse or
+    padding bug shows up as a width/height/pixel_sum mismatch."""
+    return decode_media(attach_synthetic_images(read_table(spark, sf_dir, "documents")))
 
 
 @register(

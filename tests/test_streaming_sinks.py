@@ -183,6 +183,49 @@ def test_frames_reassemble_to_payload(spark):
         assert joined == want[doc_id]
 
 
+def test_decode_image_roundtrip_and_edge_cases():
+    """Pure-Python raster codec: PPM comment skipping, BMP row padding
+    (width 5 -> 15-byte rows padded to 16), top-down BMP (negative height),
+    and a loud error on unknown magic."""
+    import numpy as np
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    pix = bytes((11 + k) % 256 for k in range(5 * 3 * 3))  # 5x3 RGB
+    for payload, fmt in ((encode_ppm(5, 3, pix), "ppm"), (encode_bmp(5, 3, pix), "bmp")):
+        meta = decode_image(payload)
+        assert meta["fmt"] == fmt
+        assert (meta["width"], meta["height"], meta["n_pixels"]) == (5, 3, 15)
+        # padding bytes must NOT leak into the sum (BMP rows are padded)
+        assert meta["pixel_sum"] == sum(pix)
+
+    # top-down BMP: negative height in the header, same raster content
+    bmp = bytearray(encode_bmp(5, 3, pix))
+    bmp[22:26] = (-3).to_bytes(4, "little", signed=True)
+    meta = decode_image(bytes(bmp))
+    assert (meta["height"], meta["pixel_sum"]) == (3, sum(pix))
+
+    # width divisible by 4 -> zero padding path
+    pix4 = bytes(range(4 * 2 * 3))
+    assert decode_image(encode_bmp(4, 2, pix4))["pixel_sum"] == sum(pix4)
+
+    with pytest.raises(ValueError, match="unsupported image magic"):
+        decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(encode_bmp(4, 2, pix4))
+        bad[28:30] = (8).to_bytes(2, "little")  # 8bpp unsupported
+        decode_image(bytes(bad))
+
+    # vectors stay exact under numpy round-trip (uint8 overflow hazard)
+    big = (np.arange(3 * 3 * 3) % 256).astype(np.uint8).tobytes()
+    assert decode_image(encode_ppm(3, 3, big))["pixel_sum"] == sum(big)
+
+
 def test_upsert_protocol_generates_merge_and_cleanup(spark, tmp_path):
     """K7 contract: stage (distributed JDBC write), merge ON CONFLICT,
     drop staging. JDBC url points at nothing — we stub the stage write by
