@@ -359,6 +359,50 @@ _min_sec = duck_sec_to_ts_string("min(sec)")
 _max_sec = duck_sec_to_ts_string("max(sec)")
 
 
+def dedup_key_audit(events: DataFrame) -> DataFrame:
+    """Structural oracle around the opaque xxhash64 key (VERDICT r04 #6):
+    DuckDB cannot compute xxhash64, but everything AROUND the key is
+    checkable — the projected (event_id, user_id, ts_sec) tuple, per-row
+    key non-nullness, and global uniqueness (distinct keys == rows). A
+    hashing regression (null keys, input truncation, fixture collisions)
+    flips one of these booleans without the oracle ever seeing a key bit.
+    The uniqueness scalar is a broadcast single-row crossJoin — the same
+    sanctioned shape as textanalysis' corpus-level scalars."""
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        hashing.dedup_key_xxhash(
+            F.col("user_id"), F.col("event_id"), F.col("ts_sec")
+        ).alias("k"),
+    )
+    summary = keyed.agg(
+        (F.countDistinct("k") == F.count(F.lit(1))).alias("keys_unique")
+    )
+    return keyed.select(
+        "event_id", "user_id", "ts_sec", F.col("k").isNotNull().alias("key_is_set")
+    ).crossJoin(F.broadcast(summary))
+
+
+# Registered FIRST within this module: it is new this round and must land
+# inside the driver's check window (registry.py round-5 ordering).
+@register(
+    "q_dedup_keys_xxhash_struct",
+    oracle=f"""{_E_CTE}
+SELECT event_id, user_id, sec AS ts_sec,
+       TRUE AS key_is_set, TRUE AS keys_unique
+FROM e
+""",
+    tags=("dedup", "hashing", "reference"),
+)
+def q_dedup_keys_xxhash_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of q_dedup_keys_xxhash: the oracle asserts every
+    row got a distinct, non-null production key over the exact projected
+    tuple (the key bits themselves are pinned by tests/test_hashing.py
+    fixed vectors)."""
+    return dedup_key_audit(load_events(spark, sf_dir))
+
+
 @register(
     "q_session_analysis",
     oracle=f"""{_E_CTE}

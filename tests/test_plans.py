@@ -101,6 +101,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_ann_ivf_multiprobe",     # broadcast K centroids (probe ranking)
     "q_tfidf_top_terms",        # broadcast 1-row corpus size N
     "q_time_remap",             # broadcast 1-row global min/max bounds
+    "q_dedup_keys_xxhash_struct",  # broadcast 1-row keys_unique scalar
 }
 
 
