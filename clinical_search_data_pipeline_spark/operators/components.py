@@ -43,12 +43,25 @@ def connected_components(
     src: str = "vec_a",
     dst: str = "vec_b",
     max_iter: int = MAX_ITER,
+    algorithm: str = "label-prop",
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
-    Converges in <= diameter iterations; each round checks a changed-count
-    and stops early. Raises if the cap is hit without convergence (a silent
-    partial result would be a wrong dedup).
+    Two algorithms, same fixpoint:
+
+    * ``label-prop`` (default): min-label propagation, one join+agg per
+      round, converges in <= diameter rounds. Near-dup graphs are cliquish
+      (diameter 2-3), so this is the cheap path for dedup.
+    * ``two-phase``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds
+      on ANY graph shape, so a chain that would exhaust label-prop's round
+      budget converges in a handful of rounds. Each half-round is a
+      groupBy + join on the current edge relation.
+
+    Raises if the round cap is hit without convergence (a silent partial
+    result would be a wrong dedup). When ``_stats`` is passed, records the
+    executed round count under ``_stats['rounds']`` (diagnostics/tests).
     """
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -70,44 +83,11 @@ def connected_components(
         both = both.repartition(target).localCheckpoint()
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        # Fused round 1: with identity labels, the first propagation round
-        # reduces to component = min(node, min(neighbors)) — one aggregation
-        # over the edge relation, replacing the distinct-node build PLUS the
-        # first join+materialize round of the loop (one fewer full shuffle
-        # over the edges; at 100 TB that round is the expensive one).
-        labels = (
-            both.groupBy("a")
-            .agg(F.min("b").alias("_nb"))
-            .select(
-                F.col("a").alias("node"),
-                F.least("a", "_nb").alias("component"),
-            )
-            .localCheckpoint()
-        )
-        for _ in range(max_iter):
-            neighbor_min = (
-                both.join(labels, both["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("component").alias("neighbor_component"))
-            )
-            updated = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("neighbor_component", "component"),
-                    ).alias("component"),
-                    (
-                        F.coalesce("neighbor_component", "component")
-                        < F.col("component")
-                    ).alias("_changed"),
-                )
-            ).localCheckpoint()  # eager: cuts lineage AND materializes the round
-            changed = updated.filter("_changed").limit(1).count()
-            labels = updated.drop("_changed")
-            if changed == 0:
-                return labels
+        if algorithm == "label-prop":
+            return _label_prop_loop(both, max_iter, _stats)
+        if algorithm == "two-phase":
+            return _two_phase_loop(both, max_iter, _stats)
+        raise ValueError(f"unknown components algorithm: {algorithm!r}")
     finally:
         # Restore UNCONDITIONALLY: if the conf was unset before the loop,
         # leaving the graph-sized width set would leak it into every
@@ -116,6 +96,119 @@ def connected_components(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _label_prop_loop(
+    both: DataFrame, max_iter: int, _stats: dict | None
+) -> DataFrame:
+    # Fused round 1: with identity labels, the first propagation round
+    # reduces to component = min(node, min(neighbors)) — one aggregation
+    # over the edge relation, replacing the distinct-node build PLUS the
+    # first join+materialize round of the loop (one fewer full shuffle
+    # over the edges; at 100 TB that round is the expensive one).
+    labels = (
+        both.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least("a", "_nb").alias("component"),
+        )
+        .localCheckpoint()
+    )
+    for rounds in range(1, max_iter + 1):
+        neighbor_min = (
+            both.join(labels, both["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_component", "component"),
+                ).alias("component"),
+                (
+                    F.coalesce("neighbor_component", "component")
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint()  # eager: cuts lineage AND materializes the round
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            if _stats is not None:
+                _stats["rounds"] = rounds
+            return labels
+    raise RuntimeError(f"components did not converge in {max_iter} iterations")
+
+
+def _two_phase_loop(both: DataFrame, max_iter: int, _stats: dict | None) -> DataFrame:
+    """Alternating large-star / small-star until the edge relation is a
+    fixpoint of stars centered at component minima.
+
+    large-star(u): m = min(N(u) ∪ {u}); rewire every GREATER neighbor v > u
+    to m. small-star(u): over the big→small directed view, m = min(smaller
+    neighbors ∪ {u}); rewire u and its smaller neighbors to m. Both halves
+    are a groupBy(node) + equi-join on the edge relation — shuffle width
+    stays graph-sized, and each round strictly flattens trees, giving
+    O(log^2 n) rounds on chains where label-prop needs O(n)."""
+    # canonical big→small directed edges, self-loops dropped
+    edges_d = (
+        both.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for rounds in range(1, max_iter + 1):
+        # large-star over the undirected view
+        undirected = edges_d.unionByName(
+            edges_d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = undirected.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("m")
+        )
+        large = (
+            undirected.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the big→small directed view of large's output
+        small_mins = large.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            large.join(small_mins, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .unionByName(small_mins.select(F.col("a").alias("v"), F.col("m")))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()  # eager: materializes the round, cuts lineage
+        )
+        # fixpoint when the (canonical, directed) edge sets are identical
+        n_nxt = nxt.count()
+        stable = (
+            n_nxt == edges_d.count()
+            and nxt.exceptAll(edges_d).limit(1).count() == 0
+        )
+        edges_d = nxt
+        if stable:
+            if _stats is not None:
+                _stats["rounds"] = rounds
+            # star fixpoint: every non-center points at its component min
+            centers = (
+                edges_d.select(F.col("b").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("component"))
+            )
+            return (
+                edges_d.select(F.col("a").alias("node"), F.col("b").alias("component"))
+                .unionByName(centers)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
     raise RuntimeError(f"components did not converge in {max_iter} iterations")
 
 
