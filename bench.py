@@ -116,20 +116,9 @@ def main() -> None:
     # env change (PySpark minor + parquet logical type) that was only
     # inferable from stack traces. Stamp both into every bench artifact so
     # the next drift is visible in the record itself.
-    # Guarded: a fingerprint failure (missing field, directory-style parquet)
-    # must never discard the run's timings.
-    try:
-        import pyarrow.parquet as _pq
-        import pyspark as _ps
+    from clinical_search_data_pipeline_spark.testing import env_fingerprint
 
-        env = {
-            "pyspark": _ps.__version__,
-            "events_ts_type": str(
-                _pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-            ),
-        }
-    except Exception as exc:  # noqa: BLE001
-        env = {"pyspark": "unknown", "events_ts_type": f"unknown ({exc})"}
+    env = env_fingerprint(sf_dir)
     payload = {
         "metric": "total_query_wall_time",
         "value": total,

@@ -17,6 +17,26 @@ import pandas as pd
 from clinical_search_data_pipeline_spark.schemas import ALL_TABLES
 
 
+def env_fingerprint(sf_dir: str) -> dict:
+    """Environment stamp shared by bench and parity artifacts (VERDICT r04
+    #8): the round-3 regression was an env change (PySpark minor + parquet
+    ts logical type) only inferable from stack traces — stamping both into
+    every record makes the next drift visible in the artifacts themselves.
+    Guarded: a fingerprint failure must never fail the run that asked."""
+    try:
+        import pyarrow.parquet as _pq
+        import pyspark as _ps
+
+        return {
+            "pyspark": _ps.__version__,
+            "events_ts_type": str(
+                _pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001
+        return {"pyspark": "unknown", "events_ts_type": f"unknown ({exc})"}
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """In-memory DuckDB with the fixture tables registered as views, matching
     the driver's pre-registered view contract (__spark_entry__.py docstring)."""

@@ -105,6 +105,58 @@ def test_mart_etl_incremental_touches_only_target_partitions(spark, tmp_path):
     assert incr.count() == full.count() == 1
 
 
+def test_late_data_replay_reconciles_with_full_recompute(spark, tmp_path):
+    """T7 reconciliation contract (reference mart/mart.md:64-76): events
+    arriving AFTER a day's marts were built must be absorbed by an
+    incremental re-run of that day, landing every partitioned mart in
+    exactly the state a full recompute over the updated silver lake would
+    produce — not just the same row counts."""
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    events.write.partitionBy("event_date").parquet(silver)
+
+    def read_silver():
+        # partition-type inference turns event_date into DATE; the marts
+        # contract (and the lake convention) is the yyyy-MM-dd string
+        return spark.read.parquet(silver).withColumn(
+            "event_date", F.col("event_date").cast("string")
+        )
+
+    pipelines.mart_etl_job(read_silver(), gold)
+
+    # late arrivals for day N-2: fresh sessions (shifted ids) so every
+    # mart's aggregates for that day genuinely change
+    dates = sorted(r.event_date for r in events.select("event_date").distinct().collect())
+    target = dates[-3]
+    late = (
+        events.filter(F.col("event_date") == target)
+        .limit(200)
+        .withColumn("user_id", F.col("user_id") + 1_000_000)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    late.write.mode("append").partitionBy("event_date").parquet(silver)
+
+    updated = read_silver()
+    written = pipelines.mart_etl_incremental_job(updated, gold, (target,))
+    assert written and all(n > 0 for n in written.values())
+
+    for name, build in pipelines.COLD_MART_BUILDERS.items():
+        full = build(updated)
+        if "event_date" not in full.columns:
+            continue
+        got = (
+            spark.read.parquet(f"{gold}/{name}")
+            .withColumn("event_date", F.col("event_date").cast("string"))
+        )
+        cols = sorted(full.columns)
+        want_rows = sorted(map(tuple, full.select(cols).collect()))
+        got_rows = sorted(map(tuple, got.select(cols).collect()))
+        assert got_rows == want_rows, f"{name} diverged after late-data replay"
+        # and the replay really changed the target day (late rows absorbed)
+        assert got.filter(F.col("event_date") == target).count() > 0
+
+
 def test_silver_checkpoint_recovery(spark, tmp_path):
     """Kill the silver stream mid-run, restart with the SAME checkpoint:
     the lake must converge to exactly the batch-distinct key set with no
