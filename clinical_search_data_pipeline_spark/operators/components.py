@@ -2,17 +2,16 @@
 
 Pair detection (similarity/dedup operators) yields edges; actual
 deduplication needs *clusters* — if A~B and B~C, then {A,B,C} keep one
-survivor even though A~C may be below threshold. Components via iterative
-min-label propagation:
+survivor even though A~C may be below threshold. Two interchangeable
+fixpoint algorithms, both shuffle-on-key join + aggregation per round:
 
-    label(v) <- min(label(v), min label over neighbors)   until fixpoint
+* alternating large-star/small-star (default) — O(log^2 n) rounds on any
+  graph shape (Kiveris et al.)
+* min-label propagation — ``label(v) <- min(label(v), min over neighbors)``,
+  <= diameter rounds; cheap when clusters are cliques-ish
 
-Each iteration is one shuffle-on-key join + aggregation — the standard
-large-graph formulation (alternating large-star/small-star is the
-few-iterations refinement; same join shape). `localCheckpoint()` cuts
-lineage each round so the plan stays constant-size; at 100 TB use
-`checkpoint()` to reliable storage and cap iterations by graph diameter
-(near-dup graphs are shallow — dup clusters are cliques-ish).
+`localCheckpoint()` cuts lineage each round so the plan stays
+constant-size; at 100 TB use `checkpoint()` to reliable storage.
 
 The result (min member id per component) is deterministic, so the query is
 fully oracled — DuckDB computes the same fixpoint with a recursive CTE.
@@ -43,21 +42,22 @@ def connected_components(
     src: str = "vec_a",
     dst: str = "vec_b",
     max_iter: int = MAX_ITER,
-    algorithm: str = "label-prop",
+    algorithm: str = "two-phase",
     _stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     Two algorithms, same fixpoint:
 
-    * ``label-prop`` (default): min-label propagation, one join+agg per
-      round, converges in <= diameter rounds. Near-dup graphs are cliquish
-      (diameter 2-3), so this is the cheap path for dedup.
-    * ``two-phase``: alternating large-star/small-star (Kiveris et al.,
-      "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds
-      on ANY graph shape, so a chain that would exhaust label-prop's round
-      budget converges in a handful of rounds. Each half-round is a
-      groupBy + join on the current edge relation.
+    * ``two-phase`` (default): alternating large-star/small-star (Kiveris
+      et al., "Connected Components in MapReduce and Beyond") — O(log^2 n)
+      rounds on ANY graph shape. Default because the round bound must not
+      depend on the data: the 10x scale corpus produced a near-dup graph
+      of diameter >30 that exhausted label-prop's cap (BENCH_scale), while
+      two-phase converged in 7 rounds at comparable per-round cost.
+    * ``label-prop``: min-label propagation, one join+agg per round,
+      converges in <= diameter rounds — fine when the graph is known
+      cliquish (diameter 2-3).
 
     Raises if the round cap is hit without convergence (a silent partial
     result would be a wrong dedup). When ``_stats`` is passed, records the

@@ -37,6 +37,77 @@ def env_fingerprint(sf_dir: str) -> dict:
         return {"pyspark": "unknown", "events_ts_type": f"unknown ({exc})"}
 
 
+_CIPHER_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+
+def make_scaled_corpus(spark, src_sf_dir: str, out_dir: str, factor: int = 10) -> str:
+    """Self-union + key-shift scale fixture (VERDICT r04 #2): `factor`
+    disjoint replicas of documents/embeddings so the heavy dedup/ANN family
+    can be measured at N× input with a KNOWN linear answer.
+
+    Replicas must not match each other, or output (and so runtime) grows
+    quadratically in `factor` by construction of the data, not the engine:
+
+    * documents: copy i shifts doc_id by i*10_000_000 and applies a copy-
+      specific substitution cipher over [a-zA-Z0-9] — a bijection on tokens,
+      so every within-copy shingle set (hence every Jaccard/MinHash/SimHash
+      relation) is exactly the base corpus's, while cross-copy shingles
+      differ everywhere a letter or digit appears.
+    * embeddings: copy i shifts vec_id by i*10_000_000 and multiplies dim j
+      by a deterministic ±1 (murmur3 of (i, j)) — an orthogonal diagonal
+      transform, so within-copy cosines are bit-identical and cross-copy
+      inner products decorrelate (no rotation-invariant constant-vector
+      trap).
+
+    Every other fixture table is symlinked unchanged. Returns out_dir.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{src_sf_dir}/documents.parquet")
+    doc_copies = []
+    for i in range(factor):
+        rot = (i * 11) % len(_CIPHER_ALPHA)
+        ciphered = _CIPHER_ALPHA[rot:] + _CIPHER_ALPHA[:rot]
+        copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i:
+            copy = copy.withColumn(
+                "text", F.translate("text", _CIPHER_ALPHA, ciphered)
+            )
+        doc_copies.append(copy)
+    scaled_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        scaled_docs = scaled_docs.unionByName(c)
+    scaled_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_sf_dir}/embeddings.parquet")
+    emb_copies = []
+    for i in range(factor):
+        copy = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i:
+            copy = copy.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> x * cast(1 - 2 * pmod(hash({i}, j), 2) as float))"
+                ),
+            )
+        emb_copies.append(copy)
+    scaled_emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        scaled_emb = scaled_emb.unionByName(c)
+    scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    for t in ALL_TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src_sf_dir}/{t}.parquet", dst)
+    return out_dir
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """In-memory DuckDB with the fixture tables registered as views, matching
     the driver's pre-registered view contract (__spark_entry__.py docstring)."""

@@ -114,7 +114,9 @@ def test_two_phase_components_fewer_rounds_on_chain(spark):
         [(i, i + 1) for i in range(n - 1)], ["vec_a", "vec_b"]
     )
     lp_stats, tp_stats = {}, {}
-    lp = connected_components(chain, max_iter=64, _stats=lp_stats).collect()
+    lp = connected_components(
+        chain, max_iter=64, algorithm="label-prop", _stats=lp_stats
+    ).collect()
     tp = connected_components(
         chain, max_iter=64, algorithm="two-phase", _stats=tp_stats
     ).collect()
@@ -132,6 +134,56 @@ def test_two_phase_components_fewer_rounds_on_chain(spark):
         **{i: 0 for i in range(5)},
         **{i + 10: 10 for i in range(5)},
     }
+
+
+def test_components_algorithms_agree_on_random_graphs(spark):
+    """Property: on arbitrary graphs, label propagation and the two-phase
+    large/small-star variant compute the IDENTICAL (node -> min-reachable-id)
+    fixpoint — checked against a driver-side union-find ground truth."""
+    import random
+
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for _ in range(4):
+        n = rng.randint(4, 18)
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(3, 25))
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        # ground truth union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            want[v] = min(u for u in touched if find(u) == root)
+
+        df = spark.createDataFrame(edges, ["vec_a", "vec_b"])
+        lp = {
+            r.node: r.component
+            for r in connected_components(df, max_iter=64, algorithm="label-prop").collect()
+        }
+        tp = {
+            r.node: r.component
+            for r in connected_components(df, max_iter=64, algorithm="two-phase").collect()
+        }
+        assert lp == want, f"label-prop wrong on {edges}"
+        assert tp == want, f"two-phase wrong on {edges}"
 
 
 def test_components_restores_shuffle_conf(spark):

@@ -226,6 +226,37 @@ def test_decode_image_roundtrip_and_edge_cases():
     assert decode_image(encode_ppm(3, 3, big))["pixel_sum"] == sum(big)
 
 
+def test_decode_image_roundtrip_property():
+    """Property: for ANY dimensions and pixel content, decode(encode(img))
+    recovers width/height/pixel-sum exactly for both formats — including
+    every BMP padding residue (width % 4 in {0,1,2,3})."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=37),
+        h=st.integers(min_value=1, max_value=23),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w: int, h: int, seed: int):
+        pix = bytes((seed + 7 * k) % 256 for k in range(w * h * 3))
+        for enc, fmt in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+            meta = decode_image(enc(w, h, pix))
+            assert meta["fmt"] == fmt
+            assert (meta["width"], meta["height"]) == (w, h)
+            assert meta["pixel_sum"] == sum(pix)
+            assert meta["n_pixels"] == w * h
+
+    check()
+
+
 def test_upsert_protocol_generates_merge_and_cleanup(spark, tmp_path):
     """K7 contract: stage (distributed JDBC write), merge ON CONFLICT,
     drop staging. JDBC url points at nothing — we stub the stage write by
