@@ -63,10 +63,15 @@ def connected_components(
     result would be a wrong dedup). When ``_stats`` is passed, records the
     executed round count under ``_stats['rounds']`` (diagnostics/tests).
     """
-    both = edges.select(
+    # Checkpoint the DIRECTED edges first, then mirror them narrowly: the
+    # union-of-two-selects form would materialize the (possibly expensive)
+    # upstream pair-generation plan TWICE — once per union branch.
+    edges_c = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    both = both.localCheckpoint()
+    ).localCheckpoint()
+    both = edges_c.unionByName(
+        edges_c.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     # Size the ITERATION to the GRAPH, not to the corpus that produced it:
     # the near-dup edge relation is orders of magnitude smaller than its
     # source, and label propagation pays per-partition task overhead times
@@ -161,6 +166,7 @@ def _two_phase_loop(both: DataFrame, max_iter: int, _stats: dict | None) -> Data
         .distinct()
         .localCheckpoint()
     )
+    n_prev = edges_d.count()
     for rounds in range(1, max_iter + 1):
         # large-star over the undirected view
         undirected = edges_d.unionByName(
@@ -187,13 +193,15 @@ def _two_phase_loop(both: DataFrame, max_iter: int, _stats: dict | None) -> Data
             .distinct()
             .localCheckpoint()  # eager: materializes the round, cuts lineage
         )
-        # fixpoint when the (canonical, directed) edge sets are identical
+        # fixpoint when the (canonical, directed) edge sets are identical;
+        # n_prev carries the previous round's count so stability costs one
+        # count + (only on count-equality) one exceptAll probe
         n_nxt = nxt.count()
         stable = (
-            n_nxt == edges_d.count()
+            n_nxt == n_prev
             and nxt.exceptAll(edges_d).limit(1).count() == 0
         )
-        edges_d = nxt
+        edges_d, n_prev = nxt, n_nxt
         if stable:
             if _stats is not None:
                 _stats["rounds"] = rounds
