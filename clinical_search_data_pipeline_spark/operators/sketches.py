@@ -3,9 +3,16 @@
 At 100 TB, exact `countDistinct` is an Expand + full shuffle per distinct
 column (visible in q_daily_traffic's plan); sketches give fixed-size state
 and one pass. Spark's HLL++ (`approx_count_distinct`) and t-digest
-(`percentile_approx`) estimates are implementation-specific, so these
+(`percentile_approx`) estimates are implementation-specific, so the plain
 queries are declared WITHOUT an oracle (driver rows-only contract);
 accuracy is asserted against exact values in tests/test_sketches.py.
+
+The `_struct` siblings make the sketches hash-checkable anyway (the
+q_dedup_keys_xxhash_struct pattern): every EXACT value in the row is
+oracled, and the sketch estimate enters only as a within-tolerance
+boolean the oracle asserts TRUE. Sketch merges are order-independent
+(HLL register max / quantile-summary merge), so the booleans are
+deterministic for a fixed fixture regardless of partitioning.
 """
 
 from __future__ import annotations
@@ -13,10 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clinical_search_data_pipeline_spark.functions.timeops import duck_event_date
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import load_events
 
 HLL_RSD = 0.02  # ~2 % relative standard deviation
+SKETCH_TOL = 0.05  # structural-oracle acceptance band (2.5 sigma at rsd=0.02)
 
 
 def approx_daily_traffic(events: DataFrame, rsd: float = HLL_RSD) -> DataFrame:
@@ -50,6 +59,77 @@ def value_quantiles(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
     )
 
 
+def approx_daily_traffic_struct(
+    events: DataFrame, rsd: float = HLL_RSD, tol: float = SKETCH_TOL
+) -> DataFrame:
+    """Structural-oracle twin of `approx_daily_traffic`: exact counts are
+    value-checked by DuckDB; the HLL++ estimates appear only as
+    within-tolerance booleans (oracle asserts TRUE)."""
+    agg = events.groupBy("event_date").agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_sessions"),
+        F.countDistinct("event_type").alias("unique_documents"),
+        F.approx_count_distinct("user_id", rsd).alias("_approx_sessions"),
+        F.approx_count_distinct("event_type", rsd).alias("_approx_documents"),
+    )
+    return agg.select(
+        "event_date",
+        "total_events",
+        "unique_sessions",
+        "unique_documents",
+        (
+            F.abs(F.col("_approx_sessions") - F.col("unique_sessions"))
+            <= tol * F.col("unique_sessions")
+        ).alias("sessions_within_tol"),
+        (
+            F.abs(F.col("_approx_documents") - F.col("unique_documents"))
+            <= tol * F.col("unique_documents")
+        ).alias("documents_within_tol"),
+    )
+
+
+QUANTILE_RANK_TOL = 0.02  # rank band, in percentile points
+
+
+def value_quantiles_struct(
+    events: DataFrame, accuracy: int = 10_000, rank_tol: float = QUANTILE_RANK_TOL
+) -> DataFrame:
+    """Structural-oracle twin of `value_quantiles`: exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, rounded to
+    absorb last-ulp drift) are value-checked; the sketch estimate enters as
+    a boolean asserting it lies between the exact (p - tol) and (p + tol)
+    quantiles. The band is RANK-based because that is the guarantee the
+    sketch actually makes (rank error <= ~n/accuracy + 1 sample): at a fat
+    tail with few samples per group, adjacent order statistics can differ
+    by more than any sane value-relative band, while the rank band stays
+    sharp at every corpus size."""
+    ps = (0.5, 0.95, 0.99)
+    bounds = [(max(0.0, p - rank_tol), min(1.0, p + rank_tol)) for p in ps]
+    bounds_sql = ", ".join(f"{x}D" for pair in bounds for x in pair)
+    agg = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("pe"),
+        F.expr(f"percentile(value, array({bounds_sql}))").alias("pb"),
+        F.percentile_approx("value", list(ps), accuracy).alias("pa"),
+    )
+    out_cols = ["event_type"]
+    for i, name in enumerate(("p50", "p95", "p99")):
+        agg = agg.withColumn(name, F.round(F.col("pe")[i], 4)).withColumn(
+            f"{name}_approx_ok",
+            (F.col("pa")[i] >= F.col("pb")[2 * i])
+            & (F.col("pa")[i] <= F.col("pb")[2 * i + 1]),
+        )
+        out_cols += [name, f"{name}_approx_ok"]
+    return agg.select(*out_cols)
+
+
+_E_SKETCH = f"""
+WITH e AS (
+  SELECT user_id, event_type, value, {duck_event_date('ts')} AS event_date
+  FROM events
+)
+"""
+
+
 @register("q_approx_daily_traffic", tags=("sketch", "northstar", "rows-only"))
 def q_approx_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_daily_traffic(load_events(spark, sf_dir))
@@ -58,3 +138,38 @@ def q_approx_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_value_quantiles", tags=("sketch", "northstar", "rows-only"))
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_quantiles(load_events(spark, sf_dir))
+
+
+@register(
+    "q_approx_daily_traffic_struct",
+    oracle=f"""{_E_SKETCH}
+SELECT event_date,
+       count(*) AS total_events,
+       count(DISTINCT user_id) AS unique_sessions,
+       count(DISTINCT event_type) AS unique_documents,
+       TRUE AS sessions_within_tol,
+       TRUE AS documents_within_tol
+FROM e GROUP BY 1
+""",
+    tags=("sketch", "northstar", "struct-oracle"),
+)
+def q_approx_daily_traffic_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_daily_traffic_struct(load_events(spark, sf_dir))
+
+
+@register(
+    "q_value_quantiles_struct",
+    oracle=f"""{_E_SKETCH}
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       TRUE AS p50_approx_ok,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       TRUE AS p95_approx_ok,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       TRUE AS p99_approx_ok
+FROM e GROUP BY 1
+""",
+    tags=("sketch", "northstar", "struct-oracle"),
+)
+def q_value_quantiles_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_quantiles_struct(load_events(spark, sf_dir))
