@@ -181,3 +181,78 @@ def q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node").isNull() | (F.col("node") == F.col("component")))
         .select("doc_id", status.alias("status"))
     )
+
+
+# "Eval set" stand-in: a deterministic ~1% slice of the corpus plays the
+# held-out benchmark whose n-grams must not leak into training data.
+BENCH_MOD = 97
+# Decontamination uses LONGER shingles than near-dup detection (the GPT-3 /
+# Pile method uses 13-grams): a 3-gram collides on common phrasing (~half
+# the fixture flags); 5 words is the fixture-scaled span that only copied
+# text shares, leaving both outcomes represented at every fixture SF.
+DECON_K = 5
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = BENCH_MOD, k: int = DECON_K
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / Pile n-gram collision method,
+    k scaled to the fixture's document length): flag every training document
+    that shares ANY k-word shingle with the held-out benchmark slice.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are fixed-size; the corpus is 100 TB), so its distinct shingle set
+    is BROADCAST and the corpus pays one narrow shingle explode plus a
+    broadcast equi-join — no shuffle of the training corpus at all. The
+    per-doc hit count then aggregates on doc_id, proportional only to the
+    contaminated subset."""
+    from clinical_search_data_pipeline_spark.operators.dedup import shingle_relation
+
+    sh = shingle_relation(docs, k)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_shingles = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    train = docs.filter(~is_bench).select("doc_id")
+    shared = F.coalesce("n_shared_shingles", F.lit(0))
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        shared.alias("n_shared_shingles"),
+        (shared > 0).alias("contaminated"),
+    )
+
+
+_DUCK_DECON_SHINGLES = f"""
+tok AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         unnest({textfns.duck_shingles('w', DECON_K)}) AS shingle
+  FROM tok WHERE len(w) >= {DECON_K}
+)"""
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH {_DUCK_DECON_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM dsh t JOIN bench USING (shingle)
+  WHERE t.doc_id % {BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_shared, 0) AS n_shared_shingles,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""",
+    tags=("pipeline", "decontamination", "northstar"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(read_table(spark, sf_dir, "documents"))

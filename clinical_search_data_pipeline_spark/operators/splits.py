@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_search_data_pipeline_spark.functions import textfns
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.functions.timeops import duck_event_date
 from clinical_search_data_pipeline_spark.registry import register
@@ -234,6 +235,48 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+MIX_ALPHA = 0.5  # sampling temperature: alpha<1 upweights small sources
+
+
+def mixture_weights(docs: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Temperature-based source mixing weights (the multilingual-LM recipe:
+    ``w_i ∝ n_i^alpha`` renormalized, alpha < 1 flattening the source
+    distribution so long-tail sources aren't drowned out).
+
+    One groupBy on source (tiny output) + a broadcast one-row normalizer —
+    the corpus pays a single map-side-combined aggregation."""
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(textfns.tokens("text"))).alias("n_tokens"),
+    )
+    z = per.agg(F.sum(F.pow("n_tokens", alpha)).alias("_z"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow("n_tokens", alpha) / F.col("_z"), 6).alias("weight"),
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({textfns.duck_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+z AS (SELECT sum(n_tokens ** {MIX_ALPHA}) AS z FROM per)
+SELECT source, n_docs, n_tokens,
+       round((n_tokens ** {MIX_ALPHA}) / z, 6) AS weight
+FROM per, z
+""",
+    tags=("splits", "mixture", "northstar"),
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(read_table(spark, sf_dir, "documents"))
 
 
 @register(
