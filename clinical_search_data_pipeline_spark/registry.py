@@ -55,11 +55,12 @@ def _load_modules() -> None:
     # driver row is r02/r03 go first — dedup(5, jaccard_pairs behaviorally
     # changed in r4) slots 0-4; similarity(9, incl. the 4 ANN queries) 5-13;
     # splits(7) 14-20; multimodal(4 + new q_media_decode) 21-25; api(1) 26;
-    # textanalysis(10; last 5 were outside the r4 window) 27-36. Then this
-    # round's changes: components(1, two-phase default) + pipeline(2) 37-39;
-    # sketches(4, incl. the NEW *_struct oracle twins) 40-43; marts 44+ with
-    # the NEW q_dedup_keys_xxhash_struct registered first within the module
-    # (slot 44) followed by the marts head. The marts tail and
+    # textanalysis(10; last 5 were outside the r4 window) 28-37. Then this
+    # round's changes: components(1, two-phase default) 38; pipeline(3, incl.
+    # NEW q_decontaminate) 39-41; sketches(4, incl. NEW *_struct oracle
+    # twins) 42-45; marts 46+ with NEW q_dedup_keys_xxhash_struct first
+    # within the module (slot 46) then the marts head through slot 49.
+    # (NEW q_mixture_weights rides splits at slot 19.) The marts tail and
     # quality/rangejoin/sessionize/skew/ingest/relational/stream_queries
     # (all green r04, unchanged) fall outside the window.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
