@@ -87,6 +87,13 @@ def _load_modules() -> None:
         stream_queries,
     )
 
+    # NEW this round (passage dedup / SemDeDup / train order): registered
+    # last — outside the driver's ~50-slot window, which this round belongs
+    # to the stale r02/r03 queries per VERDICT r04 #1. Local oracle parity
+    # (tests/test_oracle_parity.py) covers them now; they rotate into the
+    # driver window next round.
+    from clinical_search_data_pipeline_spark.operators import curation  # noqa: F401
+
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_modules()

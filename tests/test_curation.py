@@ -1,0 +1,197 @@
+"""Property tests for the curation operators (passage dedup, SemDeDup,
+reproducible train order) on handcrafted corpora with known answers.
+Oracle parity at fixture scale is covered by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.curation import (
+    SEMDEDUP_TAU,
+    passage_dedup,
+    passage_dup_stats,
+    passages,
+    semdedup,
+    train_order,
+)
+from tests.conftest import SF_CORRECTNESS
+
+# ---------------------------------------------------------------------------
+# passage dedup
+# ---------------------------------------------------------------------------
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_passage_dedup_handcrafted(spark):
+    # p=2-word passages: doc0 = [a b][c d], doc1 = [a b][e f], doc2 = [c d]
+    docs = _mkdocs(spark, ["a b c d", "a b e f", "c d"])
+    out = {r.doc_id: r for r in passage_dedup(docs, p=2).collect()}
+    assert out[0].clean_text == "a b c d" and out[0].n_dropped == 0
+    assert out[1].clean_text == "e f" and out[1].n_dropped == 1
+    assert out[2].clean_text == "" and out[2].n_dropped == 1
+    assert all(out[d].n_passages == 2 for d in (0, 1)) and out[2].n_passages == 1
+
+
+def test_passage_dedup_tail_chunk_and_order(spark):
+    # 5 words with p=2 -> tail chunk of 1 word; document order must survive
+    # the collect_list/array_sort reassembly.
+    docs = _mkdocs(spark, ["w1 w2 w3 w4 w5"])
+    row = passage_dedup(docs, p=2).collect()[0]
+    assert row.clean_text == "w1 w2 w3 w4 w5"
+    assert row.n_passages == 3 and row.n_dropped == 0
+
+
+def test_passage_dedup_keeps_each_passage_once_globally(spark):
+    """On the fixture corpus: every duplicated passage survives in exactly
+    one (the first) position, and totals are conserved."""
+    docs = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    ch = passages(docs)
+    w = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    flagged = ch.withColumn("kept", F.row_number().over(w) == 1)
+    # each distinct passage kept exactly once
+    per_passage = (
+        flagged.groupBy("passage")
+        .agg(F.sum(F.col("kept").cast("int")).alias("nk"))
+        .agg(F.min("nk").alias("lo"), F.max("nk").alias("hi"))
+        .collect()[0]
+    )
+    assert per_passage.lo == 1 and per_passage.hi == 1
+    out = passage_dedup(docs)
+    totals = out.agg(
+        F.sum("n_passages").alias("np"),
+        F.sum("n_dropped").alias("nd"),
+        F.count("*").alias("docs"),
+    ).collect()[0]
+    assert totals.docs == docs.count()  # no document lost, even if emptied
+    n_distinct = ch.select("passage").distinct().count()
+    assert totals.np - totals.nd == n_distinct
+
+
+def test_passage_dup_stats_matches_flagging(spark):
+    docs = _mkdocs(spark, ["a b c d", "a b e f", "a b c d"])
+    stats = {r.passage_hash: r for r in passage_dup_stats(docs, p=2).collect()}
+    # 'a b' in 3 docs, 'c d' in 2 docs, 'e f' unique (absent)
+    assert len(stats) == 2
+    by_counts = sorted((r.n_docs, r.n_occurrences) for r in stats.values())
+    assert by_counts == [(2, 2), (3, 3)]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_higher_id_of_close_pairs(spark):
+    # Centroids live at vec_id 100..107. Build two orthogonal centroids and
+    # three near-identical vectors in cell 0 (ids 1,2,3) plus one loner in
+    # cell 1 (id 4): SemDeDup must keep 1 and 4, drop 2 and 3.
+    dim = 4
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0], 0),
+        (2, [0.99, 0.06, 0.0, 0.0], 0),
+        (3, [1.01, 0.04, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.05, 0.0], 1),
+    ]
+    cents = [(100 + i, v, 9) for i, v in enumerate([e0, e1])]
+    # fill the remaining centroid slots with far-apart axes so argmax is
+    # unambiguous for every data vector
+    for j in range(2, 8):
+        v = [0.0] * dim
+        v[2 + (j % 2)] = 1.0
+        cents.append((100 + j, [x * (1.0 + j) for x in v], 9))
+    emb = spark.createDataFrame(rows + cents, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r for r in semdedup(emb, tau=SEMDEDUP_TAU).collect()}
+    assert out[1].kept and out[4].kept
+    assert not out[2].kept and not out[3].kept
+    assert out[1].cell == out[2].cell == out[3].cell == 0
+    assert out[4].cell == 1
+
+
+def test_semdedup_fixture_dropped_have_lower_id_witness(spark):
+    """Every dropped vector has a lower-id same-cell witness with
+    cosine >= tau (the SemDeDup contract), checked on the real fixture."""
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    out = semdedup(emb)
+    n = out.count()
+    assert n == emb.count()
+    dropped = out.filter(~F.col("kept")).count()
+    assert 0 < dropped < n  # fixture exercises both branches
+    # witnesses: re-derive pairs once and anti-join — no dropped vec may
+    # lack a witness
+    from clinical_search_data_pipeline_spark.operators.fragments import _spark_dot
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    cells = ivf_assignments(emb)
+    a = cells.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("av"),
+        F.col("norm").alias("an"), "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("bv"),
+        F.col("norm").alias("bn"), F.col("cell").alias("cellb"),
+    )
+    witnessed = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("va") < F.col("vb")))
+        .withColumn("_c", F.expr(_spark_dot("av", "bv")) / (F.col("an") * F.col("bn")))
+        .filter(F.col("_c") >= SEMDEDUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    orphans = (
+        out.filter(~F.col("kept")).join(witnessed, "vec_id", "left_anti").count()
+    )
+    assert orphans == 0
+
+
+# ---------------------------------------------------------------------------
+# train order
+# ---------------------------------------------------------------------------
+
+
+def test_train_order_equals_global_rank(spark):
+    """The distributed bucket-offset rank must equal the naive
+    single-window global rank, and be a 1..N permutation."""
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = train_order(docs)
+    n = docs.count()
+    idxs = got.agg(
+        F.min("order_idx").alias("lo"),
+        F.max("order_idx").alias("hi"),
+        F.countDistinct("order_idx").alias("nd"),
+        F.count("*").alias("cnt"),
+    ).collect()[0]
+    assert (idxs.lo, idxs.hi, idxs.nd, idxs.cnt) == (1, n, n, n)
+    naive = got.select("doc_id", "shuffle_key").withColumn(
+        "order_idx", F.row_number().over(Window.orderBy("shuffle_key", "doc_id"))
+    )
+    diff = got.join(naive, ["doc_id", "shuffle_key", "order_idx"]).count()
+    assert diff == n
+
+
+def test_train_order_seed_changes_order(spark):
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = train_order(docs, seed="epoch0").select("doc_id", "order_idx")
+    bdf = train_order(docs, seed="epoch1").select(
+        "doc_id", F.col("order_idx").alias("order_idx_b")
+    )
+    moved = a.join(bdf, "doc_id").filter(
+        F.col("order_idx") != F.col("order_idx_b")
+    ).count()
+    assert moved > 0
