@@ -39,7 +39,14 @@ HEAVY_FAMILY = (
     "q_ann_lsh_multiprobe",
     "q_ann_ivf_topk",
     "q_ann_ivf_multiprobe",
+    "q_passage_dedup",
+    "q_train_order",
 )
+# Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
+# corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per
+# cell, but the oracle pins K=8 deterministic centroids, so a 10x corpus at
+# FIXED K grows every cell 10x and the within-cell pair join ~100x; in
+# production K scales ~sqrt(N) with the corpus — see operators/curation.py).
 
 
 def _timed_run(spark, spec, sf_dir: str, group: str) -> tuple[float, int, int]:

@@ -86,6 +86,64 @@ def test_passage_dup_stats_matches_flagging(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_handcrafted(spark):
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        incremental_dedup,
+    )
+
+    corpus = _mkdocs(spark, ["alpha beta gamma delta epsilon zeta"])
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # exact corpus dup
+            (11, "one two three four five six"),  # novel, dup'd by 12
+            (12, "one two three four five six"),
+            (13, "red green blue cyan magenta yellow"),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in incremental_dedup(corpus, batch).collect()}
+    assert out[10].status == "dup_of_corpus" and out[10].n_corpus_matches == 1
+    assert out[11].status == "admitted"
+    assert out[12].status == "dup_in_batch" and out[12].n_batch_matches == 1
+    assert out[13].status == "admitted"
+    assert len(out) == 4
+
+
+def test_incremental_dedup_matches_full_pair_set(spark):
+    """Lossless-prefix equivalence: statuses derived from the FULL all-docs
+    jaccard_pairs output (restricted to pairs touching the batch) must equal
+    incremental_dedup's output — the frozen-df prefix index loses nothing."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        incremental_dedup,
+    )
+    from clinical_search_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    s = INCREMENT_SPLIT
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs).collect()
+        if r.doc_b >= s
+    }
+    corpus = docs.filter(F.col("doc_id") < s)
+    batch = docs.filter(F.col("doc_id") >= s)
+    got = {r.doc_id: r for r in incremental_dedup(corpus, batch).collect()}
+    for doc_id in (r.doc_id for r in batch.select("doc_id").collect()):
+        cm = sum(1 for a, b in full if b == doc_id and a < s)
+        bm = sum(1 for a, b in full if b == doc_id and a >= s)
+        want = "dup_of_corpus" if cm else ("dup_in_batch" if bm else "admitted")
+        r = got[doc_id]
+        assert (r.status, r.n_corpus_matches, r.n_batch_matches) == (want, cm, bm)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup
 # ---------------------------------------------------------------------------
 
@@ -154,6 +212,35 @@ def test_semdedup_fixture_dropped_have_lower_id_witness(spark):
         out.filter(~F.col("kept")).join(witnessed, "vec_id", "left_anti").count()
     )
     assert orphans == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_nll_handcrafted(spark):
+    import math
+
+    import pytest as _pytest
+
+    from clinical_search_data_pipeline_spark.operators.curation import unigram_nll
+
+    docs = _mkdocs(spark, ["a a a a", "a a b z"])
+    out = {r.doc_id: r for r in unigram_nll(docs).collect()}
+    # freq: a=6, b=1, z=1; N=8
+    n = 8.0
+    want0 = round(sum(math.log2(n / 6) for _ in range(4)) / 4, 4)
+    want1 = round(
+        (math.log2(n / 6) + math.log2(n / 6) + math.log2(n / 1) + math.log2(n / 1))
+        / 4,
+        4,
+    )
+    assert out[0].avg_nll == _pytest.approx(want0, abs=1e-4)
+    assert out[1].avg_nll == _pytest.approx(want1, abs=1e-4)
+    assert out[0].sum_tf == 24 and out[1].sum_tf == 14
+    # common-token doc scores LOWER surprise than the rare-token doc
+    assert out[0].avg_nll < out[1].avg_nll
 
 
 # ---------------------------------------------------------------------------

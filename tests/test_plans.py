@@ -104,6 +104,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_dedup_keys_xxhash_struct",  # broadcast 1-row keys_unique scalar
     "q_mixture_weights",           # broadcast 1-row normalizer
     "q_semdedup",                  # broadcast K centroids (assignment argmax)
+    "q_unigram_nll",               # broadcast 1-row corpus token total
 }
 
 

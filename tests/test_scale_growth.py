@@ -47,6 +47,32 @@ def test_jaccard_pairs_scales_linearly(spark, tmp_path):
     )
 
 
+def test_passage_dedup_scales_linearly(spark, tmp_path):
+    """Passage dedup on the ciphered 10x corpus: the substitution cipher is
+    a bijection on characters, so within-copy duplicated passages replicate
+    exactly and cross-copy passages never collide — output rows AND total
+    dropped passages are exactly factor-linear."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.curation import passage_dedup
+
+    docs_base = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledp"), FACTOR)
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+
+    _timed_count(passage_dedup(docs_base))  # warm
+    base_sec, base_rows = _timed_count(passage_dedup(docs_base))
+    scaled_sec, scaled_rows = _timed_count(passage_dedup(docs_scaled))
+    assert base_rows > 0 and scaled_rows == FACTOR * base_rows
+
+    base_dropped = passage_dedup(docs_base).agg(F.sum("n_dropped")).collect()[0][0]
+    scaled_dropped = passage_dedup(docs_scaled).agg(F.sum("n_dropped")).collect()[0][0]
+    assert base_dropped > 0 and scaled_dropped == FACTOR * base_dropped
+    assert scaled_sec < 15 * max(base_sec, 0.5), (
+        f"superlinear blowup: base {base_sec:.2f}s -> scaled {scaled_sec:.2f}s"
+    )
+
+
 def test_scaled_corpus_preserves_untouched_tables(spark, tmp_path):
     """Non-scaled tables ride through as symlinks — same rows, same schema —
     so a registered query mixing documents with dimension tables still runs
