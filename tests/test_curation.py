@@ -76,6 +76,64 @@ def test_passage_dedup_keeps_each_passage_once_globally(spark):
     assert totals.np - totals.nd == n_distinct
 
 
+def test_passage_dedup_matches_python_reference_property(spark):
+    """Property: for ANY corpus (random word sequences with forced
+    repetition), passage_dedup matches a direct pure-Python rendering of
+    the first-occurrence contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        passage_dedup,
+    )
+
+    def py_reference(texts: list[str], p: int):
+        chunks = []  # (doc_id, pos, passage) in scan order
+        for d, t in enumerate(texts):
+            w = t.split(" ")
+            for i in range(0, len(w), p):
+                chunks.append((d, i // p, " ".join(w[i : i + p])))
+        seen: set[str] = set()
+        out = {}
+        for d, t in enumerate(texts):
+            out[d] = {"kept": [], "n_passages": 0, "n_dropped": 0}
+        for d, pos, passage in chunks:  # (doc_id, pos) order == scan order
+            out[d]["n_passages"] += 1
+            if passage in seen:
+                out[d]["n_dropped"] += 1
+            else:
+                seen.add(passage)
+                out[d]["kept"].append(passage)
+        return {
+            d: (" ".join(v["kept"]), v["n_passages"], v["n_dropped"])
+            for d, v in out.items()
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        n_docs=st.integers(min_value=1, max_value=8),
+        p=st.integers(min_value=1, max_value=4),
+    )
+    def check(seed: int, n_docs: int, p: int):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["w%d" % i for i in range(6)]  # tiny vocab forces collisions
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+            for _ in range(n_docs)
+        ]
+        want = py_reference(texts, p)
+        got = {
+            r.doc_id: (r.clean_text, r.n_passages, r.n_dropped)
+            for r in passage_dedup(_mkdocs(spark, texts), p=p).collect()
+        }
+        assert got == want
+
+    check()
+
+
 def test_passage_dup_stats_matches_flagging(spark):
     docs = _mkdocs(spark, ["a b c d", "a b e f", "a b c d"])
     stats = {r.passage_hash: r for r in passage_dup_stats(docs, p=2).collect()}
