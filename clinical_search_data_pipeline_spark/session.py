@@ -49,6 +49,19 @@ RUNTIME_CONFS: dict[str, str] = {
     # FileSystem.delete+rename compaction swap (streaming_to_curated_stream.py:203-212)
     # with an atomic-per-partition overwrite.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # InferFiltersFromGenerate synthesizes `size(g) > 0 AND isnotnull(g)`
+    # below every explode and pushes it through projections by SUBSTITUTION:
+    # for this engine's explodes the generator input is always a derived
+    # higher-order-function array (k-word shingles, passage chunks, band
+    # keys), so the inferred filter re-inlines the ENTIRE build expression —
+    # with its `split(text)` child re-executed per element_at — into a
+    # pre-filter evaluated per input row, roughly squaring the narrow-stage
+    # cost. Measured on the k=5 shingle relation at sf0.1: 6.6 s -> 0.3 s
+    # with the rule excluded. The rule only ever pays off when the generator
+    # input is a cheap stored column that is often empty — a shape this
+    # engine does not have.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 # Build-time-only confs (can't be changed on a live session).
