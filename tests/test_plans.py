@@ -108,6 +108,32 @@ BOUNDED_BROADCAST_NLJ_OK = {
 }
 
 
+def test_train_order_single_partition_only_for_offsets(spark):
+    """q_train_order's distributed-rank contract: exactly ONE
+    SinglePartition exchange (the 64-row bucket-offset prefix sum) and a
+    broadcast join carrying the offsets back — the corpus-sized window runs
+    partitioned by bucket, never globally."""
+    plan = pl.physical_plan(build(spark, "q_train_order"), "simple")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_passage_dedup_two_keyed_shuffles(spark):
+    """q_passage_dedup must shuffle exactly twice on data keys (passage
+    text for first-occurrence ranking, doc_id for reassembly) plus the
+    fan_out round-robin — no global sort, no single-partition stage."""
+    plan = pl.physical_plan(build(spark, "q_passage_dedup"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_semdedup_flag_join_broadcasts_dropped_set(spark):
+    """The final kept-flag must come from broadcasting the (tiny) dropped
+    set against the cached assignment — not a corpus reshuffle."""
+    plan = pl.physical_plan(build(spark, "q_semdedup"), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_registry_wide_no_cartesian(spark):
     """EVERY registered batch query must plan without a CartesianProduct,
     and without a BroadcastNestedLoopJoin unless its nested side is a
