@@ -562,6 +562,203 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(corpus, batch)
 
 
+# ---------------------------------------------------------------------------
+# Full curation funnel: filter -> dedup -> decontaminate -> admitted corpus
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """(doc_id, disposition) for EVERY document — the complete
+    training-corpus admission pipeline in stage order:
+
+      eval_holdout        deterministic benchmark slice, never trainable
+      too_short / low_quality / repetitive_bigrams
+                          corpus_filter's first-failing-rule reasons
+      near_dup            in a Jaccard component of the FILTERED corpus
+                          but not its min-id survivor
+      contaminated        shares a decontamination k-gram with the eval
+                          slice (GPT-3/Pile collision rule)
+      admitted            what the tokenizer actually consumes
+
+    Composition of the already-oracled stages (corpus_filter,
+    jaccard_pairs -> connected_components, decontaminate), applied the way
+    a production pipeline sequences them: each stage sees only the previous
+    stage's survivors, so e.g. a near-dup pair whose better copy was
+    quality-dropped keeps the surviving copy. Which dispositions occur
+    depends on the corpus (at sf0.01 the one contaminated doc is already
+    dropped upstream; at sf0.1 the class is populated) — the per-doc
+    hash check is over ALL rows either way.
+
+    Scale shape: every stage marker relation (near-dup drops, contaminated
+    ids) is tiny and broadcast back; the corpus is never reshuffled for the
+    final labeling. The heavy stages keep their own posture (prefix-filtered
+    pair join, edge-sized components, broadcast eval shingle set).
+    """
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from clinical_search_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_relation,
+    )
+    from clinical_search_data_pipeline_spark.operators.pipeline import (
+        BENCH_MOD,
+        DECON_K,
+        corpus_filter,
+    )
+
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    # The (doc_id, text, reason) relation feeds three consumers (the
+    # train-side shingle build, the decontamination scan's complement, and
+    # the final labeling join) and its lineage embeds the corpus_filter
+    # projection — whose derived columns each re-inline the full
+    # bigram/quality HOF tree under CollapseProject. Cache it once: one
+    # filter pass instead of three (measured 11 s -> ~7 s at sf0.1).
+    filt = corpus_filter(docs).select("doc_id", "reason")
+    base = engine_cache(docs.select("doc_id", "text").join(filt, "doc_id"))
+    is_eval = F.col("doc_id") % BENCH_MOD == 0
+    train1 = base.filter((F.col("reason") == "keep") & ~is_eval).select(
+        "doc_id", "text"
+    )
+
+    pairs = jaccard_pairs(train1).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    nd = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("_nd", F.lit(True))
+    )
+    train2 = train1.select("doc_id").join(F.broadcast(nd), "doc_id", "left_anti")
+
+    dsh = shingle_relation(docs, DECON_K)
+    bench_sh = dsh.filter(is_eval).select("shingle").distinct()
+    contam = (
+        dsh.join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .join(train2, "doc_id", "left_semi")
+        .withColumn("_ct", F.lit(True))
+    )
+
+    disposition = (
+        F.when(is_eval, F.lit("eval_holdout"))
+        .when(F.col("reason") != "keep", F.col("reason"))
+        .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_ct").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        base.join(F.broadcast(nd), "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .select("doc_id", disposition.alias("disposition"))
+    )
+
+
+def _duck_funnel_oracle() -> str:
+    from clinical_search_data_pipeline_spark.functions import textfns
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        _DUCK_SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+    from clinical_search_data_pipeline_spark.operators.pipeline import (
+        BENCH_MOD,
+        DECON_K,
+        MAX_DUP_BIGRAM,
+        MIN_QUALITY,
+        MIN_TOKENS,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         {textfns.duck_stopword_count('w')}::DOUBLE / len(w) AS stop_ratio,
+         {textfns.duck_token_length_sum('w')}::DOUBLE / len(w) AS mean_len,
+         CASE WHEN len(w) <= 1 THEN 0.0
+              ELSE 1 - len(list_distinct(
+                     list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ))::DOUBLE / (len(w) - 1)
+         END AS dup_bigram
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN stop_ratio BETWEEN 0.02 AND 0.5 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END, 2)
+           AS quality_score,
+         round(dup_bigram, 6) AS dup_bigram_frac
+  FROM m
+),
+r AS (
+  SELECT doc_id, CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN quality_score < {MIN_QUALITY} THEN 'low_quality'
+              WHEN dup_bigram_frac > {MAX_DUP_BIGRAM} THEN 'repetitive_bigrams'
+              ELSE 'keep' END AS reason
+  FROM s
+),
+keepers AS (SELECT doc_id FROM r WHERE reason = 'keep' AND doc_id % {BENCH_MOD} <> 0),
+{_DUCK_SHINGLES_CTE},
+sh2 AS (SELECT s.* FROM sh s JOIN keepers k USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.c / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  WITH RECURSIVE rr(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, rr.label FROM rr JOIN edges e ON e.b = rr.node
+  )
+  SELECT node, label FROM rr
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+nd AS (SELECT node FROM comp WHERE node <> component),
+train2 AS (SELECT doc_id FROM keepers
+           WHERE doc_id NOT IN (SELECT node FROM nd)),
+dtok AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest({textfns.duck_shingles('w', DECON_K)}) AS shingle
+  FROM dtok WHERE len(w) >= {DECON_K}
+),
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % {BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT d2.doc_id
+  FROM dsh d2 JOIN bench USING (shingle) JOIN train2 USING (doc_id)
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % {BENCH_MOD} = 0 THEN 'eval_holdout'
+            WHEN r.reason <> 'keep' THEN r.reason
+            WHEN nd.node IS NOT NULL THEN 'near_dup'
+            WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'admitted' END AS disposition
+FROM documents d
+JOIN r ON d.doc_id = r.doc_id
+LEFT JOIN nd ON d.doc_id = nd.node
+LEFT JOIN contam c ON d.doc_id = c.doc_id
+"""
+
+
+@register(
+    "q_curation_funnel",
+    oracle=_duck_funnel_oracle(),
+    tags=("curation", "pipeline", "northstar"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(read_table(spark, sf_dir, "documents"))
+
+
 @register(
     "q_train_order",
     oracle=f"""

@@ -273,6 +273,41 @@ def test_semdedup_fixture_dropped_have_lower_id_witness(spark):
 
 
 # ---------------------------------------------------------------------------
+# curation funnel
+# ---------------------------------------------------------------------------
+
+
+def test_curation_funnel_consistent_with_stage_operators(spark):
+    """The funnel's dispositions must agree with the standalone stage
+    operators: filter reasons match corpus_filter for non-eval docs, every
+    near_dup is a filter-keeper, no admitted doc is a filter-drop, and the
+    partition covers the corpus exactly once."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        curation_funnel,
+    )
+    from clinical_search_data_pipeline_spark.operators.pipeline import (
+        BENCH_MOD,
+        corpus_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {r.doc_id: r.disposition for r in curation_funnel(docs).collect()}
+    reasons = {r.doc_id: r.reason for r in corpus_filter(docs).collect()}
+    assert set(got) == set(reasons)  # exactly one disposition per doc
+    for d, disp in got.items():
+        if d % BENCH_MOD == 0:
+            assert disp == "eval_holdout", (d, disp)
+        elif reasons[d] != "keep":
+            assert disp == reasons[d], (d, disp, reasons[d])
+        else:
+            assert disp in ("near_dup", "contaminated", "admitted"), (d, disp)
+    assert sum(1 for v in got.values() if v == "near_dup") > 0
+    assert sum(1 for v in got.values() if v == "admitted") > 0
+
+
+# ---------------------------------------------------------------------------
 # unigram LM quality
 # ---------------------------------------------------------------------------
 
