@@ -41,6 +41,17 @@ CLICK_EVENT_SCHEMA = StructType(
     ]
 )
 
+# CSV twin of the click-event schema: CSV cannot carry the `documents`
+# array, so it rides as a pipe-joined string (split downstream with the
+# same explode(split(...)) normalizer as clinical_areas). Every other
+# field is already scalar.
+CLICK_EVENT_CSV_SCHEMA = StructType(
+    [
+        f if f.name != "documents" else StructField("documents", StringType())
+        for f in CLICK_EVENT_SCHEMA.fields
+    ]
+)
+
 # Bronze lineage columns added by the archive job
 # (reference batch_to_archive_raw.py:130-161).
 ARCHIVE_METADATA_COLUMNS = (

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from clinical_search_data_pipeline_spark.functions import timeops
-from clinical_search_data_pipeline_spark.schemas import CLICK_EVENT_SCHEMA
+from clinical_search_data_pipeline_spark.schemas import (
+    CLICK_EVENT_CSV_SCHEMA,
+    CLICK_EVENT_SCHEMA,
+)
 from clinical_search_data_pipeline_spark.session import apply_runtime_confs
 
 
@@ -120,6 +123,30 @@ def read_json_log(
     filter contract (streaming_to_curated_stream.py:126,139).
     """
     return spark.read.schema(schema or CLICK_EVENT_SCHEMA).json(path)
+
+
+def read_csv_log(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema-pinned CSV scan — the third bronze wire format beyond the
+    reference's JSON/Kafka/parquet (batch exports commonly arrive as CSV).
+
+    Never infers: inference costs a full extra pass over the source AND can
+    silently flip a column's type between runs (the same determinism rule
+    as read_json_log). PERMISSIVE mode surfaces malformed rows as nulls for
+    the F1 null-guard filter, matching the JSON path's contract.
+    """
+    return (
+        spark.read.schema(schema or CLICK_EVENT_CSV_SCHEMA)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
 
 
 def with_lineage(df: DataFrame, ingestion_type: str, as_of=None) -> DataFrame:
