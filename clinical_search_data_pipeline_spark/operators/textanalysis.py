@@ -474,3 +474,143 @@ SELECT lang, rank, word, score FROM ranked WHERE rank <= {TFIDF_TOP_K}
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms_per_lang(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprinting, Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per shingle
+WINNOW_W = 5  # consecutive shingle hashes per selection window
+WINNOW_MAX_DF = 20  # hot-fingerprint cap for the candidate pair join
+WINNOW_MIN_SHARED = 2  # min shared fingerprints to emit a candidate pair
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing fingerprints: per-doc distinct window-minimum shingle hashes.
+
+    The MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash every
+    k-token shingle, slide a window of `w` consecutive shingle hashes, keep
+    each window's minimum; the distinct selected hashes are the document's
+    fingerprint. Position-robust — a local edit disturbs only the O(w)
+    windows it overlaps, unlike the whole-text hash in `doc_fingerprints` —
+    and guarantees any shared token run of length >= k + w - 1 contributes
+    at least one shared fingerprint.
+
+    Tail windows (fewer than `w` hashes) are included; Spark's
+    ``rowsBetween`` and the oracle's ``ROWS BETWEEN`` both truncate at the
+    partition edge, so the engines agree by construction.
+
+    Scale: one keyed shuffle on doc_id for the positional window (documents
+    are the natural partition unit), then a hash-aggregate distinct on
+    (doc_id, fp) — no global ordering, no cross join. The md5-derived
+    `hash64` keeps the column oracle-checkable; swap `F.xxhash64` at the
+    same call site for maximum JVM throughput in production.
+    """
+    toks = docs.select("doc_id", textfns.tokens("text").alias("w")).filter(
+        F.expr(f"size(w) >= {k}")
+    )
+    grams = toks.select(
+        "doc_id", F.posexplode(textfns.shingles("w", k)).alias("pos", "gram")
+    )
+    hashed = grams.select("doc_id", "pos", hash64(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return hashed.select(
+        "doc_id", F.min("h").over(win).alias("fp")
+    ).distinct()
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """MOSS-style candidate pairs: docs sharing >= `min_shared` fingerprints.
+
+    Fingerprints held by more than `max_df` documents (boilerplate) are
+    dropped *before* the self-join — the same posting-list cap that keeps
+    the shingle pair join in `operators/dedup.py` linear: a fingerprint
+    shared by d docs contributes d^2 pair rows, so the join fan-out is
+    bounded by max_df^2 per fingerprint regardless of corpus size. The df
+    count rides a count-over-window on the same fp-keyed shuffle the join
+    needs anyway (no second corpus-wide exchange — the r4 jaccard lesson).
+    """
+    fps = winnow_fingerprints(docs, k, w)
+    kept = (
+        fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    return (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def _winnow_fp_cte(k: int, w: int) -> str:
+    """Shared DuckDB CTE chain ending in `fps(doc_id, fp)`."""
+    return f"""
+tok AS (
+  SELECT doc_id, {textfns.duck_tokens("text")} AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, {textfns.duck_shingles("w", k)} AS g FROM tok
+  WHERE len(w) >= {k}
+),
+pg AS (
+  SELECT doc_id,
+         unnest(list_transform(g, (x, i) -> {{'pos': i, 'gram': x}})) AS u
+  FROM grams
+),
+hashed AS (
+  SELECT doc_id, u.pos AS pos, {duck_hash64("u.gram")} AS h FROM pg
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM hashed
+)"""
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle=f"""
+WITH {_winnow_fp_cte(WINNOW_K, WINNOW_W)}
+SELECT doc_id, fp FROM fps
+""",
+    tags=("text", "dedup", "northstar"),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_winnow_pairs",
+    oracle=f"""
+WITH {_winnow_fp_cte(WINNOW_K, WINNOW_W)},
+kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+""",
+    tags=("text", "dedup", "northstar"),
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_candidate_pairs(read_table(spark, sf_dir, "documents"))

@@ -44,25 +44,90 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The round driver hash-checks `queries()` in dict order under an exactly-
+# 50-entry budget (every CORRECTNESS_r* artifact has 50 rows). Rotation is
+# therefore a first-class, per-round decision: the 50 names below lead the
+# surfaced order; every other query follows in module-registration order.
+# Being listed is NOT a correctness statement — it is this round's claim on
+# the driver's budget.
+#
+# Round-5 window = (a) the 31 queries whose last driver row is r02/r03
+# (VERDICT r04 "Next round" #1: all of dedup/similarity/splits/multimodal/
+# api + the textanalysis tail), (b) every query NEW this round
+# (mixture_weights, media_decode, winnow pair, decontaminate, the curation
+# family, the three structural oracle twins), (c) queries whose behavior
+# changed this round (q_neardup_clusters: two-phase components default;
+# q_doc_dedup_apply consumes it), and (d) two explode-path canaries
+# (q_clinical_areas/q_clinical_trend) re-verified after the
+# InferFiltersFromGenerate optimizer-rule exclusion (session.py).
+ROUND_PRIORITY: tuple[str, ...] = (
+    # (a) stale since r02/r03 — dedup
+    "q_doc_exact_dedup",
+    "q_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_simhash_fingerprints",
+    "q_simhash_buckets",
+    # (a) similarity (incl. the 4 ANN queries)
+    "q_embedding_norms",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
+    "q_ann_lsh_topk",
+    "q_cosine_topk_vectorized",
+    "q_ann_ivf_topk",
+    "q_ann_ivf_multiprobe",
+    "q_ann_lsh_multiprobe",
+    # (a) splits + (b) new mixture weights
+    "q_hash_split",
+    "q_hash_sample",
+    "q_pivot_event_types",
+    "q_user_set_ops",
+    "q_mixture_sample",
+    "q_stratified_sample",
+    "q_sequence_pack",
+    "q_mixture_weights",
+    # (a) multimodal + (b) new real decoder
+    "q_media_resize",
+    "q_media_features",
+    "q_media_meta",
+    "q_media_frames",
+    "q_media_decode",
+    # (a) api
+    "q_sql_nation_revenue",
+    # (a) textanalysis tail + (b) new winnowing pair
+    "q_lang_id",
+    "q_doc_fingerprints",
+    "q_bpe_token_counts",
+    "q_repetition_quality",
+    "q_tfidf_top_terms",
+    "q_winnow_fingerprints",
+    "q_winnow_pairs",
+    # (b) new decontamination + (c) components default change + consumer
+    "q_decontaminate",
+    "q_neardup_clusters",
+    "q_doc_dedup_apply",
+    # (b) the curation family (registered too late for the r5-start window;
+    # pulled forward here so each lands its first driver row this round)
+    "q_passage_dup_stats",
+    "q_passage_dedup",
+    "q_semdedup",
+    "q_unigram_nll",
+    "q_incremental_dedup",
+    "q_curation_funnel",
+    "q_train_order",
+    # (b) structural oracle twins for the rows-only sketch/xxhash queries
+    "q_approx_daily_traffic_struct",
+    "q_value_quantiles_struct",
+    "q_dedup_keys_xxhash_struct",
+    # (d) explode-path canaries after the optimizer-rule exclusion
+    "q_clinical_areas",
+    "q_clinical_trend",
+)
+
+
 def _load_modules() -> None:
-    # Imported for their registration side effects. ORDER MATTERS to the
-    # round driver: it checks queries in registration order under a ~50-entry
-    # budget, so each round the modules whose queries went unchecked last
-    # round register FIRST, followed by modules whose builders/oracles
-    # changed this round (a changed query must land a fresh driver row).
-    #
-    # Round-5 order (VERDICT r04 "Next round" #1): the 31 queries whose last
-    # driver row is r02/r03 go first — dedup(5, jaccard_pairs behaviorally
-    # changed in r4) slots 0-4; similarity(9, incl. the 4 ANN queries) 5-13;
-    # splits(7) 14-20; multimodal(4 + new q_media_decode) 21-25; api(1) 26;
-    # textanalysis(10; last 5 were outside the r4 window) 28-37. Then this
-    # round's changes: components(1, two-phase default) 38; pipeline(3, incl.
-    # NEW q_decontaminate) 39-41; sketches(4, incl. NEW *_struct oracle
-    # twins) 42-45; marts 46+ with NEW q_dedup_keys_xxhash_struct first
-    # within the module (slot 46) then the marts head through slot 49.
-    # (NEW q_mixture_weights rides splits at slot 19.) The marts tail and
-    # quality/rangejoin/sessionize/skew/ingest/relational/stream_queries
-    # (all green r04, unchanged) fall outside the window.
+    # Imported for their registration side effects; surfaced order is
+    # ROUND_PRIORITY first (see above), then registration order.
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
         similarity,
@@ -87,17 +152,22 @@ def _load_modules() -> None:
         stream_queries,
     )
 
-    # NEW this round (passage dedup / SemDeDup / train order): registered
-    # last — outside the driver's ~50-slot window, which this round belongs
-    # to the stale r02/r03 queries per VERDICT r04 #1. Local oracle parity
-    # (tests/test_oracle_parity.py) covers them now; they rotate into the
-    # driver window next round.
     from clinical_search_data_pipeline_spark.operators import curation  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """Full registry, ROUND_PRIORITY names first then registration order.
+
+    Raises if a priority name doesn't resolve — a silently-dropped window
+    claim would waste a driver slot without anyone noticing.
+    """
     _load_modules()
-    return dict(_REGISTRY)
+    missing = [n for n in ROUND_PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"ROUND_PRIORITY names not registered: {missing}")
+    prioritized = {n: _REGISTRY[n] for n in ROUND_PRIORITY}
+    prioritized.update((n, s) for n, s in _REGISTRY.items() if n not in prioritized)
+    return prioritized
 
 
 def all_queries() -> dict[str, QueryFn]:

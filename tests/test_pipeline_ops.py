@@ -235,3 +235,41 @@ def test_run_to_memory_restores_shuffle_conf(spark):
         assert spark.conf.get(key, None) is None
     finally:
         spark.conf.set(key, "4")
+
+
+def test_winnow_guarantee_and_edit_locality(spark):
+    """Winnowing contract (Schleimer et al. 2003): (a) identical docs yield
+    identical fingerprint sets, so every fingerprint of a duplicated doc is
+    shared; (b) a single-token edit disturbs only the O(k + w) windows it
+    overlaps, so a long doc keeps most of its fingerprints; (c) any shared
+    token run of length >= k + w - 1 yields >= 1 shared fingerprint."""
+    from clinical_search_data_pipeline_spark.operators.textanalysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(300))
+    edited = base.split(" ")
+    edited[150] = "EDITED"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(edited))], ["doc_id", "text"]
+    )
+    fps = {
+        doc_id: {r.fp for r in rows}
+        for doc_id, rows in (
+            (d, winnow_fingerprints(docs, WINNOW_K, WINNOW_W)
+                .filter(f"doc_id = {d}").collect())
+            for d in (1, 2, 3)
+        )
+    }
+    # (a) exact duplicate -> identical fingerprint set
+    assert fps[1] == fps[2] and fps[1]
+    # (b) one edited token out of 300 -> the vast majority of fingerprints
+    # survive (the edit can disturb at most k + w - 1 = 8 window minima per
+    # side; be loose: require > 2/3 overlap)
+    shared = len(fps[1] & fps[3])
+    assert shared / len(fps[1]) > 2 / 3, (shared, len(fps[1]))
+    # (c) the two distinct docs still share a long common run -> candidate
+    # pair guarantee holds
+    assert shared >= 1

@@ -38,3 +38,15 @@ def test_oracled_queries_have_distinct_oracle_sql():
             dups.append((seen[key], name))
         seen[key] = name
     assert not dups, f"identical oracle SQL: {dups}"
+
+
+def test_round_priority_leads_surfaced_order():
+    """The driver checks exactly 50 queries in `queries()` order; the
+    explicit ROUND_PRIORITY list must (a) resolve completely — all_specs
+    raises on a stale name — and (b) actually lead the surfaced order."""
+    from clinical_search_data_pipeline_spark.registry import ROUND_PRIORITY
+
+    names = list(all_specs())
+    assert len(ROUND_PRIORITY) == 50
+    assert len(set(ROUND_PRIORITY)) == 50, "duplicate names in ROUND_PRIORITY"
+    assert tuple(names[: len(ROUND_PRIORITY)]) == ROUND_PRIORITY
