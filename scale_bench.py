@@ -41,6 +41,7 @@ HEAVY_FAMILY = (
     "q_ann_ivf_multiprobe",
     "q_passage_dedup",
     "q_train_order",
+    "q_winnow_pairs",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per
