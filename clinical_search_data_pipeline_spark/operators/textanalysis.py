@@ -537,10 +537,14 @@ def winnow_candidate_pairs(
     shared by d docs contributes d^2 pair rows, so the join fan-out is
     bounded by max_df^2 per fingerprint regardless of corpus size. The df
     count rides a count-over-window on the same fp-keyed shuffle the join
-    needs anyway (no second corpus-wide exchange — the r4 jaccard lesson).
+    needs anyway (no second corpus-wide exchange — the r4 jaccard lesson),
+    and the filtered relation is `engine_cache`d so the self-join's two
+    sides don't each re-execute the shingle→hash→window subtree.
     """
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
     fps = winnow_fingerprints(docs, k, w)
-    kept = (
+    kept = engine_cache(
         fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("df") <= max_df)
         .drop("df")
