@@ -776,3 +776,91 @@ FROM k
 )
 def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_order(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling: fill a per-language token budget in seeded order
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2000  # fixture budget; production passes the real per-lang cap
+TOKEN_BUDGET_SEED = "budget0"
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, seed: str = TOKEN_BUDGET_SEED
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, cum_tokens) — the per-language prefix of the
+    seeded-hash document order whose running token total fits `budget`
+    (cum_tokens <= budget, cumulative INCLUDING the current document).
+
+    Data-mixture recipes are stated in tokens, not documents ("50 B tokens
+    of lang X"); materializing them needs a per-group running token sum in
+    a reproducible order. A naive per-lang window is a single partition per
+    language — with few languages that is the W2 global-window hazard in
+    group clothing. Computed DISTRIBUTED instead, same scheme as
+    train_order: the seeded hash's top 6 bits form 64 uniform buckets;
+    per-(lang, bucket) token totals (a #langs x 64 metadata relation — its
+    prefix-sum window is the ONLY single-partition step) yield broadcast
+    bucket offsets, and the within-bucket running sum rides a
+    (lang, bucket)-keyed window. Bucket-major + within-bucket order IS the
+    total (shuffle_key, doc_id) order, so the result equals the naive
+    global window (pytest-pinned).
+
+    Scale lever: buckets whose offset already exceeds the budget are
+    dropped BEFORE the cumsum shuffle — once the budget is a small fraction
+    of the corpus, ~(1 - budget/corpus) of every language never shuffles at
+    all.
+    """
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        hash64(F.concat_ws(":", F.lit(seed), F.col("doc_id"))).alias("shuffle_key"),
+    ).withColumn("bucket", F.shiftright("shuffle_key", _RANK_BUCKET_SHIFT))
+    totals = keyed.groupBy("lang", "bucket").agg(F.sum("n_tokens").alias("t"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang", "bucket", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("offset")
+    ).filter(F.col("offset") < budget)
+    w_local = Window.partitionBy("lang", "bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(w_local)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "q_token_budget",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         {duck_hash64(f"'{TOKEN_BUDGET_SEED}' || ':' || CAST(doc_id AS VARCHAR)")}
+           AS shuffle_key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY shuffle_key, doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_tokens
+  FROM k
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+""",
+    tags=("curation", "northstar"),
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget prefix sample (the oracle is the naive
+    global window the distributed form must equal)."""
+    return token_budget_sample(read_table(spark, sf_dir, "documents"))

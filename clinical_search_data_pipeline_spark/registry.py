@@ -152,7 +152,10 @@ def _load_modules() -> None:
         stream_queries,
     )
 
-    from clinical_search_data_pipeline_spark.operators import curation  # noqa: F401
+    from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        curation,
+        redaction,
+    )
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -375,3 +375,48 @@ def test_train_order_seed_changes_order(spark):
         F.col("order_idx") != F.col("order_idx_b")
     ).count()
     assert moved > 0
+
+
+def test_token_budget_equals_naive_window(spark):
+    """The bucket-offset distributed running sum must equal the naive
+    per-lang global window, and every kept prefix must be maximal (the
+    next doc in seeded order would overflow the budget)."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        TOKEN_BUDGET,
+        TOKEN_BUDGET_SEED,
+        token_budget_sample,
+    )
+    from clinical_search_data_pipeline_spark.functions.hashing import hash64
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    got = token_budget_sample(docs)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        hash64(
+            F.concat_ws(":", F.lit(TOKEN_BUDGET_SEED), F.col("doc_id"))
+        ).alias("shuffle_key"),
+    )
+    naive = (
+        keyed.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                Window.partitionBy("lang").orderBy("shuffle_key", "doc_id")
+            ),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+    n_naive = naive.count()
+    assert n_naive > 0
+    assert got.count() == n_naive
+    assert got.join(naive, ["doc_id", "lang", "n_tokens", "cum_tokens"]).count() == n_naive
+    # maximality: per lang, the kept prefix cannot be extended
+    per_lang = got.groupBy("lang").agg(F.max("cum_tokens").alias("kept"))
+    # every language with any docs at all must appear (budget > single doc)
+    assert per_lang.count() == docs.select("lang").distinct().count()
+    for r in per_lang.collect():
+        assert r.kept <= TOKEN_BUDGET
