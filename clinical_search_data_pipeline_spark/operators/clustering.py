@@ -1,0 +1,154 @@
+"""Distributed k-means (one Lloyd refinement round) over the embedding
+corpus, bit-exact against a DuckDB oracle.
+
+North-star extension: the IVF index (operators/similarity.py) assigns
+vectors to FIXED seed centroids and notes that production seeds them with
+k-means||. This module supplies the missing refinement step as a native
+DataFrame program — assign → recompute centroids → reassign — so the
+coarse quantizer actually adapts to the corpus, and `q_semdedup` / the IVF
+family inherit better cells by swapping `ivf_assignments` for
+`kmeans_refined_assignments`.
+
+Cross-engine float determinism (same discipline as curation.unigram_nll):
+a centroid component is a MEAN of doubles, and float addition is
+order-dependent, so the per-(cell, dim) sum is NOT a groupBy sum — member
+values are collected sorted by vec_id and folded LEFT-TO-RIGHT from an
+explicit 0.0 seed (Spark `aggregate` over `array_sort(collect_list(...))`;
+DuckDB `list_reduce` over a 0.0-prepended `list(x ORDER BY vec_id)`), making
+the summation order identical on both engines. The dot products on both
+sides are already index-ordered folds (fragments._spark_dot/_duck_dot).
+
+Scale posture: assignment is a broadcast of K centroids against one narrow
+scan + an argmax window keyed on vec_id; the update is ONE shuffle keyed on
+(cell, dim) — D x K groups, uniformly sized, skew-free regardless of how
+lopsided the cells are (a cell-keyed update would put a hot cell on one
+task; the dim split spreads it D ways). The pinned-order fold only changes
+the aggregation expression, not the shuffle shape; a float-tolerant
+production run swaps it for the native `avg`. Empty cells drop out of the
+next round (standard Lloyd behavior), mirrored exactly by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.fragments import (
+    _DUCK_BASE_CTE,
+    _duck_dot,
+    _spark_dot,
+)
+from clinical_search_data_pipeline_spark.operators.similarity import (
+    CENTROID_BASE,
+    N_CENTROIDS,
+    ivf_assignments,
+    vectors_with_norms,
+)
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+
+def _assign(base: DataFrame, cents: DataFrame, out_cell: str) -> DataFrame:
+    """(vec_id, v, norm, <out_cell>) — max-cosine assignment, ties to the
+    lowest cell id (deterministic)."""
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "_s", F.expr(_spark_dot("v", "cv")) / (F.col("norm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "norm", F.col("cell").alias(out_cell))
+    )
+
+
+def updated_centroids(assigned: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """(cell, cv, cnorm) — per-cell mean vector with order-pinned summation
+    (see module docstring), reassembled in dim order."""
+    comp = assigned.select(
+        F.col(cell_col).alias("cell"), "vec_id", F.posexplode("v").alias("dim", "x")
+    )
+    pinned_mean = F.expr(
+        "aggregate(array_sort(collect_list(struct(vec_id, x))), "
+        "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.x)"
+    ) / F.count("*")
+    dims = comp.groupBy("cell", "dim").agg(pinned_mean.alias("m"))
+    cents = dims.groupBy("cell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+        ).alias("cv")
+    )
+    return cents.withColumn("cnorm", F.expr(f"sqrt({_spark_dot('cv', 'cv')})"))
+
+
+def kmeans_refined_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell0, cell1) — the seed-centroid assignment and the
+    assignment after one Lloyd round over the seed cells."""
+    base = vectors_with_norms(emb)
+    a0 = ivf_assignments(emb).select("vec_id", "v", "norm", F.col("cell").alias("cell0"))
+    cents1 = updated_centroids(a0, "cell0")
+    a1 = _assign(base, cents1, "cell1")
+    return a0.select("vec_id", "cell0").join(a1.select("vec_id", "cell1"), "vec_id")
+
+
+# Oracle: the same two assignment rounds as nested CTEs. `cells0` mirrors
+# ivf_assignments (identical text shape to the q_ann_ivf_* oracles); the
+# centroid update folds list(x ORDER BY vec_id) from a 0.0 seed.
+_DUCK_KMEANS_CTE = f"""
+{_DUCK_BASE_CTE},
+cents0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign0 AS (
+  SELECT vec_id, v, norm, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents0
+),
+cells0 AS (SELECT vec_id, v, norm, cell AS cell0 FROM assign0 WHERE rn = 1),
+comp AS (
+  SELECT cell0 AS cell, vec_id, unnest(v) AS x,
+         generate_subscripts(v, 1) AS dim
+  FROM cells0
+),
+dims AS (
+  SELECT cell, dim,
+         list_reduce(
+           list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)),
+           (acc, e) -> acc + e
+         ) / count(*) AS m
+  FROM comp GROUP BY cell, dim
+),
+cents1 AS (
+  SELECT cell, list(m ORDER BY dim) AS cv,
+         sqrt(list_reduce(list_transform(list(m ORDER BY dim), e -> e * e),
+              (acc, e) -> acc + e)) AS cnorm
+  FROM dims GROUP BY cell
+),
+assign1 AS (
+  SELECT n.vec_id, cents1.cell,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_duck_dot('n.v', 'cents1.cv')} / (n.norm * cents1.cnorm) DESC,
+                    cents1.cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents1
+),
+cells1 AS (SELECT vec_id, cell AS cell1 FROM assign1 WHERE rn = 1)"""
+
+
+@register(
+    "q_kmeans_refine",
+    oracle=f"""
+WITH {_DUCK_KMEANS_CTE}
+SELECT cells0.vec_id AS vec_id, cell0, cell1
+FROM cells0 JOIN cells1 ON cells0.vec_id = cells1.vec_id
+""",
+    tags=("clustering", "similarity", "northstar"),
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-cell vs one-Lloyd-round assignment for every vector."""
+    return kmeans_refined_assignments(read_table(spark, sf_dir, "embeddings"))

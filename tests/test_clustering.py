@@ -1,0 +1,73 @@
+"""Lloyd refinement: the oracle-parity hash check runs in
+test_oracle_parity; here we pin the semantic properties the hash cannot
+express — that the refined centroids actually fit the corpus better, and
+that the update step computes true per-cell means."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.clustering import (
+    _assign,
+    kmeans_refined_assignments,
+    updated_centroids,
+)
+from clinical_search_data_pipeline_spark.operators.fragments import _spark_dot
+from clinical_search_data_pipeline_spark.operators.similarity import (
+    ivf_assignments,
+    vectors_with_norms,
+)
+from tests.conftest import SF_CORRECTNESS
+
+
+def _mean_assigned_cosine(base, cents, assigned, cell_col):
+    joined = (
+        assigned.select("vec_id", F.col(cell_col).alias("cell"))
+        .join(base, "vec_id")
+        .join(cents, "cell")
+        .withColumn(
+            "s", F.expr(_spark_dot("v", "cv")) / (F.col("norm") * F.col("cnorm"))
+        )
+    )
+    return joined.agg(F.avg("s")).collect()[0][0]
+
+
+def test_refinement_improves_fit_and_moves_vectors(spark):
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    base = vectors_with_norms(emb)
+    a0 = ivf_assignments(emb).select("vec_id", "v", "norm", F.col("cell").alias("cell0"))
+    cents0 = base.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        (F.col("vec_id") - 100).alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cents1 = updated_centroids(a0, "cell0")
+    a1 = _assign(base, cents1, "cell1")
+
+    fit0 = _mean_assigned_cosine(base, cents0, a0, "cell0")
+    fit1 = _mean_assigned_cosine(base, cents1, a1, "cell1")
+    # One Lloyd round must not worsen the mean member-to-centroid cosine
+    # (on this fixture it improves substantially: seed centroids are
+    # arbitrary corpus vectors, the mean is a far better representative).
+    assert fit1 > fit0, (fit0, fit1)
+
+    moved = (
+        kmeans_refined_assignments(emb)
+        .filter(F.col("cell0") != F.col("cell1"))
+        .count()
+    )
+    assert moved > 0  # the round is not a no-op on the fixture
+
+
+def test_updated_centroid_is_exact_mean(spark):
+    # Hand-checkable 2-d micro-case: cell 0 = {(1,0), (0,1)} -> mean (.5,.5)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, v array<double>"
+    ).select("vec_id", "v", F.lit(1.0).alias("norm"), F.lit(0).alias("cell"))
+    got = {
+        r["cell"]: (r["cv"], r["cnorm"])
+        for r in updated_centroids(emb).collect()
+    }
+    cv, cnorm = got[0]
+    assert cv == [0.5, 0.5]
+    assert abs(cnorm - 0.5 * 2 ** 0.5) < 1e-12

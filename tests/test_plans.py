@@ -105,6 +105,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_mixture_weights",           # broadcast 1-row normalizer
     "q_semdedup",                  # broadcast K centroids (assignment argmax)
     "q_unigram_nll",               # broadcast 1-row corpus token total
+    "q_kmeans_refine",             # broadcast K centroids, both Lloyd rounds
 }
 
 
