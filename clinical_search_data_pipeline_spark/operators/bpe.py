@@ -1,0 +1,160 @@
+"""BPE vocabulary induction: a byte-pair-encoding merge step (and a
+sequential trainer built from it) as native DataFrame programs.
+
+North-star extension: `textanalysis.bpe_token_counts` covers the regex
+PRE-tokenization stage of a BPE tokenizer; this module supplies the trainer
+itself (Sennrich et al. 2016): count adjacent-symbol pair frequencies over
+the weighted word vocabulary, merge the most frequent pair, repeat. One
+merge step is fully relational and oracled bit-exactly against DuckDB;
+training is the inherently-sequential loop over it.
+
+Symbol-sequence representation (the crux of engine portability): a word's
+symbol sequence is encoded as a delimited string ``|s1||s2||...||sn|`` —
+every symbol carries its OWN flanking ``|`` on each side, so adjacent
+pair occurrences share no characters. Applying merge (a, b) is then plain
+``replace(s, '|a||b|', '|ab|')``: leftmost non-overlapping replacement —
+identical semantics in Spark and DuckDB's non-regex `replace` — which is
+exactly BPE's greedy left-to-right pairing (a run of k equal symbols
+merges floor(k/2) times), and a match can never start mid-symbol because
+symbols contain no ``|`` (guarded). The replacement restores the flanking
+delimiters, so the encoding is closed under merges and the step iterates.
+
+Scale posture: the corpus is touched ONCE (explode words -> count), after
+which everything — pair counting, argmax, merge application — runs on the
+VOCABULARY relation (Heaps' law: ~sqrt of corpus size), with the 1-row
+best-pair broadcast against it. The trainer's per-merge `.collect()` is a
+single row (the chosen pair) — the algorithm's sequential dependency, not
+a driver-side data loop; production trainers (HF tokenizers, SentencePiece)
+have the same per-merge synchronization point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+# Spark-side expression fragments ------------------------------------------
+
+# chars -> '|c1||c2||...||cn|' (sequence(1, length) is safe: words are
+# filtered non-empty, and Spark's descending-sequence gotcha needs start >
+# stop which cannot happen for length >= 1)
+_SPARK_SYM = (
+    "concat('|', array_join(transform(sequence(1, length(word)), "
+    "i -> substring(word, i, 1)), '||'), '|')"
+)
+# delimited string -> symbol array
+_SPARK_SYMS_ARR = r"split(trim(BOTH '|' FROM s), '\\|\\|')"
+# adjacent pairs in pattern form '|a||b|' (slice(..., 1, size-1) is [] for
+# single-symbol words — no descending-sequence hazard)
+_SPARK_PAIRS = (
+    f"transform(slice({_SPARK_SYMS_ARR}, 1, size({_SPARK_SYMS_ARR}) - 1), "
+    f"(x, i) -> concat('|', x, '||', element_at({_SPARK_SYMS_ARR}, i + 2), '|'))"
+)
+
+
+def word_vocab(docs: DataFrame) -> DataFrame:
+    """(word, wf, s) — corpus word frequencies with the delimited initial
+    (per-character) symbol sequence. The ONLY corpus-sized stage."""
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        (F.col("word") != "") & (~F.col("word").contains("|"))
+    )
+    return words.groupBy("word").agg(F.count("*").alias("wf")).withColumn(
+        "s", F.expr(_SPARK_SYM)
+    )
+
+
+def pair_frequencies(vocab: DataFrame) -> DataFrame:
+    """(pair, freq) — weighted adjacent-symbol pair counts over the vocab;
+    `pair` is the ready-to-replace pattern '|a||b|'."""
+    return (
+        vocab.select("wf", F.explode(F.expr(_SPARK_PAIRS)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("freq"))
+    )
+
+
+def best_pair(pairs: DataFrame) -> DataFrame:
+    """1-row (pair, freq) argmax; ties broken by pair text ascending."""
+    return pairs.orderBy(F.col("freq").desc(), F.col("pair").asc()).limit(1)
+
+
+def bpe_merge_step(docs: DataFrame) -> DataFrame:
+    """(word, wf, sym_before, sym_after, pair, freq) for every vocabulary
+    word CHANGED by merging the corpus's most frequent adjacent pair."""
+    vocab = word_vocab(docs)
+    best = best_pair(pair_frequencies(vocab)).select(
+        "pair", "freq", F.expr("replace(pair, '||', '')").alias("_rep")
+    )
+    out = vocab.crossJoin(F.broadcast(best)).select(
+        "word",
+        "wf",
+        F.col("s").alias("sym_before"),
+        F.expr("replace(s, pair, _rep)").alias("sym_after"),
+        "pair",
+        "freq",
+    )
+    return out.filter(F.col("sym_before") != F.col("sym_after"))
+
+
+def bpe_train(docs: DataFrame, n_merges: int) -> list[tuple[str, int]]:
+    """The sequential trainer: n_merges rounds of (count pairs, collect the
+    1-row argmax, apply). Returns [(pair_pattern, freq), ...] in merge
+    order. Each round's jobs run on the vocab relation only (see module
+    docstring on the per-merge 1-row collect)."""
+    vocab = word_vocab(docs).cache()
+    merges: list[tuple[str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = best_pair(pair_frequencies(vocab)).collect()
+            if not top or top[0]["freq"] <= 0:
+                break
+            pair, freq = top[0]["pair"], int(top[0]["freq"])
+            merges.append((pair, freq))
+            rep = pair.replace("||", "")
+            nxt = vocab.withColumn(
+                "s", F.expr(f"replace(s, '{pair}', '{rep}')")
+            ).cache()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+@register(
+    "q_bpe_merge_step",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wf,
+         '|' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), '||') || '|' AS s
+  FROM w WHERE word <> '' AND NOT contains(word, '|')
+  GROUP BY word
+),
+syms AS (SELECT word, wf, s, string_split(trim(s, '|'), '||') AS a FROM vocab),
+pr AS (
+  SELECT wf,
+         unnest(list_transform(range(1, len(a)),
+                i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+  FROM syms
+),
+pf AS (SELECT pair, sum(wf)::BIGINT AS freq FROM pr GROUP BY pair),
+best AS (SELECT pair, freq FROM pf ORDER BY freq DESC, pair ASC LIMIT 1)
+SELECT word, wf, s AS sym_before,
+       replace(s, best.pair, replace(best.pair, '||', '')) AS sym_after,
+       best.pair AS pair, best.freq AS freq
+FROM vocab CROSS JOIN best
+WHERE s <> replace(s, best.pair, replace(best.pair, '||', ''))
+""",
+    tags=("bpe", "text", "northstar"),
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_step(read_table(spark, sf_dir, "documents"))

@@ -153,6 +153,7 @@ def _load_modules() -> None:
     )
 
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        bpe,
         clustering,
         curation,
         redaction,

@@ -1,0 +1,55 @@
+"""BPE trainer semantics: hand-computed merges on the classic Sennrich
+corpus, and greedy left-to-right pairing on equal-symbol runs (the case
+where a naive replace scheme would double-merge). The registered step
+query's full-corpus hash parity runs in test_oracle_parity."""
+
+from __future__ import annotations
+
+from clinical_search_data_pipeline_spark.operators.bpe import (
+    bpe_merge_step,
+    bpe_train,
+    word_vocab,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_train_matches_hand_computed_merges(spark):
+    # Sennrich et al. 2016 example vocabulary: low x3, lower x2,
+    # newest x4, widest x1.
+    docs = _docs(
+        spark,
+        ["low low low lower lower", "newest newest newest newest widest"],
+    )
+    merges = bpe_train(docs, 3)
+    # Round 1: w-e appears in lower(2) + newest(4) = 6 — the unique max.
+    # Round 2: l-o (5) ties s-t (5); '|l||o|' < '|s||t|' lexicographically.
+    # Round 3: s-t (5).
+    assert merges == [("|w||e|", 6), ("|l||o|", 5), ("|s||t|", 5)]
+
+
+def test_equal_symbol_run_merges_greedily_left_to_right(spark):
+    # 'aaaa' -> (aa)(aa); 'aaa' -> (aa)(a): floor(k/2) merges, leftmost
+    # first — adjacent matches must not share delimiter characters.
+    rows = {
+        r["word"]: r["sym_after"]
+        for r in bpe_merge_step(_docs(spark, ["aaaa aaa"])).collect()
+    }
+    assert rows == {"aaaa": "|aa||aa|", "aaa": "|aa||a|"}
+
+
+def test_vocab_is_weighted_and_clean(spark):
+    vocab = {
+        r["word"]: (r["wf"], r["s"])
+        for r in word_vocab(_docs(spark, ["ab ab b", "b ab"])).collect()
+    }
+    assert vocab == {"ab": (3, "|a||b|"), "b": (2, "|b|")}
+
+
+def test_train_stops_when_no_pairs_remain(spark):
+    # Single-char words only: zero adjacent pairs, trainer returns early.
+    assert bpe_train(_docs(spark, ["a b a"]), 5) == []

@@ -106,6 +106,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_semdedup",                  # broadcast K centroids (assignment argmax)
     "q_unigram_nll",               # broadcast 1-row corpus token total
     "q_kmeans_refine",             # broadcast K centroids, both Lloyd rounds
+    "q_bpe_merge_step",            # broadcast 1-row best pair vs the vocab
 }
 
 
