@@ -86,11 +86,11 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_sequence_pack",
     "q_mixture_weights",
-    # (a) multimodal + (b) new real decoder
-    "q_media_resize",
+    # (a) multimodal + (b) new real decoder (frames/resize yield their r5
+    # slots to the late-round additions below; meta/features/decode keep
+    # fresh rows on the module and frames/resize are pytest-parity green)
     "q_media_features",
     "q_media_meta",
-    "q_media_frames",
     "q_media_decode",
     # (a) api
     "q_sql_nation_revenue",
@@ -119,9 +119,14 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_approx_daily_traffic_struct",
     "q_value_quantiles_struct",
     "q_dedup_keys_xxhash_struct",
-    # (d) explode-path canaries after the optimizer-rule exclusion
-    "q_clinical_areas",
-    "q_clinical_trend",
+    # (b) late-round additions — every query NEW this round claims a slot
+    # (the former explode-path canaries q_clinical_areas/q_clinical_trend
+    # yielded theirs: r4-green, and the optimizer-rule exclusion is already
+    # exercised by the many explode-based queries above)
+    "q_pii_redact",
+    "q_token_budget",
+    "q_kmeans_refine",
+    "q_bpe_merge_step",
 )
 
 

@@ -53,3 +53,45 @@ def test_vocab_is_weighted_and_clean(spark):
 def test_train_stops_when_no_pairs_remain(spark):
     # Single-char words only: zero adjacent pairs, trainer returns early.
     assert bpe_train(_docs(spark, ["a b a"]), 5) == []
+
+
+# ---------------------------------------------------------------------------
+# Property: the delimited-string replace scheme IS greedy leftmost BPE
+# pairing. Python's str.replace has the same leftmost non-overlapping
+# semantics as Spark/DuckDB `replace` (proven for the engines by the tests
+# above + oracle parity), so the scheme itself can be fuzzed engine-free.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SYMS = ["a", "b", "c", "ab", "bc", "aa"]
+
+
+def _encode(syms):
+    return "|" + "||".join(syms) + "|"
+
+
+def _greedy_merge(syms, a, b):
+    """Reference BPE merge: scan left to right, merge non-overlapping
+    (a, b) occurrences."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(_SYMS), min_size=1, max_size=12),
+    st.sampled_from(_SYMS),
+    st.sampled_from(_SYMS),
+)
+@settings(max_examples=300, deadline=None)
+def test_replace_scheme_equals_greedy_merge(syms, a, b):
+    got = _encode(syms).replace(f"|{a}||{b}|", f"|{a}{b}|")
+    assert got == _encode(_greedy_merge(syms, a, b))
