@@ -152,3 +152,48 @@ FROM cells0 JOIN cells1 ON cells0.vec_id = cells1.vec_id
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-cell vs one-Lloyd-round assignment for every vector."""
     return kmeans_refined_assignments(read_table(spark, sf_dir, "embeddings"))
+
+
+def kmeans_train(
+    emb: DataFrame, rounds: int = 3
+) -> tuple[DataFrame, list[int]]:
+    """Full Lloyd iteration from the IVF seed cells: `rounds` alternations
+    of centroid update and reassignment. Returns the final (vec_id, cell)
+    assignment and the per-round count of vectors that changed cell (0 =>
+    converged; the loop stops early).
+
+    Like bpe.bpe_train, the per-round driver synchronization is a single
+    scalar (the movement count) — the algorithm's inherent sequential
+    dependency, identical to pyspark.ml KMeans' per-iteration barrier.
+    Each round's assignment is cached and the previous round released, so
+    lineage stays one round deep regardless of `rounds`.
+    """
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    base = vectors_with_norms(emb)
+    cur = engine_cache(ivf_assignments(emb).select("vec_id", "v", "norm", "cell"))
+    history: list[int] = []
+    try:
+        for _ in range(rounds):
+            cents = updated_centroids(cur)
+            nxt = engine_cache(_assign(base, cents, "cell"))
+            moved = (
+                nxt.select("vec_id", "cell")
+                .join(
+                    cur.select("vec_id", F.col("cell").alias("prev")), "vec_id"
+                )
+                .filter(F.col("cell") != F.col("prev"))
+                .count()
+            )
+            history.append(moved)  # the per-round 1-scalar sync point
+            cur.unpersist()
+            cur = nxt
+            if moved == 0:
+                break
+        # the final round's cache stays live for the caller; it is
+        # engine-tracked, so the harness's per-query release_caches() (or
+        # the caller's) reclaims it — lineage stays valid either way
+        return cur.select("vec_id", "cell"), history
+    except BaseException:
+        cur.unpersist()
+        raise

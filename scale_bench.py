@@ -42,6 +42,14 @@ HEAVY_FAMILY = (
     "q_passage_dedup",
     "q_train_order",
     "q_winnow_pairs",
+    # Not heavy at sf0.1 but carrying explicit scale-posture claims the
+    # record should evidence: token_budget's pre-shuffle budget pruning
+    # (fixed budget, 10x corpus -> near-budget-sized shuffle), kmeans'
+    # (cell,dim)-keyed linear update, bpe's vocab-sized workspace (the 10x
+    # corpus is per-copy ciphered, so the vocab grows 10x yet stays tiny).
+    "q_token_budget",
+    "q_kmeans_refine",
+    "q_bpe_merge_step",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per

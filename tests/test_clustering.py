@@ -71,3 +71,20 @@ def test_updated_centroid_is_exact_mean(spark):
     cv, cnorm = got[0]
     assert cv == [0.5, 0.5]
     assert abs(cnorm - 0.5 * 2 ** 0.5) < 1e-12
+
+
+def test_kmeans_train_converges_and_stops(spark):
+    from clinical_search_data_pipeline_spark.operators.clustering import kmeans_train
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    assigned, history = kmeans_train(emb, rounds=8)
+    assert history, "at least one round must run"
+    assert history[0] > 0  # round 1 is q_kmeans_refine's moved set — nonzero
+    # early-stop contract: a zero can only be the LAST entry
+    assert all(m > 0 for m in history[:-1])
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    from clinical_search_data_pipeline_spark.caching import release_caches
+
+    assert release_caches() > 0  # the trainer's caches are engine-tracked
