@@ -158,3 +158,91 @@ WHERE s <> replace(s, best.pair, replace(best.pair, '||', ''))
 )
 def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_step(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Two trainer rounds IN ONE PLAN: no driver synchronization at all
+# ---------------------------------------------------------------------------
+
+
+def bpe_two_merges(docs: DataFrame) -> DataFrame:
+    """(word, wf, sym_after, pair1, pair2) — the vocabulary after TWO
+    trainer rounds, with both chosen pairs, as a single declarative plan.
+
+    `bpe_train` synchronizes on a 1-row collect per merge; for a small
+    fixed number of merges the rounds can instead be UNROLLED into the
+    plan: each round's argmax is a 1-row relation broadcast into the next
+    round's rewrite, so the whole two-merge program is one job with zero
+    driver round-trips (the same unrolling the kmeans oracle uses for its
+    two assignment rounds). Round 2's pair counts run over round 1's
+    REWRITTEN symbol strings — the sequential dependency is expressed as
+    plan depth, not driver time.
+    """
+    vocab = word_vocab(docs)
+    b1 = best_pair(pair_frequencies(vocab)).select(
+        F.col("pair").alias("pair1"), F.expr("replace(pair, '||', '')").alias("_r1")
+    )
+    v1 = vocab.crossJoin(F.broadcast(b1)).withColumn(
+        "s", F.expr("replace(s, pair1, _r1)")
+    )
+    pf2 = (
+        v1.select("wf", "pair1", F.explode(F.expr(_SPARK_PAIRS)).alias("pair"))
+        .groupBy("pair1", "pair")
+        .agg(F.sum("wf").alias("freq"))
+    )
+    b2 = pf2.orderBy(F.col("freq").desc(), F.col("pair").asc()).limit(1).select(
+        F.col("pair").alias("pair2"), F.expr("replace(pair, '||', '')").alias("_r2")
+    )
+    return (
+        v1.crossJoin(F.broadcast(b2))
+        .select(
+            "word",
+            "wf",
+            F.expr("replace(s, pair2, _r2)").alias("sym_after"),
+            "pair1",
+            "pair2",
+        )
+    )
+
+
+@register(
+    "q_bpe_train2",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wf,
+         '|' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), '||') || '|' AS s
+  FROM w WHERE word <> '' AND NOT contains(word, '|')
+  GROUP BY word
+),
+pf1 AS (
+  SELECT pair, sum(wf)::BIGINT AS freq FROM (
+    SELECT wf, unnest(list_transform(range(1, len(a)),
+             i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+    FROM (SELECT wf, string_split(trim(s, '|'), '||') AS a FROM vocab)
+  ) GROUP BY pair
+),
+b1 AS (SELECT pair AS pair1, replace(pair, '||', '') AS r1
+       FROM pf1 ORDER BY freq DESC, pair ASC LIMIT 1),
+v1 AS (SELECT word, wf, replace(s, pair1, r1) AS s, pair1
+       FROM vocab CROSS JOIN b1),
+pf2 AS (
+  SELECT pair, sum(wf)::BIGINT AS freq FROM (
+    SELECT wf, unnest(list_transform(range(1, len(a)),
+             i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+    FROM (SELECT wf, string_split(trim(s, '|'), '||') AS a FROM v1)
+  ) GROUP BY pair
+),
+b2 AS (SELECT pair AS pair2, replace(pair, '||', '') AS r2
+       FROM pf2 ORDER BY freq DESC, pair ASC LIMIT 1)
+SELECT word, wf, replace(s, pair2, r2) AS sym_after, pair1, pair2
+FROM v1 CROSS JOIN b2
+""",
+    tags=("bpe", "text", "northstar"),
+)
+def q_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_two_merges(read_table(spark, sf_dir, "documents"))

@@ -95,3 +95,20 @@ def _greedy_merge(syms, a, b):
 def test_replace_scheme_equals_greedy_merge(syms, a, b):
     got = _encode(syms).replace(f"|{a}||{b}|", f"|{a}{b}|")
     assert got == _encode(_greedy_merge(syms, a, b))
+
+
+def test_two_merge_plan_equals_sequential_trainer(spark):
+    """The unrolled in-plan two-merge program must pick exactly the merges
+    the sequential trainer picks, on the classic corpus."""
+    from clinical_search_data_pipeline_spark.operators.bpe import bpe_two_merges
+
+    docs = _docs(
+        spark,
+        ["low low low lower lower", "newest newest newest newest widest"],
+    )
+    rows = bpe_two_merges(docs).collect()
+    assert {(r["pair1"], r["pair2"]) for r in rows} == {("|w||e|", "|l||o|")}
+    after = {r["word"]: r["sym_after"] for r in rows}
+    assert after["lower"] == "|lo||we||r|"
+    assert after["newest"] == "|n||e||we||s||t|"
+    assert after["low"] == "|lo||w|"

@@ -107,6 +107,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_unigram_nll",               # broadcast 1-row corpus token total
     "q_kmeans_refine",             # broadcast K centroids, both Lloyd rounds
     "q_bpe_merge_step",            # broadcast 1-row best pair vs the vocab
+    "q_bpe_train2",                # two broadcast 1-row argmaxes, unrolled
 }
 
 
