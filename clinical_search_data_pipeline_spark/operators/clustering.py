@@ -197,3 +197,51 @@ def kmeans_train(
     except BaseException:
         cur.unpersist()
         raise
+
+
+# ---------------------------------------------------------------------------
+# Refined cells feeding SemDeDup: the composition the module exists for
+# ---------------------------------------------------------------------------
+
+
+def kmeans_refined_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, norm, cell) under the one-Lloyd-round centroids — a
+    drop-in replacement for similarity.ivf_assignments."""
+    a0 = ivf_assignments(emb).select("vec_id", "v", "norm", F.col("cell").alias("cell0"))
+    return _assign(vectors_with_norms(emb), updated_centroids(a0, "cell0"), "cell")
+
+
+def _q_semdedup_refined_oracle() -> str:
+    from clinical_search_data_pipeline_spark.operators.curation import SEMDEDUP_TAU
+
+    return f"""
+WITH {_DUCK_KMEANS_CTE},
+cellsr AS (
+  SELECT n.vec_id, n.v, n.norm, a.cell
+  FROM assign1 a JOIN n ON a.vec_id = n.vec_id WHERE a.rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cellsr a JOIN cellsr b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_duck_dot('a.v', 'b.v')} / (a.norm * b.norm) >= {SEMDEDUP_TAU}
+)
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+FROM cellsr c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register(
+    "q_semdedup_refined",
+    oracle=_q_semdedup_refined_oracle(),
+    tags=("clustering", "curation", "northstar", "similarity"),
+)
+def q_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the Lloyd-refined coarse cells: identical dedup plan
+    to q_semdedup, with the refined quantizer plugged in via semdedup's
+    assignments_fn hook — better-fitting cells concentrate true neighbors,
+    which is what raises SemDeDup recall in production."""
+    from clinical_search_data_pipeline_spark.operators.curation import semdedup
+
+    return semdedup(
+        read_table(spark, sf_dir, "embeddings"), assignments_fn=kmeans_refined_cells
+    )

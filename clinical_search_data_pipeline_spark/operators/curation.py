@@ -176,7 +176,10 @@ SEM_BLOCKS = 4  # within-cell block-pair fan-out (plan-only; output unchanged)
 
 
 def semdedup(
-    emb: DataFrame, tau: float = SEMDEDUP_TAU, n_blocks: int = SEM_BLOCKS
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    n_blocks: int = SEM_BLOCKS,
+    assignments_fn=None,
 ) -> DataFrame:
     """(vec_id, cell, kept) — SemDeDup: assign every vector to its coarse
     cell (shared with the IVF index: deterministic centroids here so the
@@ -201,7 +204,10 @@ def semdedup(
     """
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
-    cells = engine_cache(ivf_assignments(emb))
+    # assignments_fn swaps the coarse quantizer: default IVF seed cells;
+    # clustering.kmeans_refined_cells plugs in the Lloyd-refined ones
+    # (q_semdedup_refined) — the dedup plan is identical either way.
+    cells = engine_cache((assignments_fn or ivf_assignments)(emb))
     nb = n_blocks
     base = cells.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
     left = base.withColumn(

@@ -108,6 +108,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_kmeans_refine",             # broadcast K centroids, both Lloyd rounds
     "q_bpe_merge_step",            # broadcast 1-row best pair vs the vocab
     "q_bpe_train2",                # two broadcast 1-row argmaxes, unrolled
+    "q_semdedup_refined",          # broadcast K centroids (refined cells)
 }
 
 
