@@ -870,3 +870,112 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget prefix sample (the oracle is the naive
     global window the distributed form must equal)."""
     return token_budget_sample(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Exact per-language length percentiles via a discrete CDF (no quantile
+# builtins: engines disagree on interpolation/selection at the margins)
+# ---------------------------------------------------------------------------
+
+LENGTH_PCTS = (5, 50, 95)  # P5/P95 length gates + the median, per language
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """(lang, p05, p50, p95, n_docs, n_outliers) — EXACT token-length
+    percentiles per language and the count of docs outside [p05, p95]
+    (the standard length-based curation gate, stated per language because
+    length distributions are language-specific).
+
+    Percentile definition (identical integer arithmetic on both engines,
+    deliberately NOT a quantile builtin — Spark `percentile` interpolates,
+    DuckDB quantile_disc selects, and their edge conventions differ):
+    p_k = min {x : cdf(x) >= ceil(k * n / 100)}.
+
+    Distributed shape: ONE corpus-sized agg to (lang, n_tokens, cnt) — a
+    metadata-sized relation (languages x distinct lengths) — then the CDF
+    window, the percentile argmins, and the outlier join all run on
+    metadata. This is the classic exact-median-over-discrete-values scheme:
+    at 100 TB the corpus shuffles once on a low-cardinality composite key,
+    everything downstream is KB-sized.
+    """
+    toks = docs.select(
+        "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    hist = toks.groupBy("lang", "n_tokens").agg(F.count("*").alias("cnt"))
+    w_cdf = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("lang")
+    cdf = hist.select(
+        "lang",
+        "n_tokens",
+        F.sum("cnt").over(w_cdf).alias("cdf"),
+        F.sum("cnt").over(w_n).alias("n_docs"),
+    )
+    pct_cols = [
+        F.min(
+            F.when(
+                F.col("cdf") >= F.ceil(F.lit(k) * F.col("n_docs") / 100.0),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{k:02d}")
+        for k in LENGTH_PCTS
+    ]
+    bounds = cdf.groupBy("lang", "n_docs").agg(*pct_cols)
+    out = (
+        toks.join(F.broadcast(bounds.select("lang", "p05", "p95")), "lang")
+        .filter((F.col("n_tokens") < F.col("p05")) | (F.col("n_tokens") > F.col("p95")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        bounds.join(F.broadcast(out), "lang", "left")
+        .select(
+            "lang",
+            "p05",
+            "p50",
+            "p95",
+            "n_docs",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_length_outliers",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+),
+hist AS (SELECT lang, n_tokens, count(*) AS cnt FROM t GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, n_tokens,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cdf,
+         sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n_docs
+  FROM hist
+),
+bounds AS (
+  SELECT lang, n_docs,
+         {", ".join(
+             f"min(CASE WHEN cdf >= ceil({k} * n_docs / 100.0) "
+             f"THEN n_tokens END) AS p{k:02d}"
+             for k in LENGTH_PCTS
+         )}
+  FROM cdf GROUP BY lang, n_docs
+),
+outl AS (
+  SELECT t.lang, count(*) AS n_outliers
+  FROM t JOIN bounds ON t.lang = bounds.lang
+  WHERE t.n_tokens < bounds.p05 OR t.n_tokens > bounds.p95
+  GROUP BY t.lang
+)
+SELECT b.lang, p05, p50, p95, n_docs, coalesce(n_outliers, 0) AS n_outliers
+FROM bounds b LEFT JOIN outl ON b.lang = outl.lang
+""",
+    tags=("curation", "text", "northstar"),
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_percentiles(read_table(spark, sf_dir, "documents"))

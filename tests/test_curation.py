@@ -420,3 +420,23 @@ def test_token_budget_equals_naive_window(spark):
     assert per_lang.count() == docs.select("lang").distinct().count()
     for r in per_lang.collect():
         assert r.kept <= TOKEN_BUDGET
+
+
+def test_length_percentile_definition(spark):
+    """Hand case pinning p_k = min{x : cdf(x) >= ceil(k*n/100)}: ten docs
+    of lengths 1..10 in one lang -> p05=1 (ceil(0.5)=1), p50=5, p95=10;
+    outliers outside [1, 10] = 0. Two langs stay independent."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        length_percentiles,
+    )
+
+    rows = [(i, "en", " ".join(["w"] * i)) for i in range(1, 11)]
+    rows += [(100 + i, "fr", " ".join(["w"] * 20)) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r.asDict() for r in length_percentiles(docs).collect()}
+    en = got["en"]
+    assert (en["p05"], en["p50"], en["p95"]) == (1, 5, 10)
+    assert (en["n_docs"], en["n_outliers"]) == (10, 0)
+    fr = got["fr"]  # constant lengths: every percentile is 20, no outliers
+    assert (fr["p05"], fr["p50"], fr["p95"]) == (20, 20, 20)
+    assert (fr["n_docs"], fr["n_outliers"]) == (4, 0)
