@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from clinical_search_data_pipeline_spark.functions import textfns
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.sources.readers import load_events, read_table
+from clinical_search_data_pipeline_spark.sources.readers import fan_out, load_events, read_table
 
 # ---------------------------------------------------------------------------
 # Builders
@@ -618,3 +618,73 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 )
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy: lexical-diversity quality signal
+# ---------------------------------------------------------------------------
+
+
+def word_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_unique, entropy) — Shannon entropy (bits) of
+    each document's word distribution: -sum_w (c_w/n) log2 (c_w/n).
+
+    Low entropy flags repetitive/templated text from the distribution side,
+    complementing repetition_stats' run-based signals (a doc can pass the
+    dup-bigram gate yet cycle a tiny vocabulary). Float determinism: the
+    per-doc sum folds LEFT-TO-RIGHT over counts in word-lexicographic order
+    from a 0.0 seed (the unigram_nll discipline — same shape in DuckDB's
+    list_reduce over a list(... ORDER BY token)); n_tokens/n_unique are
+    exact-integer twins in the same row.
+
+    Shape: one shuffle on (doc_id, token), one on doc_id — identical cost
+    envelope to unigram_nll, corpus-linear, no broadcast needed (the
+    distribution is per-document, unlike the corpus-LM join).
+    """
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.expr("array_sort(collect_list(struct(token, cnt)))").alias("cs"),
+    )
+    ent = F.expr(
+        "aggregate(cs, CAST(0.0 AS DOUBLE), (acc, s) -> acc + "
+        "(CAST(s.cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * "
+        "log2(CAST(n_tokens AS DOUBLE) / CAST(s.cnt AS DOUBLE)))"
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_unique", F.round(ent, 4).alias("entropy")
+    )
+
+
+@register(
+    "q_word_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*) AS n_unique,
+         list(cnt ORDER BY token) AS cs
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_unique,
+       round(
+         list_reduce(
+           list_prepend(
+             0.0::DOUBLE,
+             list_transform(cs, x -> (x::DOUBLE / n_tokens::DOUBLE)
+                                     * log2(n_tokens::DOUBLE / x::DOUBLE))
+           ),
+           (acc, e) -> acc + e
+         ), 4) AS entropy
+FROM d
+""",
+    tags=("text", "northstar"),
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_entropy(read_table(spark, sf_dir, "documents"))

@@ -273,3 +273,19 @@ def test_winnow_guarantee_and_edit_locality(spark):
     # (c) the two distinct docs still share a long common run -> candidate
     # pair guarantee holds
     assert shared >= 1
+
+
+def test_word_entropy_hand_cases(spark):
+    """Uniform distribution -> log2(k) bits; single repeated word -> 0."""
+    from clinical_search_data_pipeline_spark.operators.textanalysis import (
+        word_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x x x x"), (2, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in word_entropy(docs).collect()}
+    assert got[0]["entropy"] == 2.0 and got[0]["n_unique"] == 4
+    assert got[1]["entropy"] == 0.0 and got[1]["n_unique"] == 1
+    assert got[2]["entropy"] == 1.0 and got[2]["n_tokens"] == 4
