@@ -191,3 +191,58 @@ def hot_marts_realtime_job(
         make_hot_mart_processor(sink, as_of=as_of, as_of_sec=as_of_sec),
         timeout_sec=timeout_sec,
     )
+
+
+def training_export_job(
+    spark: SparkSession,
+    sf_dir: str,
+    lake_dir: str,
+    token_budget: int | None = None,
+    seed: str = "epoch0",
+) -> Mapping[str, int]:
+    """End-to-end training-corpus export: the LLM-curation counterpart to
+    the reference's mart ETLs. Admission funnel -> per-language token
+    budget -> reproducible global order -> lang-partitioned lake write.
+
+    Every stage is an already-oracled operator (curation_funnel,
+    token_budget_sample, train_order); this job only sequences them and
+    writes. Stage markers (admitted ids, budget picks) are broadcast
+    semi-joins against the corpus — the text column is scanned once at the
+    final write, never reshuffled through the selection logic. Deterministic
+    end to end: same corpus + budget + seed => byte-identical lake.
+    """
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        TOKEN_BUDGET,
+        curation_funnel,
+        token_budget_sample,
+        train_order,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    admitted_ids = curation_funnel(docs).filter(
+        F.col("disposition") == "admitted"
+    ).select("doc_id")
+    admitted = docs.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+    picked = token_budget_sample(
+        admitted, budget=token_budget or TOKEN_BUDGET, seed=seed
+    ).select("doc_id", "n_tokens")
+    ordered = train_order(
+        docs.join(F.broadcast(picked.select("doc_id")), "doc_id", "left_semi"),
+        seed=seed,
+    ).select("doc_id", "order_idx")
+    export = (
+        docs.select("doc_id", "lang", "text")
+        .join(F.broadcast(picked), "doc_id")
+        .join(F.broadcast(ordered), "doc_id")
+    )
+    pq_sink.write_partitioned(
+        export,
+        lake_dir,
+        partition_col="lang",
+        mode="overwrite",
+        target_files_per_partition=2,
+    )
+    n = export.count()
+    toks = export.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    return {"docs_exported": n, "tokens_exported": int(toks)}

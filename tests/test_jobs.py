@@ -258,3 +258,44 @@ def test_hot_marts_realtime_job(spark, tmp_path):
         merged = merged.unionByName(p)
     total = merged.agg(F.sum("event_count")).collect()[0][0]
     assert total == events.count()
+
+
+def test_training_export_job_deterministic_and_within_budget(spark, tmp_path):
+    """The export lake is lang-partitioned, every picked doc is admitted
+    and inside the per-lang token budget, order_idx is a 1..N permutation,
+    and a re-run (overwrite) is byte-deterministic."""
+    import glob
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        training_export_job,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import TOKEN_BUDGET
+
+    sf = SF_SMOKE
+    lake = str(tmp_path / "train_lake")
+    summary = training_export_job(spark, sf, lake)
+    assert summary["docs_exported"] > 0
+    assert glob.glob(lake + "/lang=*/*.parquet")
+
+    out = spark.read.parquet(lake)
+    n = out.count()
+    assert n == summary["docs_exported"]
+    # per-lang budget respected (sum of exported tokens per lang <= budget)
+    for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect():
+        assert r["t"] <= TOKEN_BUDGET, (r["lang"], r["t"])
+    # order_idx is a dense 1..N permutation across the whole export
+    idx = out.agg(
+        F.min("order_idx").alias("lo"),
+        F.max("order_idx").alias("hi"),
+        F.countDistinct("order_idx").alias("nd"),
+    ).collect()[0]
+    assert (idx["lo"], idx["hi"], idx["nd"]) == (1, n, n)
+
+    # deterministic rerun: same summary, same content hash
+    h1 = out.select(F.md5(F.concat_ws("|", "doc_id", "order_idx", "text")).alias("h"))
+    h1 = h1.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).collect()[0][0]
+    assert training_export_job(spark, sf, lake) == summary
+    out2 = spark.read.parquet(lake)
+    h2 = out2.select(F.md5(F.concat_ws("|", "doc_id", "order_idx", "text")).alias("h"))
+    h2 = h2.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).collect()[0][0]
+    assert h1 == h2
