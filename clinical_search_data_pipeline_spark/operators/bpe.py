@@ -83,8 +83,15 @@ def best_pair(pairs: DataFrame) -> DataFrame:
 
 def bpe_merge_step(docs: DataFrame) -> DataFrame:
     """(word, wf, sym_before, sym_after, pair, freq) for every vocabulary
-    word CHANGED by merging the corpus's most frequent adjacent pair."""
-    vocab = word_vocab(docs)
+    word CHANGED by merging the corpus's most frequent adjacent pair.
+
+    The vocab feeds both the pair-count branch and the rewrite scan;
+    engine_cache materializes it once so the corpus-sized explode+agg runs
+    ONCE (uncached, the plan duplicated the whole corpus scan under each
+    consumer — visible as two FileScan+word-agg subtrees)."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    vocab = engine_cache(word_vocab(docs))
     best = best_pair(pair_frequencies(vocab)).select(
         "pair", "freq", F.expr("replace(pair, '||', '')").alias("_rep")
     )
@@ -176,14 +183,19 @@ def bpe_two_merges(docs: DataFrame) -> DataFrame:
     driver round-trips (the same unrolling the kmeans oracle uses for its
     two assignment rounds). Round 2's pair counts run over round 1's
     REWRITTEN symbol strings — the sequential dependency is expressed as
-    plan depth, not driver time.
+    plan depth, not driver time. The vocab (and round 1's rewrite) each
+    feed two consumers and are engine-cached so the corpus aggregates once.
     """
-    vocab = word_vocab(docs)
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    vocab = engine_cache(word_vocab(docs))
     b1 = best_pair(pair_frequencies(vocab)).select(
         F.col("pair").alias("pair1"), F.expr("replace(pair, '||', '')").alias("_r1")
     )
-    v1 = vocab.crossJoin(F.broadcast(b1)).withColumn(
-        "s", F.expr("replace(s, pair1, _r1)")
+    v1 = engine_cache(
+        vocab.crossJoin(F.broadcast(b1)).withColumn(
+            "s", F.expr("replace(s, pair1, _r1)")
+        )
     )
     pf2 = (
         v1.select("wf", "pair1", F.explode(F.expr(_SPARK_PAIRS)).alias("pair"))

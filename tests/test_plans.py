@@ -154,3 +154,44 @@ def test_registry_wide_no_cartesian(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BOUNDED_BROADCAST_NLJ_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, f"quadratic join plans: {bad}"
+
+
+def test_token_budget_no_single_partition_at_all(spark):
+    """q_token_budget strengthens train_order's distributed-rank contract:
+    ZERO SinglePartition exchanges — the offsets prefix sum windows over
+    bucket WITHIN each lang partition (metadata-sized either way), the
+    offsets come back via broadcast, and the corpus cumsum runs keyed on
+    (lang, bucket)."""
+    plan = pl.physical_plan(build(spark, "q_token_budget"), "simple")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_length_outliers_bounds_broadcast(spark):
+    """The per-lang percentile bounds (a languages-sized relation) must be
+    BROADCAST against the corpus for the outlier count — never a shuffle of
+    the corpus on lang — and the histogram agg must be partial (map-side
+    combine) before its exchange."""
+    plan = pl.physical_plan(build(spark, "q_length_outliers"), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_pii_redact_is_single_narrow_projection(spark):
+    """Redaction is a scan-speed operator: no exchange of any kind in the
+    plan — regex count + replace run inside one codegen'd projection."""
+    plan = pl.physical_plan(build(spark, "q_pii_redact"), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bpe_corpus_stage_is_vocab_agg_only(spark):
+    """q_bpe_merge_step touches the corpus exactly once: the word-count
+    aggregation, engine-cached so BOTH consumers (pair counts, rewrite
+    scan) read the materialized vocab — and the argmax fuses to
+    TakeOrderedAndProject, never a global sort."""
+    plan = pl.physical_plan(build(spark, "q_bpe_merge_step"), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    from clinical_search_data_pipeline_spark.caching import release_caches
+
+    release_caches()
