@@ -112,3 +112,11 @@ def test_two_merge_plan_equals_sequential_trainer(spark):
     assert after["lower"] == "|lo||we||r|"
     assert after["newest"] == "|n||e||we||s||t|"
     assert after["low"] == "|lo||w|"
+
+
+def test_bpe_step_empty_corpus(spark):
+    from clinical_search_data_pipeline_spark.operators.bpe import bpe_two_merges
+
+    empty = _docs(spark, []).limit(0)
+    assert bpe_merge_step(empty).count() == 0
+    assert bpe_two_merges(empty).count() == 0

@@ -440,3 +440,36 @@ def test_length_percentile_definition(spark):
     fr = got["fr"]  # constant lengths: every percentile is 20, no outliers
     assert (fr["p05"], fr["p50"], fr["p95"]) == (20, 20, 20)
     assert (fr["n_docs"], fr["n_outliers"]) == (4, 0)
+
+
+def test_token_budget_edge_cases(spark):
+    """Budget smaller than any document -> empty (never a partial doc);
+    empty corpus -> empty; a budget covering everything keeps everything."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e f"), (3, "fr", "g h")],
+        "doc_id long, lang string, text string",
+    )
+    assert token_budget_sample(docs, budget=2).count() == 1  # only the 2-token doc
+    assert token_budget_sample(docs, budget=0).count() == 0
+    assert token_budget_sample(docs.limit(0), budget=100).count() == 0
+    assert token_budget_sample(docs, budget=100).count() == 3
+
+
+def test_length_percentiles_empty_and_single(spark):
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        length_percentiles,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert length_percentiles(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    r = length_percentiles(one).collect()[0]
+    assert (r["p05"], r["p50"], r["p95"], r["n_docs"], r["n_outliers"]) == (
+        3, 3, 3, 1, 0,
+    )
