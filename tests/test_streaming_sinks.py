@@ -287,3 +287,19 @@ def test_upsert_idempotent_merge_executor(spark):
     con.execute(sql)  # updated replay upserts
     rows = sorted(con.execute("SELECT * FROM m").fetchall())
     assert rows == [(1, 11), (2, 21)]
+
+
+def test_stream_corpus_filter_equals_batch(spark):
+    """The ingest-time quality gate must be bit-identical to the batch
+    operator: corpus_filter is narrow, so availableNow replay == one batch
+    scan, row for row."""
+    from clinical_search_data_pipeline_spark.operators.pipeline import corpus_filter
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    streamed = all_specs()["q_stream_corpus_filter"].builder(spark, SF_SMOKE)
+    batch = corpus_filter(read_table(spark, SF_SMOKE, "documents"))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
