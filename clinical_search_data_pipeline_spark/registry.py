@@ -86,11 +86,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_sequence_pack",
     "q_mixture_weights",
-    # (a) multimodal + (b) new real decoder (frames/resize yield their r5
-    # slots to the late-round additions below; meta/features/decode keep
-    # fresh rows on the module and frames/resize are pytest-parity green)
-    "q_media_features",
-    "q_media_meta",
+    # (a) multimodal + (b) new real decoder (frames/resize/meta/features
+    # yield their r5 slots to the late-round additions below; q_media_decode
+    # keeps a fresh row on the module — it drives the same mapInPandas
+    # plumbing — and all four displaced queries are pytest-parity green)
     "q_media_decode",
     # (a) api
     "q_sql_nation_revenue",
@@ -127,6 +126,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_token_budget",
     "q_kmeans_refine",
     "q_bpe_merge_step",
+    "q_stream_corpus_filter",
+    "q_semdedup_refined",
 )
 
 
