@@ -258,3 +258,97 @@ FROM v1 CROSS JOIN b2
 )
 def q_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_two_merges(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Applying the learned merges back to the corpus: per-doc token accounting
+# ---------------------------------------------------------------------------
+
+
+def bpe_tokenize2(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) — the corpus re-tokenized under the
+    two-merge vocabulary from `bpe_two_merges`: every word carries the
+    symbol count of its post-merge segmentation; documents sum their words.
+
+    Shape: merges apply per word TYPE, so the expensive rewrite runs on the
+    vocab relation once; the corpus then meets the (word -> n_sub) table in
+    a broadcast equi-join (Heaps' law keeps the vocab broadcastable far
+    beyond this fixture; past that point the same plan ships as a plain
+    shuffle join on word — the accounting is unchanged). One corpus explode
+    + one doc_id agg; no per-document merge computation anywhere.
+    """
+    seg = bpe_two_merges(docs).select(
+        "word",
+        (
+            F.size(F.expr(r"split(trim(BOTH '|' FROM sym_after), '\\|\\|')"))
+        ).alias("n_sub"),
+    )
+    toks = fan_out_docs(docs)
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def fan_out_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) corpus token stream (the same filter contract as
+    word_vocab, so the join back is total)."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter((F.col("word") != "") & (~F.col("word").contains("|")))
+
+
+@register(
+    "q_bpe_tokenize2",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wf,
+         '|' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), '||') || '|' AS s
+  FROM w WHERE word <> '' AND NOT contains(word, '|')
+  GROUP BY word
+),
+pf1 AS (
+  SELECT pair, sum(wf)::BIGINT AS freq FROM (
+    SELECT wf, unnest(list_transform(range(1, len(a)),
+             i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+    FROM (SELECT wf, string_split(trim(s, '|'), '||') AS a FROM vocab)
+  ) GROUP BY pair
+),
+b1 AS (SELECT pair AS pair1, replace(pair, '||', '') AS r1
+       FROM pf1 ORDER BY freq DESC, pair ASC LIMIT 1),
+v1 AS (SELECT word, wf, replace(s, pair1, r1) AS s FROM vocab CROSS JOIN b1),
+pf2 AS (
+  SELECT pair, sum(wf)::BIGINT AS freq FROM (
+    SELECT wf, unnest(list_transform(range(1, len(a)),
+             i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+    FROM (SELECT wf, string_split(trim(s, '|'), '||') AS a FROM v1)
+  ) GROUP BY pair
+),
+b2 AS (SELECT pair AS pair2, replace(pair, '||', '') AS r2
+       FROM pf2 ORDER BY freq DESC, pair ASC LIMIT 1),
+seg AS (
+  SELECT word,
+         len(string_split(trim(replace(s, pair2, r2), '|'), '||')) AS n_sub
+  FROM v1 CROSS JOIN b2
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_bpe_tokens
+FROM tok JOIN seg USING (word)
+WHERE word <> '' AND NOT contains(word, '|')
+GROUP BY doc_id
+""",
+    tags=("bpe", "text", "northstar"),
+)
+def q_bpe_tokenize2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_tokenize2(read_table(spark, sf_dir, "documents"))

@@ -120,3 +120,17 @@ def test_bpe_step_empty_corpus(spark):
     empty = _docs(spark, []).limit(0)
     assert bpe_merge_step(empty).count() == 0
     assert bpe_two_merges(empty).count() == 0
+
+
+def test_tokenize2_hand_counts(spark):
+    """After merges (w,e) then (l,o): low->2 tokens, lower->3, newest->5,
+    widest->6 — document totals follow."""
+    from clinical_search_data_pipeline_spark.operators.bpe import bpe_tokenize2
+
+    docs = _docs(
+        spark,
+        ["low low low lower lower", "newest newest newest newest widest"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in bpe_tokenize2(docs).collect()}
+    assert got[0] == {"doc_id": 0, "n_words": 5, "n_bpe_tokens": 3 * 2 + 2 * 3}
+    assert got[1] == {"doc_id": 1, "n_words": 5, "n_bpe_tokens": 4 * 5 + 6}
