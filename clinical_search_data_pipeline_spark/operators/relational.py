@@ -438,3 +438,83 @@ def q_events_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_orders_asof(
         load_events(spark, sf_dir), read_table(spark, sf_dir, "orders")
     )
+
+
+def pricing_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus) with grouping_id — completes the
+    grouping-set family next to q_pricing_rollup's ROLLUP: the cube adds
+    the column-wise marginals ROLLUP omits, and gid disambiguates a
+    genuine NULL key from an aggregate row (Spark's grouping_id and
+    DuckDB's GROUPING share the bitmask convention: leftmost column =
+    most significant bit). One Expand + one partial-agg shuffle — the
+    4x row expansion happens map-side, never a second scan."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_pricing_cube",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "cube"),
+)
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_cube(read_table(spark, sf_dir, "lineitem"))
+
+
+def unpivot_order_stats(orders: DataFrame) -> DataFrame:
+    """Wide -> long via stack(): per order-priority, one row per metric
+    (the inverse of q_pivot_event_types' long -> wide). stack is a
+    Generate — narrow, zero extra shuffle beyond the source agg."""
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(4, 'n_orders', n_orders, 'sum_price', sum_price, "
+        "'min_price', min_price, 'max_price', max_price) AS (metric, value)",
+    )
+
+
+@register(
+    "q_unpivot_order_stats",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         count(*)::DOUBLE AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_orders, sum_price, min_price, max_price))
+""",
+    tags=("relational", "unpivot"),
+)
+def q_unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unpivot_order_stats(read_table(spark, sf_dir, "orders"))
