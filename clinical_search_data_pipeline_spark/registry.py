@@ -163,6 +163,7 @@ def _load_modules() -> None:
         clustering,
         curation,
         redaction,
+        smoothing,
     )
 
 

@@ -289,3 +289,34 @@ def test_word_entropy_hand_cases(spark):
     assert got[0]["entropy"] == 2.0 and got[0]["n_unique"] == 4
     assert got[1]["entropy"] == 0.0 and got[1]["n_unique"] == 1
     assert got[2]["entropy"] == 1.0 and got[2]["n_tokens"] == 4
+
+
+def test_ewma_loop_matches_pandas_production_path():
+    """The oracle-exact recurrence loop must equal pandas'
+    ewm(alpha, adjust=False).mean() — the C-accelerated path a production
+    run swaps in — to 1e-12."""
+    import numpy as np
+    import pandas as pd
+
+    from clinical_search_data_pipeline_spark.operators.smoothing import (
+        EWMA_ALPHA,
+        _ewma_series,
+    )
+
+    rng = np.random.default_rng(7)
+    xs = pd.Series(rng.normal(50, 20, size=500))
+    ours = np.array(_ewma_series(xs, EWMA_ALPHA))
+    ref = xs.ewm(alpha=EWMA_ALPHA, adjust=False).mean().to_numpy()
+    assert np.max(np.abs(ours - ref)) < 1e-12
+
+
+def test_ewma_hand_case(spark):
+    """alpha=0.5 on [1, 3, 5] -> [1, 2, 3.5]; order comes from ts."""
+    from clinical_search_data_pipeline_spark.operators.smoothing import ewma_per_user
+
+    df = spark.createDataFrame(
+        [(10, 1, 100, 1.0), (10, 2, 200, 3.0), (10, 3, 300, 5.0)],
+        "user_id long, event_id long, ts_sec long, value double",
+    )
+    got = {r["rn"]: r["ewma"] for r in ewma_per_user(df, alpha=0.5).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.5}
