@@ -688,3 +688,69 @@ FROM d
 )
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_entropy(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf profile: corpus-level frequency diagnostics
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 30
+
+
+def zipf_profile(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """(rank, word, freq, cum_share) — the corpus's top-k word frequencies
+    with each prefix's share of all tokens: the Zipf curve a corpus report
+    leads with (a too-flat head means templated text; a too-steep one,
+    stopword soup).
+
+    Shape: one corpus-sized agg to the vocabulary, then TakeOrdered k rows;
+    the rank window and running share run on those k rows (driver-sized by
+    construction — this is NOT the W2 hazard), with the 1-row token total
+    broadcast in.
+    """
+    words = fan_out(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("n_total"))
+    top = vocab.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(k)
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("freq").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("n_total"),
+                6,
+            ),
+        )
+        .select("rank", "word", "freq", "cum_share")
+    )
+
+
+@register(
+    "q_zipf_profile",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+total AS (SELECT sum(freq) AS n_total FROM vocab),
+top AS (
+  SELECT word, freq,
+         row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+  FROM vocab ORDER BY freq DESC, word ASC LIMIT {ZIPF_TOP_K}
+)
+SELECT rank, word, freq,
+       round(sum(freq) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             / n_total, 6) AS cum_share
+FROM top CROSS JOIN total
+""",
+    tags=("text", "diagnostics", "northstar"),
+)
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_profile(read_table(spark, sf_dir, "documents"))

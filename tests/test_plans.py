@@ -109,6 +109,8 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_bpe_merge_step",            # broadcast 1-row best pair vs the vocab
     "q_bpe_train2",                # two broadcast 1-row argmaxes, unrolled
     "q_semdedup_refined",          # broadcast K centroids (refined cells)
+    "q_zipf_profile",              # broadcast 1-row corpus token total
+    "q_bpe_tokenize2",             # inherits bpe_train2's two 1-row argmaxes
 }
 
 
@@ -195,3 +197,13 @@ def test_bpe_corpus_stage_is_vocab_agg_only(spark):
     from clinical_search_data_pipeline_spark.caching import release_caches
 
     release_caches()
+
+
+def test_ewma_single_key_shuffle(spark):
+    """Grouped applyInPandas must cost exactly one user_id-keyed exchange
+    into FlatMapGroupsInPandas — no extra sort-spill stages, no global
+    ordering anywhere (ordering is per-group, inside the worker)."""
+    plan = pl.physical_plan(build(spark, "q_ewma_user_values"), "simple")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
