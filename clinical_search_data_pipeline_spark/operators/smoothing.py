@@ -70,7 +70,17 @@ def ewma_per_user(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     sub = events.select("user_id", "event_id", "ts_sec", "value").filter(
         "value IS NOT NULL"
     )
-    out = sub.groupBy("user_id").applyInPandas(smooth, _OUT_SCHEMA)
+    # Pin the pre-group partition count: the engine's size-based AQE
+    # coalescing (tuned for JVM stages) collapses this byte-tiny shuffle to
+    # ONE task, serializing every per-group pandas call through a single
+    # Python worker (measured 4.6 s for ~1.5k groups at sf0.1; per-GROUP
+    # overhead dominates, not bytes). An explicit keyed repartition holds
+    # the worker parallelism; groupBy reuses the partitioning, so this is
+    # still exactly one exchange.
+    n = max(sub.sparkSession.sparkContext.defaultParallelism, 8)
+    out = sub.repartition(n, "user_id").groupBy("user_id").applyInPandas(
+        smooth, _OUT_SCHEMA
+    )
     return out.withColumn("ewma", F.round("ewma", 6))
 
 
