@@ -130,6 +130,15 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_semdedup_refined",
 )
 
+# Round-6 rotation backlog — registered late in r5 with green local parity
+# but NO driver row yet (the 50-slot window was already claimed); they
+# should lead the r6 window, followed by whatever r6 changes:
+#   q_bpe_train2, q_bpe_tokenize2, q_length_outliers, q_word_entropy,
+#   q_zipf_profile, q_pricing_cube, q_unpivot_order_stats,
+#   q_ewma_user_values (plus the four r5-window-displaced multimodal/
+#   canary queries: q_media_frames, q_media_resize, q_media_features,
+#   q_media_meta, q_clinical_areas, q_clinical_trend).
+
 
 def _load_modules() -> None:
     # Imported for their registration side effects; surfaced order is
