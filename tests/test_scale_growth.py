@@ -89,3 +89,32 @@ def test_scaled_corpus_preserves_untouched_tables(spark, tmp_path):
     base_e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     assert emb.count() == 2 * base_e.count()
     assert emb.schema == base_e.schema
+
+
+def test_token_budget_output_stays_budget_sized_at_10x(spark, tmp_path):
+    """The pre-shuffle budget pruning claim, pinned: at 10x corpus with a
+    FIXED budget, the kept token total per language is still <= budget and
+    the kept-doc count stays in the same regime (bounded by budget /
+    min-doc-length, NOT growing 10x), while the corpus underneath grew
+    exactly 10x."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    docs_base = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledtb"), FACTOR)
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+    assert docs_scaled.count() == FACTOR * docs_base.count()
+
+    base = token_budget_sample(docs_base)
+    scaled = token_budget_sample(docs_scaled)
+    for df in (base, scaled):
+        for r in df.groupBy("lang").agg(F.max("cum_tokens").alias("t")).collect():
+            assert r["t"] <= TOKEN_BUDGET
+    n_base, n_scaled = base.count(), scaled.count()
+    assert n_base > 0
+    # budget-bound, not corpus-bound: nowhere near 10x growth
+    assert n_scaled < 3 * n_base, (n_base, n_scaled)
