@@ -224,8 +224,11 @@ def training_export_job(
         F.col("disposition") == "admitted"
     ).select("doc_id")
     admitted = docs.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+    # None-check, not truthiness: an explicit token_budget=0 means "export
+    # nothing" and must not fall back to the default budget.
+    budget = TOKEN_BUDGET if token_budget is None else token_budget
     picked = token_budget_sample(
-        admitted, budget=token_budget or TOKEN_BUDGET, seed=seed
+        admitted, budget=budget, seed=seed
     ).select("doc_id", "n_tokens")
     ordered = train_order(
         docs.join(F.broadcast(picked.select("doc_id")), "doc_id", "left_semi"),

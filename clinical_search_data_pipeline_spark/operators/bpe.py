@@ -121,8 +121,12 @@ def bpe_train(docs: DataFrame, n_merges: int) -> list[tuple[str, int]]:
             pair, freq = top[0]["pair"], int(top[0]["freq"])
             merges.append((pair, freq))
             rep = pair.replace("||", "")
+            # Bind the corpus-derived pair as a LITERAL, never by splicing it
+            # into SQL text: word_vocab only guarantees words are '|'-free,
+            # so a word containing a quote or backslash would otherwise break
+            # (or silently corrupt) the generated expression.
             nxt = vocab.withColumn(
-                "s", F.expr(f"replace(s, '{pair}', '{rep}')")
+                "s", F.replace(F.col("s"), F.lit(pair), F.lit(rep))
             ).cache()
             nxt.count()  # materialize before dropping the parent
             vocab.unpersist()

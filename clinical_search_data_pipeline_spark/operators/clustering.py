@@ -172,6 +172,7 @@ def kmeans_train(
 
     base = vectors_with_norms(emb)
     cur = engine_cache(ivf_assignments(emb).select("vec_id", "v", "norm", "cell"))
+    nxt = None
     history: list[int] = []
     try:
         for _ in range(rounds):
@@ -195,7 +196,11 @@ def kmeans_train(
         # the caller's) reclaims it — lineage stays valid either way
         return cur.select("vec_id", "cell"), history
     except BaseException:
+        # a failure between engine_cache(nxt) and the cur=nxt handover
+        # would otherwise leak nxt's cache until a global release_caches()
         cur.unpersist()
+        if nxt is not None and nxt is not cur:
+            nxt.unpersist()
         raise
 
 

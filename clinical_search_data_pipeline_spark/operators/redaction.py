@@ -106,7 +106,7 @@ SELECT doc_id,
        {_duck_count('text', PII_PATTERNS[0][1])}::INT AS n_email,
        {_duck_count('text', PII_PATTERNS[1][1])}::INT AS n_phone,
        {_duck_count('text', PII_PATTERNS[2][1])}::INT AS n_ip,
-       length(text) - length({_duck_redact('text')}) AS n_chars_removed,
+       length(text) - length({_duck_redact('text')}) AS n_chars_delta,
        md5({_duck_redact('text')}) AS redacted_md5
 FROM aug
 """,
@@ -114,7 +114,11 @@ FROM aug
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII accounting + a bit-exact digest of the scrubbed
-    text, over the deterministically PII-augmented fixture corpus."""
+    text, over the deterministically PII-augmented fixture corpus.
+
+    `n_chars_delta` is the SIGNED length change (original - redacted): a
+    placeholder longer than its match (e.g. 'a@b.io' -> '<EMAIL>') yields a
+    negative delta, which is why the metric is not named "removed"."""
     aug = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(_SPARK_AUG).alias("text"))
@@ -125,6 +129,6 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_email",
         "n_phone",
         "n_ip",
-        (F.length("text") - F.length("redacted")).cast("long").alias("n_chars_removed"),
+        (F.length("text") - F.length("redacted")).cast("long").alias("n_chars_delta"),
         F.md5("redacted").alias("redacted_md5"),
     )
