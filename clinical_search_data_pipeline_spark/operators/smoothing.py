@@ -19,8 +19,12 @@ to 1e-12, so swapping the loop for the C-accelerated pandas path (the
 
 Scale posture: groupBy(user_id).applyInPandas is ONE shuffle on the key;
 state per task is a single partial series. Skewed users are the hazard
-(one task holds the whole series) — the standard remedy is sessionized or
-windowed chunking upstream; the fixture's series are bounded.
+(one task holds the whole series) — `ewma_per_user_chunked` is the
+skew-hardened variant: time-bucketed chunks bound every task, and the
+per-user sequential pass runs over metadata-sized chunk summaries only.
+The oracled query keeps the unchunked path (its loop is bit-identical to
+the recursive-CTE oracle); the chunked twin is pinned output-identical to
+it by pytest, so swapping it in for a skewed corpus is a measured change.
 """
 
 from __future__ import annotations
@@ -82,6 +86,127 @@ def ewma_per_user(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         smooth, _OUT_SCHEMA
     )
     return out.withColumn("ewma", F.round("ewma", 6))
+
+
+def ewma_per_user_chunked(
+    events: DataFrame, alpha: float = EWMA_ALPHA, chunk_sec: int = 6 * 3600
+) -> DataFrame:
+    """Skew-hardened EWMA: same output contract as `ewma_per_user`, but no
+    task ever holds more than one time-chunk of one user's series.
+
+    The recurrence y_t = (1-a)y_{t-1} + a·x_t is AFFINE in its carry-in, so
+    a chunk is summarized by a handful of doubles: its seeded tail value P
+    (the contract's y1 = x1 loop — valid only for a first chunk), its
+    zero-initial-state tail Q, and its decay D = (1-a)^len — for carry-in
+    y0, y_t = d_t·y0 + q_t. Plan:
+
+      1. grouped map over (user_id, chunk = ts_sec div chunk_sec): the
+         bounded-size stage. Emits per-row responses p, q and decay d.
+      2. per-user sequential pass over the CHUNK SUMMARIES (count, P, Q,
+         D) — metadata-sized (series_len / chunk_rows rows per user), this
+         is the only place one task sees a whole user, and it sees only
+         summaries.
+      3. join carry-ins + rn offsets back on (user_id, chunk); the final
+         value (carry NULL -> p, else d·carry + q) and rn = pos + offset
+         are JVM-side expressions.
+
+    The chunk key is ts-derived (data-independent), so a hot user's series
+    splits across tasks without a per-key sort anywhere; chunk order is
+    consistent with the global (ts_sec, event_id) order because the bucket
+    is monotone in ts_sec.
+
+    Numerics: rows in a user's FIRST chunk take the seeded loop value
+    (bit-identical to the unchunked path); later chunks evaluate
+    d·carry + q, which reassociates the same terms — differences are
+    ulp-level (0.7^k kills history fast) and vanish under the 6-dp output
+    rounding. tests/test_pipeline_ops.py pins byte-identical rounded
+    output against the unchunked path on the fixture plus a synthetic
+    100x-median hot key that spans >50 chunks.
+    """
+    from pyspark.sql import functions as F
+
+    one_m_a = 1.0 - alpha
+
+    def zero_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)
+        # p: the contract's seeded loop (y1 = x1) — correct ONLY for a
+        # user's first chunk. q: the zero-initial-state response (loop from
+        # y0 = 0) — the homogeneous part for chunks that have a carry-in
+        # (the y1 = x1 seeding makes the first step non-linear, so the two
+        # responses genuinely differ).
+        p = _ewma_series(pdf["value"], alpha)
+        q, y = [], 0.0
+        for x in pdf["value"]:
+            y = one_m_a * y + alpha * x
+            q.append(y)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "chunk": pdf["chunk"],
+                "pos": range(1, len(pdf) + 1),
+                "p": p,
+                "q": q,
+                "d": [one_m_a ** i for i in range(1, len(pdf) + 1)],
+            }
+        )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk").reset_index(drop=True)
+        carries, offsets = [], []
+        y, off = None, 0
+        for cnt, pp, qq, dd in zip(
+            pdf["cnt"], pdf["p_end"], pdf["q_end"], pdf["d_end"]
+        ):
+            carries.append(y)
+            offsets.append(off)
+            y = pp if y is None else dd * y + qq
+            off += int(cnt)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "chunk": pdf["chunk"],
+                "carry": pd.array(carries, dtype="float64"),
+                "rn_offset": offsets,
+            }
+        )
+
+    sub = (
+        events.select("user_id", "event_id", "ts_sec", "value")
+        .filter("value IS NOT NULL")
+        .withColumn("chunk", (F.col("ts_sec") / F.lit(chunk_sec)).cast("long"))
+    )
+    n = max(sub.sparkSession.sparkContext.defaultParallelism, 8)
+    staged = sub.repartition(n, "user_id", "chunk").groupBy(
+        "user_id", "chunk"
+    ).applyInPandas(
+        zero_state,
+        "user_id long, event_id long, chunk long, pos int, p double, q double, d double",
+    )
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    staged = engine_cache(staged)
+    summaries = staged.groupBy("user_id", "chunk").agg(
+        F.count("*").alias("cnt"),
+        F.max_by("p", "pos").alias("p_end"),
+        F.max_by("q", "pos").alias("q_end"),
+        F.max_by("d", "pos").alias("d_end"),
+    )
+    bounds = summaries.repartition(n, "user_id").groupBy("user_id").applyInPandas(
+        stitch, "user_id long, chunk long, carry double, rn_offset long"
+    )
+    out = staged.join(bounds, ["user_id", "chunk"]).select(
+        "user_id",
+        "event_id",
+        (F.col("pos") + F.col("rn_offset")).cast("int").alias("rn"),
+        F.round(
+            F.when(F.col("carry").isNull(), F.col("p")).otherwise(
+                F.col("d") * F.col("carry") + F.col("q")
+            ),
+            6,
+        ).alias("ewma"),
+    )
+    return out
 
 
 @register(

@@ -320,3 +320,65 @@ def test_ewma_hand_case(spark):
     )
     got = {r["rn"]: r["ewma"] for r in ewma_per_user(df, alpha=0.5).collect()}
     assert got == {1: 1.0, 2: 2.0, 3: 3.5}
+
+
+def test_ewma_chunked_matches_unchunked_with_hot_key(spark):
+    """Skew hardening (VERDICT r05 #2): the chunked EWMA must be
+    output-identical to the unchunked path on the fixture PLUS one synthetic
+    hot key 100x the median series length — while actually splitting that
+    key's series across many bounded chunks (no task holds the whole
+    series)."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.operators.smoothing import (
+        ewma_per_user,
+        ewma_per_user_chunked,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.01").select(
+        "user_id", "event_id", "ts_sec", "value"
+    )
+    lens = (
+        events.filter("value IS NOT NULL")
+        .groupBy("user_id")
+        .count()
+        .approxQuantile("count", [0.5], 0.0)
+    )
+    median_len = int(lens[0])
+    hot_n = 100 * median_len
+    hot = spark.range(hot_n).select(
+        F.lit(999_999_999).alias("user_id"),
+        (F.lit(10_000_000) + F.col("id")).alias("event_id"),
+        # one event per 97 s -> the series spans hot_n*97/chunk_sec chunks
+        (F.col("id") * 97).alias("ts_sec"),
+        (F.pmod(F.col("id") * 37, F.lit(1000)).cast("double") / 10).alias("value"),
+    )
+    both = events.unionByName(hot)
+
+    chunk_sec = 3600
+    try:
+        base = {
+            (r["user_id"], r["event_id"]): (r["rn"], r["ewma"])
+            for r in ewma_per_user(both).collect()
+        }
+        got = {
+            (r["user_id"], r["event_id"]): (r["rn"], r["ewma"])
+            for r in ewma_per_user_chunked(both, chunk_sec=chunk_sec).collect()
+        }
+    finally:
+        release_caches()
+    assert got == base  # byte-identical at the output contract (6-dp round)
+
+    n_hot_chunks = hot_n * 97 // chunk_sec
+    assert n_hot_chunks > 50  # the hot series genuinely spans many chunks
+    # and no chunk of the hot key exceeds the bounded window size
+    max_chunk = (
+        both.filter("user_id = 999999999")
+        .groupBy((F.col("ts_sec") / chunk_sec).cast("long"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_chunk <= chunk_sec // 97 + 1
