@@ -413,6 +413,119 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENT_SPLIT = 400  # fixture partition: corpus = doc_id < 400, batch >= 400
 
 
+def _rarest_prefix(ranked: DataFrame, t: float) -> DataFrame:
+    """Rarest-first prefix of each doc's shingle set: the first
+    n - ceil(t*n) + 1 shingles in (df ASC, shingle ASC) order. Lossless for
+    Jaccard >= t under any consistent total order (prefix-filter lemma)."""
+    w_pos = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    return (
+        ranked.withColumn("pos", F.row_number().over(w_pos))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "shingle", "n")
+    )
+
+
+def corpus_prefix_index(
+    corpus: DataFrame, threshold: float | None = None, k: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The FROZEN standing-corpus admission index: (shingle sets,
+    rarest-first prefixes, per-shingle document frequency), each
+    engine-cached so every incoming batch (or micro-batch) reuses one
+    materialization. In production this is a persisted, incrementally
+    maintained relation; here it is rebuilt deterministically per call.
+
+    Document frequency is corpus-side only — batch shingles unseen in the
+    corpus rank rarest at df 0, which keeps prefix filtering lossless while
+    the index stays independent of any batch."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.dedup import shingle_sets
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+
+    t = JACCARD_THRESHOLD if threshold is None else threshold
+    kk = SHINGLE_K if k is None else k
+    corpus_sets = engine_cache(shingle_sets(corpus, kk).hint("rebalance"))
+    corpus_sh = corpus_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
+    # the window form costs ONE shuffle for ranked+stats together
+    corpus_ranked = corpus_sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    df_stats = engine_cache(corpus_ranked.select("shingle", "df").distinct())
+    corpus_prefix = engine_cache(_rarest_prefix(corpus_ranked, t))
+    return corpus_sets, corpus_prefix, df_stats
+
+
+def _batch_prefix(batch_sets: DataFrame, df_stats: DataFrame, t: float) -> DataFrame:
+    """Batch-side rarest-first prefixes ranked by the FROZEN corpus df
+    (left join; unseen shingles coalesce to df 0)."""
+    batch_sh = batch_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
+    ranked = batch_sh.join(df_stats, "shingle", "left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(0))
+    )
+    return _rarest_prefix(ranked, t)
+
+
+def batch_vs_corpus(
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    threshold: float | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """(doc_id, status, n_corpus_matches) for every batch document against
+    a FROZEN `corpus_prefix_index` — the micro-batch-invariant half of
+    `incremental_dedup`: each document's verdict ('dup_of_corpus' vs
+    'admitted') depends only on itself and the frozen corpus, never on
+    which other documents share its batch, so ANY partitioning of a batch
+    into micro-batches yields identical per-doc rows. That invariance is
+    what `q_stream_incremental_dedup` (streaming/stream_queries.py) runs
+    per micro-batch at ingest; the within-batch half (dup_in_batch) is the
+    batch compaction job's business (`incremental_dedup`).
+
+    The batch-side relations are deliberately UNCACHED: a foreachBatch call
+    must not grow session cache state per micro-batch, and both consumers
+    of the batch sets (prefix build, exact verify) are narrow batch-sized
+    scans."""
+    from clinical_search_data_pipeline_spark.operators.dedup import (
+        _verify_pairs,
+        shingle_sets,
+    )
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+
+    t = JACCARD_THRESHOLD if threshold is None else threshold
+    kk = SHINGLE_K if k is None else k
+    corpus_sets, corpus_prefix, df_stats = corpus_index
+    batch_sets = shingle_sets(batch, kk).hint("rebalance")
+    batch_prefix = _batch_prefix(batch_sets, df_stats, t)
+    size_ok = (F.col("a.n") >= t * F.col("b.n")) & (F.col("b.n") >= t * F.col("a.n"))
+    cand = (
+        corpus_prefix.alias("a")
+        .join(
+            batch_prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & size_ok,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _verify_pairs(cand, corpus_sets.unionByName(batch_sets), t)
+    per_doc = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.count("*").alias("n_corpus_matches")
+    )
+    return batch.select("doc_id").join(F.broadcast(per_doc), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_corpus_matches") > 0, F.lit("dup_of_corpus"))
+        .otherwise(F.lit("admitted"))
+        .alias("status"),
+        F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+    )
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -447,31 +560,9 @@ def incremental_dedup(
 
     t = JACCARD_THRESHOLD if threshold is None else threshold
     kk = SHINGLE_K if k is None else k
-    corpus_sets = engine_cache(shingle_sets(corpus, kk).hint("rebalance"))
+    corpus_sets, corpus_prefix, df_stats = corpus_prefix_index(corpus, t, kk)
     batch_sets = engine_cache(shingle_sets(batch, kk).hint("rebalance"))
-    corpus_sh = corpus_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
-    batch_sh = batch_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
-
-    # frozen corpus document frequency; the window form (one shuffle) for
-    # the corpus side, a left join for the batch side (unseen -> df 0)
-    w_df = Window.partitionBy("shingle")
-    corpus_ranked = corpus_sh.withColumn("df", F.count("*").over(w_df))
-    df_stats = corpus_ranked.select("shingle", "df").distinct()
-    batch_ranked = batch_sh.join(df_stats, "shingle", "left").withColumn(
-        "df", F.coalesce(F.col("df"), F.lit(0))
-    )
-
-    def prefix(ranked: DataFrame) -> DataFrame:
-        w_pos = Window.partitionBy("doc_id").orderBy(
-            F.col("df").asc(), F.col("shingle").asc()
-        )
-        return (
-            ranked.withColumn("pos", F.row_number().over(w_pos))
-            .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-            .select("doc_id", "shingle", "n")
-        )
-
-    corpus_prefix, batch_prefix = prefix(corpus_ranked), prefix(batch_ranked)
+    batch_prefix = _batch_prefix(batch_sets, df_stats, t)
     size_ok = (F.col("a.n") >= t * F.col("b.n")) & (F.col("b.n") >= t * F.col("a.n"))
     vs_corpus = corpus_prefix.alias("a").join(
         batch_prefix.alias("b"),

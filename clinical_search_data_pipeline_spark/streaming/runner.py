@@ -71,15 +71,31 @@ def run_foreach_batch(
     fn,
     timeout_sec: int = 300,
     trigger: dict | None = None,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """foreachBatch runner (reference K8). `trigger` defaults to availableNow
-    for bounded runs; pass {'processingTime': '5 minutes'} for continuous."""
-    writer = df.writeStream.foreachBatch(fn).option(
-        "checkpointLocation", checkpoint_dir()
-    )
-    writer = writer.trigger(**(trigger or {"availableNow": True}))
-    q = writer.start()
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"foreachBatch query did not finish in {timeout_sec}s")
+    for bounded runs; pass {'processingTime': '5 minutes'} for continuous.
+    `shuffle_partitions` has run_to_memory's semantics: bounded fixture
+    replays pass a small value so micro-batch-sized joins don't pay a
+    cluster-width shuffle; production jobs leave it None."""
+    spark = df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        writer = df.writeStream.foreachBatch(fn).option(
+            "checkpointLocation", checkpoint_dir()
+        )
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        q = writer.start()
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"foreachBatch query did not finish in {timeout_sec}s")
+    finally:
+        if shuffle_partitions is not None:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)

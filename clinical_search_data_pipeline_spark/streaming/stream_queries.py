@@ -523,3 +523,116 @@ def q_stream_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus_filter(documents_stream(spark, sf_dir))
     table = run_to_memory(scored, output_mode="append", shuffle_partitions=8)
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: batch-vs-frozen-corpus admission at ingest
+# ---------------------------------------------------------------------------
+
+
+def stage_incremental_batch_source(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the batch side of the incremental-dedup fixture partition
+    (doc_id >= INCREMENT_SPLIT) as `n_files` parquet files so an
+    availableNow run with maxFilesPerTrigger=1 genuinely processes MULTIPLE
+    micro-batches (the single-file staging dirs always collapse to one).
+    Same mtime+size fingerprint keying as stage_events_source."""
+    from clinical_search_data_pipeline_spark.operators.curation import INCREMENT_SPLIT
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}_{n_files}"
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"csdp_stream_incr_{sf_dir.strip('/').replace('/', '_')}_{fingerprint}",
+    )
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .filter(F.col("doc_id") >= INCREMENT_SPLIT)
+            .repartitionByRange(n_files, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    return staging
+
+
+def _stream_incremental_oracle() -> str:
+    # The micro-batch-invariant half of q_incremental_dedup's contract:
+    # each batch doc judged against the FROZEN corpus only (operators/
+    # curation.py batch_vs_corpus docstring explains why micro-batch
+    # boundaries cannot change these rows).
+    from clinical_search_data_pipeline_spark.operators.curation import INCREMENT_SPLIT
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        _DUCK_SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    s = INCREMENT_SPLIT
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < {s} AND b.doc_id >= {s}
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE i.c / (sa.n + sb.n - i.c) >= {JACCARD_THRESHOLD}
+),
+per_doc AS (SELECT doc_b AS doc_id, count(*) AS cm FROM p GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN coalesce(cm, 0) > 0 THEN 'dup_of_corpus' ELSE 'admitted' END AS status,
+       coalesce(cm, 0) AS n_corpus_matches
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.doc_id >= {s}
+"""
+
+
+@register(
+    "q_stream_incremental_dedup",
+    oracle=_stream_incremental_oracle(),
+    tags=("streaming", "curation", "dedup", "northstar"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup against a standing corpus (VERDICT r05 #7): the
+    frozen corpus prefix index is built ONCE as a static side; incoming
+    documents stream in over multiple micro-batches (maxFilesPerTrigger=1
+    over a multi-file staging dir) and each micro-batch runs
+    `batch_vs_corpus` inside foreachBatch, appending its verdicts to the
+    sink — exactly how a 100 TB pipeline admits deltas without ever
+    re-pairing the corpus against itself. Per-doc verdicts are
+    micro-batch-invariant (see batch_vs_corpus), so the accumulated result
+    equals the one-shot batch run and the query is fully oracled."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    index = corpus_prefix_index(corpus)
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_incr_out_")
+
+    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_vs_corpus(index, batch_df).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, admit, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

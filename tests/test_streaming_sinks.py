@@ -303,3 +303,61 @@ def test_stream_corpus_filter_equals_batch(spark):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_incremental_dedup_equals_batch_across_microbatches(spark):
+    """Ingest-time admission vs the frozen corpus must equal the one-shot
+    batch run REGARDLESS of micro-batch boundaries — and the run must
+    actually cross more than one micro-batch for that claim to mean
+    anything (the staging dir splits the batch side into multiple files,
+    maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import run_foreach_batch
+    from clinical_search_data_pipeline_spark.streaming.stream_queries import (
+        stage_incremental_batch_source,
+    )
+    from tests.conftest import SF_SMOKE
+
+    try:
+        streamed = all_specs()["q_stream_incremental_dedup"].builder(spark, SF_SMOKE)
+        docs = read_table(spark, SF_SMOKE, "documents")
+        corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+        batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+        oneshot = batch_vs_corpus(corpus_prefix_index(corpus), batch)
+        assert streamed.count() == oneshot.count()
+        assert streamed.exceptAll(oneshot).count() == 0
+        assert oneshot.exceptAll(streamed).count() == 0
+
+        # pin the multi-micro-batch claim: re-run the foreachBatch loop with
+        # a counter over the same staging dir (fresh checkpoint each run)
+        import os
+
+        staging = stage_incremental_batch_source(spark, SF_SMOKE)
+        n_files = len(
+            [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        )
+        assert n_files >= 2
+        seen: list[int] = []
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        run_foreach_batch(
+            stream,
+            lambda bdf, bid: seen.append(bdf.count()),
+            shuffle_partitions=4,
+        )
+        assert len(seen) == n_files and sum(seen) == batch.count()
+    finally:
+        release_caches()
