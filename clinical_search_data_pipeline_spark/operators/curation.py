@@ -119,6 +119,73 @@ def passage_dedup(docs: DataFrame, p: int = PASSAGE_WORDS) -> DataFrame:
     )
 
 
+CHUNK_WINDOW = 16  # context-window chunking defaults, fixture-scaled:
+CHUNK_STRIDE = 8   # 50% overlap, the common RAG / training-prep setting
+
+
+def sliding_chunks(
+    docs: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_md5) — OVERLAPPING
+    context-window chunks: chunk i covers tokens [i*stride+1,
+    min(i*stride+window, n)], with 1 + ceil(max(n-window, 0)/stride)
+    chunks per doc, so every token is covered, consecutive chunks overlap
+    by window-stride tokens, and only the final chunk may run short
+    (slice clamps). This is the retrieval / context-window twin of
+    `passages` (which is the non-overlapping stride==window special case).
+
+    Same scale shape as passages: a narrow split -> sequence -> slice ->
+    posexplode higher-order projection, ZERO shuffles, fan_out first so the
+    HOF stage never rides a single input split. The chunk rides out as an
+    md5 digest, not text — at 100 TB the chunk relation is ~window/stride
+    times the corpus, and downstream consumers (dedup, embedding feeders)
+    key on identity, not content.
+    """
+    if stride <= 0 or window < stride:
+        raise ValueError("need 0 < stride <= window")
+    w = fan_out(docs).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_chunks = (
+        f"1 + CAST(ceil(greatest(size(w) - {window}, 0) / {stride}.0) AS INT)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> array_join(slice(w, i * {stride} + 1, {window}), ' '))"
+    )
+    return w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")).select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split(F.col("chunk"), " ")).alias("n_chunk_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(
+           list_slice(w, i * {CHUNK_STRIDE} + 1, i * {CHUNK_STRIDE} + {CHUNK_WINDOW}),
+           ' '
+         ) AS chunk
+  FROM w, unnest(range(0,
+         1 + CAST(ceil(greatest(len(w) - {CHUNK_WINDOW}, 0) / {CHUNK_STRIDE}.0) AS BIGINT)
+       )) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       len(string_split(chunk, ' ')) AS n_chunk_tokens,
+       md5(chunk) AS chunk_md5
+FROM ch
+""",
+    tags=("curation", "text", "northstar"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunk relation over the corpus — the
+    feeder for embedding/RAG indexing and windowed training prep."""
+    return sliding_chunks(read_table(spark, sf_dir, "documents"))
+
+
 _DUCK_PASSAGES_CTE = f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 ch AS (

@@ -473,3 +473,29 @@ def test_length_percentiles_empty_and_single(spark):
     assert (r["p05"], r["p50"], r["p95"], r["n_docs"], r["n_outliers"]) == (
         3, 3, 3, 1, 0,
     )
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Every token covered, consecutive chunks overlap by window-stride,
+    only the final chunk may run short — the hand case n=20, w=16, s=8
+    gives exactly chunks [1..16] and [9..20]."""
+    import hashlib
+
+    from clinical_search_data_pipeline_spark.operators.curation import sliding_chunks
+
+    words = [f"t{i}" for i in range(1, 21)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        sliding_chunks(docs, window=16, stride=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1]
+    assert [r["n_chunk_tokens"] for r in rows] == [16, 12]
+    expect0 = hashlib.md5(" ".join(words[0:16]).encode()).hexdigest()
+    expect1 = hashlib.md5(" ".join(words[8:20]).encode()).hexdigest()
+    assert rows[0]["chunk_md5"] == expect0 and rows[1]["chunk_md5"] == expect1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_chunks(docs, window=4, stride=8)
