@@ -233,3 +233,35 @@ SELECT user_id, event_id, rn, round(y, 6) AS ewma FROM r
 )
 def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_user(load_events(spark, sf_dir))
+
+
+@register(
+    "q_ewma_user_values_chunked",
+    oracle=f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY {duck_epoch_sec('ts')}, event_id
+         ) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+r(user_id, event_id, rn, y) AS (
+  SELECT user_id, event_id, rn, value FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+         (1.0 - {EWMA_ALPHA}) * r.y + {EWMA_ALPHA} * o.value
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, rn, round(y, 6) AS ewma FROM r
+-- skew-hardened chunked twin of q_ewma_user_values: same recurrence
+-- contract, task-bounded execution (operators/smoothing.py docstring)
+""",
+    tags=("smoothing", "udf", "skew", "northstar"),
+)
+def q_ewma_user_values_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened chunked EWMA under the SAME recurrence oracle as
+    q_ewma_user_values: a hard driver row for the path a skewed 100 TB
+    corpus would actually run (pytest additionally pins it byte-identical
+    to the unchunked path on a synthetic 100x hot key)."""
+    return ewma_per_user_chunked(load_events(spark, sf_dir))

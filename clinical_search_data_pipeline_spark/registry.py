@@ -85,6 +85,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_incremental_dedup",
     "q_stream_incremental_dedup",
     "q_doc_chunks",
+    "q_ewma_user_values_chunked",
     # (c) r4-row rotation: marts + ingest core
     "q_session_analysis",
     "q_daily_traffic",
@@ -110,7 +111,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_corpus_filter",
     # (c) r4-row rotation: relational family
     "q_top_revenue_orders",
-    "q_customer_running_spend",
     "q_events_orders_asof",
     # (c) r4-row rotation: the full streaming family
     "q_stream_dedup_keys",
@@ -131,6 +131,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
     "q_pricing_rollup",
+    "q_customer_running_spend",
     "q_approx_daily_traffic",
     "q_value_quantiles",
     "q_dedup_keys_xxhash",

@@ -207,3 +207,30 @@ def test_ewma_single_key_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    """Context-window chunking is a pure higher-order projection: no keyed
+    or global exchange anywhere — chunk fan-out happens inside the narrow
+    posexplode. (fan_out's round-robin input spread is the one allowed
+    exchange; it carries no key and exists only to split the HOF stage off
+    a single input file.)"""
+    plan = pl.physical_plan(build(spark, "q_doc_chunks"), "simple")
+    assert "Generate" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ewma_chunked_bounded_tasks(spark):
+    """The skew-hardened EWMA must (a) group on (user_id, chunk) — the
+    bounded-task stage, (b) run the per-user sequential pass as a SECOND
+    grouped map over the summary relation only, and (c) never collapse to a
+    single partition. (The zero_state subtree appears once per cache
+    consumer in the rendered plan; the InMemoryRelation proves it executes
+    once.)"""
+    plan = pl.physical_plan(build(spark, "q_ewma_user_values_chunked"), "simple")
+    assert "zero_state" in plan and "stitch" in plan, plan
+    assert "InMemoryRelation" in plan, plan
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
