@@ -499,3 +499,44 @@ def test_sliding_chunks_cover_and_overlap(spark):
 
     with pytest.raises(ValueError):
         sliding_chunks(docs, window=4, stride=8)
+
+
+def test_sliding_chunks_randomized_cross_check(spark):
+    """One Spark job over 200 seeded random docs (word counts 0..60, three
+    window/stride settings) compared row-for-row against an independent
+    in-driver reference — the slice/clamp/ceil arithmetic has off-by-one
+    room the hand case alone can't cover."""
+    import hashlib
+    import math
+    import random
+
+    from clinical_search_data_pipeline_spark.operators.curation import sliding_chunks
+
+    rng = random.Random(42)
+    docs = [(0, "")]  # empty text: split yields [''] on both sides
+    for i in range(1, 200):
+        n = rng.randint(1, 60)
+        docs.append((i, " ".join(f"w{rng.randint(0, 9)}x{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(text, window, stride):
+        w = text.split(" ")
+        n_chunks = 1 + math.ceil(max(len(w) - window, 0) / stride)
+        out = {}
+        for i in range(n_chunks):
+            chunk = " ".join(w[i * stride : i * stride + window])
+            out[i] = (
+                len(chunk.split(" ")),
+                hashlib.md5(chunk.encode()).hexdigest(),
+            )
+        return out
+
+    for window, stride in ((16, 8), (5, 5), (7, 3)):
+        got: dict = {}
+        for r in sliding_chunks(df, window=window, stride=stride).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+                r["n_chunk_tokens"],
+                r["chunk_md5"],
+            )
+        expected = {d: ref(t, window, stride) for d, t in docs}
+        assert got == expected, f"mismatch at window={window} stride={stride}"
