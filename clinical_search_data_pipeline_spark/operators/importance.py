@@ -1,0 +1,161 @@
+"""Data-selection importance weights (DSIR-style hashed n-gram features).
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling", DSIR) select pretraining data by scoring every raw document
+with log(p_target(x) / p_raw(x)) under bag-of-hashed-n-gram unigram
+models fit on a target corpus and the raw corpus, then sampling
+proportionally. The scoring core is SQL-expressible and runs here fully
+declaratively:
+
+  1. feature relation — word unigrams + bigrams per document, hashed into
+     `N_BUCKETS` buckets (hash collisions are part of the method: DSIR's
+     features are hashed counts, not an exact vocabulary),
+  2. bucket models   — one aggregation over the feature relation counts
+     every bucket under the raw corpus and under the target slice
+     (`lang = 'en'` stands in for DSIR's target corpus — any predicate or
+     a second table works the same) with add-one smoothing,
+  3. doc scores      — the bucket log-ratio table is `N_BUCKETS` rows, so
+     it is BROADCAST back onto the feature relation; per-document log
+     weights are an ORDER-PINNED left fold (features re-collected in
+     (position, kind) order, folded with an explicit 0.0 seed) so the
+     float sum is bit-identical on both engines — same determinism device
+     as curation.unigram_nll.
+
+Scale posture (100 TB): the corpus is exploded once into features (narrow
+after `fan_out`), shuffled once on the hash bucket (64 well-spread keys —
+partial aggregation collapses this to at most 64 rows per input partition
+map-side, so the shuffle payload is KB-sized regardless of corpus size)
+and once on doc_id for the ordered re-collection. The model itself never
+exceeds N_BUCKETS rows. No UDFs, no cross join except the broadcast
+1-row totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
+from clinical_search_data_pipeline_spark.registry import register
+from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
+
+N_BUCKETS = 64  # hashed-feature space; DSIR uses 10k on web corpora — the
+#                 fixture vocabulary is ~30 words so 64 buckets already
+#                 exhibits the collision regime the method is built for.
+TARGET_LANG = "en"  # the fixture's stand-in target slice
+
+
+def hashed_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pos, kind, bucket): word unigrams (kind 0) and
+    bigrams (kind 1) with 1-based positions, hashed into N_BUCKETS.
+    Narrow HOF projection after fan_out — zero shuffles."""
+    w = fan_out(docs).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
+    )
+    uni = "transform(w, (x, i) -> struct(i + 1 AS pos, 0 AS kind, x AS feat))"
+    bi = (
+        "transform(sequence(1, greatest(size(w) - 1, 0)), "
+        "i -> struct(i AS pos, 1 AS kind, "
+        "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS feat))"
+    )
+    return w.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(f"concat({uni}, {bi})")).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("f.pos").alias("pos"),
+        F.col("f.kind").alias("kind"),
+        F.pmod(hash64(F.col("f.feat")), F.lit(N_BUCKETS)).alias("bucket"),
+    )
+
+
+def bucket_log_ratios(feats: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+    """(bucket, lr): add-one-smoothed ln(p_target / p_raw) per hash bucket.
+    One 64-key shuffle; the result is model-sized (<= N_BUCKETS rows)."""
+    cnt = feats.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
+    )
+    tot = cnt.agg(
+        F.sum("n_raw").alias("t_r"), F.sum("n_t").alias("t_t")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(N_BUCKETS))))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(N_BUCKETS))))
+        ).alias("lr"),
+    )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+    """(doc_id, lang, n_feats, logw): per-document DSIR log importance
+    weight — the ordered left fold of its features' bucket log-ratios."""
+    feats = hashed_features(docs)
+    lr = bucket_log_ratios(feats, target_lang)
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.array_sort(F.collect_list(F.struct("pos", "kind", "lr"))).alias("lrs"),
+        )
+    )
+    fold = (
+        "aggregate(transform(lrs, s -> s.lr), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+    return scored.select(
+        "doc_id", "lang", "n_feats", F.round(F.expr(fold), 4).alias("logw")
+    )
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT doc_id, lang, generate_subscripts(w, 1) AS pos, 0 AS kind,
+         unnest(w) AS feat
+  FROM w
+),
+bi AS (
+  SELECT doc_id, lang, i AS pos, 1 AS kind,
+         w[i] || ' ' || w[i + 1] AS feat
+  FROM w, unnest(range(1, len(w))) AS t(i)
+),
+feats AS (
+  SELECT doc_id, lang, pos, kind, {duck_hash64('feat')} % {N_BUCKETS} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+cnt AS (
+  SELECT bucket, count(*) AS n_raw,
+         count(*) FILTER (WHERE lang = '{TARGET_LANG}') AS n_t
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(n_raw) AS t_r, sum(n_t) AS t_t FROM cnt),
+lr AS (
+  SELECT bucket,
+         ln((n_t + 1) / (t_t + {N_BUCKETS}.0))
+           - ln((n_raw + 1) / (t_r + {N_BUCKETS}.0)) AS lr
+  FROM cnt CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, lang, count(*) AS n_feats,
+         list(lr ORDER BY pos, kind) AS lrs
+  FROM feats JOIN lr USING (bucket)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_feats,
+       round(list_reduce(list_prepend(0.0::DOUBLE, lrs),
+                         (acc, x) -> acc + x), 4) AS logw
+FROM scored
+""",
+    tags=("curation", "text", "northstar"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: ln(p_target/p_raw) per document under
+    hashed unigram+bigram bucket models (Xie et al. 2023)."""
+    return dsir_weights(read_table(spark, sf_dir, "documents"))

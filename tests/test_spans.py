@@ -1,0 +1,293 @@
+"""Property tests for substring-span dedup (operators/spans.py) and DSIR
+importance weights (operators/importance.py) on handcrafted corpora with
+known answers, plus an independent O(n^2) Python reference cross-check.
+Oracle parity at fixture scale is covered by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.importance import (
+    N_BUCKETS,
+    dsir_weights,
+)
+from clinical_search_data_pipeline_spark.operators.spans import (
+    dup_spans,
+    strip_dup_spans,
+    word_grams,
+)
+
+
+def _mkdocs(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(zip(texts, langs))],
+        ["doc_id", "text", "lang"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# span detection
+# ---------------------------------------------------------------------------
+
+
+def test_dup_spans_found_at_different_offsets(spark):
+    # the copied region sits at offset 1 in doc0 and offset 3 in doc1 —
+    # passage (chunk-aligned) dedup misses this by construction.
+    docs = _mkdocs(
+        spark,
+        [
+            "x a b c d e y z",          # region a..e at words 2..6
+            "p q r a b c d e s",        # same region at words 4..8
+            "m n o p2 q2 r2 s2 t2 u2",  # no duplication
+        ],
+    )
+    out = {r.doc_id: r for r in dup_spans(docs, k=5).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].span_start, out[0].span_end) == (2, 6)
+    assert (out[1].span_start, out[1].span_end) == (4, 8)
+    assert out[0].span_len == out[1].span_len == 5
+    assert out[0].span_md5 == out[1].span_md5  # identical recovered text
+
+
+def test_dup_spans_merges_overlapping_runs_to_maximal(spark):
+    # a 7-word duplicated region = 3 overlapping 5-grams -> ONE span, and
+    # the running-max (not lag) break test survives an interval swallowed
+    # by a longer predecessor.
+    docs = _mkdocs(
+        spark,
+        ["a b c d e f g", "z a b c d e f g z2"],
+    )
+    rows = dup_spans(docs, k=5).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 2  # one maximal span per doc, not one per gram
+    assert (by_doc[0].span_start, by_doc[0].span_end) == (1, 7)
+    assert (by_doc[1].span_start, by_doc[1].span_end) == (2, 8)
+    assert by_doc[0].n_grams == 3
+
+
+def test_dup_spans_short_docs_produce_no_grams(spark):
+    docs = _mkdocs(spark, ["a b", "a b", "a b c d e"])
+    assert word_grams(docs, k=3).filter(F.col("doc_id") < 2).count() == 0
+    assert dup_spans(docs, k=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# span removal (keep globally first)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_dup_spans_keeps_exactly_first_copy(spark):
+    docs = _mkdocs(
+        spark,
+        [
+            "u v a b c d e w",   # first occurrence of a..e -> kept whole
+            "x y z a b c d e",   # second copy -> a..e removed
+        ],
+    )
+    out = {r.doc_id: r for r in strip_dup_spans(docs, k=5).collect()}
+    assert out[0].clean_text == "u v a b c d e w" and out[0].n_removed == 0
+    assert out[1].clean_text == "x y z" and out[1].n_removed == 5
+    assert out[1].n_words == 8
+
+
+def test_strip_dup_spans_conserves_words_and_keeps_all_docs(spark):
+    docs = _mkdocs(
+        spark,
+        ["a b c d e", "a b c d e", "a b c d e", "q r s t u"],
+    )
+    rows = strip_dup_spans(docs, k=5).collect()
+    assert len(rows) == 4  # fully-stripped docs still present, as ''
+    out = {r.doc_id: r for r in rows}
+    assert out[0].clean_text == "a b c d e"
+    assert out[1].clean_text == "" and out[1].n_removed == 5
+    assert out[2].clean_text == "" and out[2].n_removed == 5
+    assert out[3].n_removed == 0
+    for r in rows:
+        n_kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert r.n_words - r.n_removed == n_kept
+
+
+# ---------------------------------------------------------------------------
+# independent Python reference (random corpora with planted copies)
+# ---------------------------------------------------------------------------
+
+
+def _ref_dup_machinery(texts, k):
+    """gram -> occurrence map restricted to >=2-distinct-doc grams, plus
+    the global first occurrence per gram."""
+    grams: dict[tuple, list[tuple[int, int]]] = {}
+    for d, t in enumerate(texts):
+        w = t.split(" ")
+        for i in range(len(w) - k + 1):
+            grams.setdefault(tuple(w[i : i + k]), []).append((d, i + 1))
+    dup = {g: occ for g, occ in grams.items() if len({d for d, _ in occ}) >= 2}
+    first = {g: min(occ) for g, occ in dup.items()}
+    return dup, first
+
+
+def _ref_spans(texts, k):
+    dup, _ = _ref_dup_machinery(texts, k)
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for occ in dup.values():
+        for d, s in occ:
+            per_doc.setdefault(d, []).append((s, s + k - 1))
+    spans = set()
+    for d, ivs in per_doc.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e + 1:
+                cur_e = max(cur_e, e)
+            else:
+                spans.add((d, cur_s, cur_e))
+                cur_s, cur_e = s, e
+        spans.add((d, cur_s, cur_e))
+    return spans
+
+
+def _ref_strip(texts, k):
+    dup, first = _ref_dup_machinery(texts, k)
+    covered: dict[int, set[int]] = {}
+    for g, occ in dup.items():
+        for d, s in occ:
+            if (d, s) != first[g]:
+                covered.setdefault(d, set()).update(range(s, s + k))
+    out = {}
+    for d, t in enumerate(texts):
+        w = t.split(" ")
+        keep = [x for i, x in enumerate(w, 1) if i not in covered.get(d, ())]
+        out[d] = (" ".join(keep), len(w), len(w) - len(keep))
+    return out
+
+
+def test_spans_match_python_reference_property(spark):
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(4, 40))) for _ in range(30)]
+    # plant copies: whole-doc, mid-doc splice, and a triple copy
+    texts[5] = texts[3]
+    region = texts[7].split(" ")[2:14]
+    texts[11] = " ".join(texts[11].split(" ")[:5] + region)
+    texts[20] = " ".join(region + texts[20].split(" ")[:6])
+    k = 4
+    docs = _mkdocs(spark, texts)
+
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end) for r in dup_spans(docs, k=k).collect()
+    }
+    assert got_spans == _ref_spans(texts, k)
+
+    got_strip = {
+        r.doc_id: (r.clean_text, r.n_words, r.n_removed)
+        for r in strip_dup_spans(docs, k=k).collect()
+    }
+    assert got_strip == _ref_strip(texts, k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _py_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_dsir(rows, target_lang="en"):
+    feats = []  # (doc_id, lang, bucket)
+    for doc_id, text, lang in rows:
+        w = text.split(" ")
+        fs = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        feats.extend((doc_id, lang, _py_hash64(f) % N_BUCKETS) for f in fs)
+    n_raw: dict[int, int] = {}
+    n_t: dict[int, int] = {}
+    for _, lang, b in feats:
+        n_raw[b] = n_raw.get(b, 0) + 1
+        if lang == target_lang:
+            n_t[b] = n_t.get(b, 0) + 1
+    t_r, t_t = len(feats), sum(n_t.values())
+    lr = {
+        b: math.log((n_t.get(b, 0) + 1) / (t_t + N_BUCKETS))
+        - math.log((n_raw[b] + 1) / (t_r + N_BUCKETS))
+        for b in n_raw
+    }
+    out: dict[int, float] = {}
+    nf: dict[int, int] = {}
+    for doc_id, _, b in feats:
+        out[doc_id] = out.get(doc_id, 0.0) + lr[b]
+        nf[doc_id] = nf.get(doc_id, 0) + 1
+    return out, nf
+
+
+def test_dsir_weights_match_python_reference(spark):
+    rng = random.Random(7)
+    vocab_en = ["alpha", "beta", "gamma", "delta"]
+    vocab_fr = ["un", "deux", "trois", "quatre"]
+    rows = []
+    for i in range(20):
+        lang = "en" if i % 2 == 0 else "fr"
+        vocab = vocab_en if lang == "en" else vocab_fr
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))), lang))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in dsir_weights(docs).collect()}
+    ref_w, ref_n = _ref_dsir(rows)
+    assert set(got) == set(ref_w)
+    for d in ref_w:
+        assert got[d].n_feats == ref_n[d]
+        assert abs(got[d].logw - ref_w[d]) < 5e-5  # round(…, 4) tolerance
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    # docs drawn from the target vocabulary must outscore docs drawn from
+    # a disjoint vocabulary — the whole point of importance weighting.
+    texts_en = ["alpha beta gamma delta alpha beta"] * 6
+    texts_fr = ["un deux trois quatre un deux"] * 4
+    docs = _mkdocs(
+        spark,
+        texts_en + texts_fr,
+        langs=["en"] * 6 + ["fr"] * 4,
+    )
+    rows = dsir_weights(docs).collect()
+    w_en = [r.logw for r in rows if r.lang == "en"]
+    w_fr = [r.logw for r in rows if r.lang == "fr"]
+    assert min(w_en) > max(w_fr)
+
+
+# ---------------------------------------------------------------------------
+# plan shape (100 TB posture)
+# ---------------------------------------------------------------------------
+
+
+def test_span_queries_no_global_stage(spark):
+    """Both span queries must run entirely on keyed shuffles (gram, doc_id)
+    — no single-partition stage anywhere."""
+    from clinical_search_data_pipeline_spark.plans import introspect as pl
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    specs = all_specs()
+    for name in ("q_dup_spans", "q_strip_dup_spans"):
+        plan = pl.physical_plan(specs[name].builder(spark, SF_SMOKE), "simple")
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_dsir_plan_broadcasts_bucket_model(spark):
+    """The 64-row bucket log-ratio table must come back via broadcast (the
+    corpus is never reshuffled for scoring); the only single-partition
+    stage is the 1-row totals aggregate."""
+    from clinical_search_data_pipeline_spark.plans import introspect as pl
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from tests.conftest import SF_SMOKE
+
+    plan = pl.physical_plan(
+        all_specs()["q_dsir_weights"].builder(spark, SF_SMOKE), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
