@@ -16,6 +16,7 @@ stay in their home modules (`similarity`, `dedup`).
 from __future__ import annotations
 
 from clinical_search_data_pipeline_spark.functions import textfns
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64
 
 # --- embedding-similarity constants (operators/similarity.py) ---------------
 
@@ -68,4 +69,33 @@ sh AS (
   SELECT DISTINCT doc_id,
          unnest({textfns.duck_shingles('w', SHINGLE_K)}) AS shingle
   FROM tok WHERE len(w) >= {SHINGLE_K}
+)"""
+
+
+# --- DSIR hashed-feature constants (operators/importance.py) ----------------
+
+N_BUCKETS = 64  # hashed-feature space; DSIR uses 10k on web corpora — the
+#                 fixture vocabulary is ~30 words so 64 buckets already
+#                 exhibits the collision regime the method is built for.
+TARGET_LANG = "en"  # the fixture's stand-in target slice
+DSIR_GATE = 0.0  # admission threshold: logw >= 0 means the document is
+#                  likelier under the target model than under the raw model
+
+# Hashed-feature relation (word unigrams kind 0 + bigrams kind 1) over the
+# `documents` view — the oracle twin of importance.hashed_features.
+_DUCK_FEATS_CTE = f"""
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT doc_id, lang, generate_subscripts(w, 1) AS pos, 0 AS kind,
+         unnest(w) AS feat
+  FROM w
+),
+bi AS (
+  SELECT doc_id, lang, i AS pos, 1 AS kind,
+         w[i] || \' \' || w[i + 1] AS feat
+  FROM w, unnest(range(1, len(w))) AS t(i)
+),
+feats AS (
+  SELECT doc_id, lang, pos, kind, {duck_hash64("feat")} % {N_BUCKETS} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
 )"""

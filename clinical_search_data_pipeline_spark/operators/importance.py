@@ -35,14 +35,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
+from clinical_search_data_pipeline_spark.functions.hashing import hash64
+from clinical_search_data_pipeline_spark.operators.fragments import (
+    _DUCK_FEATS_CTE,
+    DSIR_GATE,
+    N_BUCKETS,
+    TARGET_LANG,
+)
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
-N_BUCKETS = 64  # hashed-feature space; DSIR uses 10k on web corpora — the
-#                 fixture vocabulary is ~30 words so 64 buckets already
-#                 exhibits the collision regime the method is built for.
-TARGET_LANG = "en"  # the fixture's stand-in target slice
+__all__ = [
+    "DSIR_GATE",
+    "N_BUCKETS",
+    "TARGET_LANG",
+    "dsir_model",
+    "dsir_score",
+    "dsir_weights",
+    "hashed_features",
+]
 
 
 def hashed_features(docs: DataFrame) -> DataFrame:
@@ -90,11 +101,39 @@ def bucket_log_ratios(feats: DataFrame, target_lang: str = TARGET_LANG) -> DataF
     )
 
 
-def dsir_weights(docs: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
-    """(doc_id, lang, n_feats, logw): per-document DSIR log importance
-    weight — the ordered left fold of its features' bucket log-ratios."""
+def dsir_model(corpus: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+    """Fit the frozen model on a standing corpus: (bucket, lr) DENSE over
+    the whole bucket domain [0, N_BUCKETS) — zero-count buckets carry the
+    add-one-smoothed ratio by construction, so any later scoring join is a
+    plain inner broadcast equi-join with no out-of-vocabulary special
+    case. Model-sized (exactly N_BUCKETS rows)."""
+    feats = hashed_features(corpus)
+    cnt = feats.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
+    )
+    tot = cnt.agg(F.sum("n_raw").alias("t_r"), F.sum("n_t").alias("t_t"))
+    domain = (
+        corpus.sparkSession.range(N_BUCKETS).select(F.col("id").alias("bucket"))
+    )
+    dense = domain.join(F.broadcast(cnt), "bucket", "left").fillna(
+        0, ["n_raw", "n_t"]
+    )
+    return dense.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(N_BUCKETS))))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(N_BUCKETS))))
+        ).alias("lr"),
+    )
+
+
+def dsir_score(docs: DataFrame, lr: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_feats, logw): score documents under a FROZEN dense
+    model — one broadcast equi-join on bucket + a doc_id-keyed ordered
+    fold. Total over any input (the model covers the full bucket domain),
+    which is the ingest-gate requirement."""
     feats = hashed_features(docs)
-    lr = bucket_log_ratios(feats, target_lang)
     scored = (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "lang")
@@ -112,24 +151,17 @@ def dsir_weights(docs: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
     )
 
 
+def dsir_weights(docs: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+    """(doc_id, lang, n_feats, logw): per-document DSIR log importance
+    weight — the ordered left fold of its features' bucket log-ratios,
+    self-scored (model and scored corpus are the same relation)."""
+    return dsir_score(docs, dsir_model(docs, target_lang))
+
+
 @register(
     "q_dsir_weights",
     oracle=f"""
-WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-uni AS (
-  SELECT doc_id, lang, generate_subscripts(w, 1) AS pos, 0 AS kind,
-         unnest(w) AS feat
-  FROM w
-),
-bi AS (
-  SELECT doc_id, lang, i AS pos, 1 AS kind,
-         w[i] || ' ' || w[i + 1] AS feat
-  FROM w, unnest(range(1, len(w))) AS t(i)
-),
-feats AS (
-  SELECT doc_id, lang, pos, kind, {duck_hash64('feat')} % {N_BUCKETS} AS bucket
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-),
+WITH {_DUCK_FEATS_CTE},
 cnt AS (
   SELECT bucket, count(*) AS n_raw,
          count(*) FILTER (WHERE lang = '{TARGET_LANG}') AS n_t

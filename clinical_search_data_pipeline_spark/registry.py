@@ -117,14 +117,14 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stream_traffic_minute",
     "q_stream_anomaly",
     "q_stream_stream_join",
-    "q_stream_stream_left_outer",
     # (b) new in the second half of round 6 — never driver-checked, so they
     # MUST hold slots (test_never_checked_queries_claim_window_slots);
-    # the three displaced stream queries are r4-green at unchanged
+    # the four displaced stream queries are r4-green at unchanged
     # behavior and lead the r7 backlog below.
     "q_dup_spans",
     "q_strip_dup_spans",
     "q_dsir_weights",
+    "q_stream_dsir_gate",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -137,6 +137,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_stream_enriched_traffic",
     "q_stream_running_counts",
     "q_stream_session_window",
+    "q_stream_stream_left_outer",
     "q_pricing_rollup",
     "q_customer_running_spend",
     "q_approx_daily_traffic",

@@ -636,3 +636,116 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR admission gate: frozen-model importance scoring at ingest
+# ---------------------------------------------------------------------------
+
+
+def _stream_dsir_oracle() -> str:
+    # Score ONLY the batch partition (doc_id >= INCREMENT_SPLIT) under the
+    # model fit ONLY on the standing corpus (doc_id < INCREMENT_SPLIT);
+    # unseen buckets take the smoothed zero-count ratio — the LEFT-join
+    # default in importance.dsir_score. Scores depend on one document +
+    # the frozen model (dense over the whole bucket domain, so zero-count
+    # buckets carry the smoothed ratio), so micro-batch boundaries cannot
+    # change any row.
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        _DUCK_FEATS_CTE,
+        DSIR_GATE,
+        N_BUCKETS,
+        TARGET_LANG,
+    )
+
+    s = INCREMENT_SPLIT
+    return f"""
+WITH {_DUCK_FEATS_CTE},
+cnt AS (
+  SELECT bucket, count(*) AS n_raw,
+         count(*) FILTER (WHERE lang = '{TARGET_LANG}') AS n_t
+  FROM feats WHERE doc_id < {s} GROUP BY bucket
+),
+tot AS (SELECT sum(n_raw) AS t_r, sum(n_t) AS t_t FROM cnt),
+lr AS (
+  SELECT b.bucket,
+         ln((coalesce(n_t, 0) + 1) / (t_t + {N_BUCKETS}.0))
+           - ln((coalesce(n_raw, 0) + 1) / (t_r + {N_BUCKETS}.0)) AS lr
+  FROM (SELECT range AS bucket FROM range(0, {N_BUCKETS})) b
+  LEFT JOIN cnt USING (bucket) CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, f.lang, count(*) AS n_feats,
+         list(lr.lr ORDER BY f.pos, f.kind) AS lrs
+  FROM feats f JOIN lr USING (bucket)
+  WHERE f.doc_id >= {s}
+  GROUP BY f.doc_id, f.lang
+),
+w8 AS (
+  SELECT doc_id, lang, n_feats,
+         round(list_reduce(list_prepend(0.0::DOUBLE, lrs),
+                           (acc, x) -> acc + x), 4) AS logw
+  FROM scored
+)
+SELECT doc_id, lang, n_feats, logw,
+       CASE WHEN logw >= {DSIR_GATE} THEN 'admitted' ELSE 'rejected' END AS status
+FROM w8
+"""
+
+
+@register(
+    "q_stream_dsir_gate",
+    oracle=_stream_dsir_oracle(),
+    tags=("streaming", "curation", "northstar"),
+)
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time DSIR admission gate: the bucket log-ratio model is fit
+    ONCE on the standing corpus (doc_id < INCREMENT_SPLIT) and engine-
+    cached as a static broadcast side (dense over the bucket domain, so
+    out-of-vocabulary features score under the smoothed zero-count
+    ratio); incoming documents stream over
+    multiple micro-batches (maxFilesPerTrigger=1) and each micro-batch is
+    scored + thresholded inside foreachBatch. A document's score depends
+    only on itself and the frozen model, so the accumulated sink equals
+    the one-shot batch scoring and the query is fully hash-oracled —
+    the importance-resampling twin of q_stream_incremental_dedup."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        DSIR_GATE,
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    lr = engine_cache(dsir_model(corpus))
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_dsir_out_")
+
+    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        dsir_score(batch_df, lr).withColumn(
+            "status",
+            F.when(F.col("logw") >= DSIR_GATE, "admitted").otherwise("rejected"),
+        ).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, admit, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

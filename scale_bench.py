@@ -54,6 +54,10 @@ HEAVY_FAMILY = (
     "q_token_budget",
     "q_kmeans_refine",
     "q_bpe_merge_step",
+    # substring-span removal: the ciphered copies replicate every
+    # within-copy duplicated-gram run and never collide cross-copy, so
+    # output is exactly factor-linear (pinned in tests/test_scale_growth.py)
+    "q_strip_dup_spans",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per

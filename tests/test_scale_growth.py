@@ -198,3 +198,30 @@ def test_kmeans_train_scales_with_bounded_sync(spark, tmp_path):
     assert scaled_sec < 15 * max(base_sec, 0.5), (
         f"superlinear blowup: base {base_sec:.2f}s -> scaled {scaled_sec:.2f}s"
     )
+
+
+def test_strip_dup_spans_scales_linearly(spark, tmp_path):
+    """Substring-span removal on the ciphered 10x corpus: the substitution
+    cipher is a token bijection, so each copy's duplicated-gram runs (and
+    the globally-first-occurrence choice, which the doc_id shift preserves
+    order-wise) replicate exactly and never collide cross-copy — output
+    rows AND total removed words are exactly factor-linear."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.spans import strip_dup_spans
+
+    docs_base = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledsp"), FACTOR)
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+
+    _timed_count(strip_dup_spans(docs_base))  # warm
+    base_sec, base_rows = _timed_count(strip_dup_spans(docs_base))
+    scaled_sec, scaled_rows = _timed_count(strip_dup_spans(docs_scaled))
+    assert base_rows > 0 and scaled_rows == FACTOR * base_rows
+
+    base_rm = strip_dup_spans(docs_base).agg(F.sum("n_removed")).collect()[0][0]
+    scaled_rm = strip_dup_spans(docs_scaled).agg(F.sum("n_removed")).collect()[0][0]
+    assert base_rm > 0 and scaled_rm == FACTOR * base_rm
+    assert scaled_sec < 15 * max(base_sec, 0.5), (
+        f"superlinear blowup: base {base_sec:.2f}s -> scaled {scaled_sec:.2f}s"
+    )

@@ -291,3 +291,68 @@ def test_dsir_plan_broadcasts_bucket_model(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_dsir_score_handles_unseen_buckets_with_smoothed_default(spark):
+    """A frozen model scoring documents whose features hash to buckets the
+    corpus never produced must apply the add-one-smoothed zero-count ratio
+    — not drop the features (inner join) or null the score."""
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+    )
+
+    corpus = _mkdocs(spark, ["alpha beta alpha", "beta alpha beta"], ["en", "fr"])
+    lr = dsir_model(corpus)
+    # totals over the corpus features: 6 unigrams + 4 bigrams; 'en' doc
+    # contributes 3 + 2
+    t_r, t_t = 10, 5
+    # an out-of-vocabulary doc: every feature bucket is (almost surely)
+    # unseen; if one collides with a corpus bucket the assertion below
+    # still holds through the explicit per-feature reference
+    novel = _mkdocs(spark, ["zzqx1 zzqx2 zzqx3"], ["de"])
+    row = dsir_score(novel, lr).collect()[0]
+    assert row.n_feats == 5  # 3 unigrams + 2 bigrams
+    lr_map = {r.bucket: r.lr for r in lr.collect()}
+    default = math.log((t_r + N_BUCKETS) / (t_t + N_BUCKETS))
+    feats = ["zzqx1", "zzqx2", "zzqx3", "zzqx1 zzqx2", "zzqx2 zzqx3"]
+    expected = sum(
+        lr_map.get(_py_hash64(f) % N_BUCKETS, default) for f in feats
+    )
+    assert abs(row.logw - expected) < 5e-5
+
+
+def test_stream_dsir_gate_equals_batch_scoring(spark):
+    """The accumulated streaming sink must equal one-shot batch scoring of
+    the same partition under the same frozen model — the micro-batch
+    invariance the oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        DSIR_GATE,
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    streamed = (
+        all_specs()["q_stream_dsir_gate"].builder(spark, SF_SMOKE).collect()
+    )
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    lr = dsir_model(corpus)
+    expected = {
+        r.doc_id: (r.lang, r.n_feats, r.logw, r.logw >= DSIR_GATE)
+        for r in dsir_score(batch, lr).collect()
+    }
+    got = {
+        r.doc_id: (r.lang, r.n_feats, r.logw, r.status == "admitted")
+        for r in streamed
+    }
+    assert got == expected and len(got) > 0
