@@ -1137,3 +1137,118 @@ FROM bounds b LEFT JOIN outl ON b.lang = outl.lang
 )
 def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_percentiles(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication attribution: where does duplicated content
+# come from?
+# ---------------------------------------------------------------------------
+
+
+def _source_passages(docs: DataFrame, p: int = PASSAGE_WORDS) -> DataFrame:
+    """Distinct (source, passage) — source carried THROUGH the explode (no
+    doc_id re-join; the document identity is irrelevant to source-level
+    attribution). One distinct shuffle keyed on (source, passage)."""
+    w = fan_out(docs).select("source", F.split(F.col("text"), " ").alias("w"))
+    chunks = F.expr(
+        f"transform(sequence(1, CAST(ceil(size(w) / {p}.0) AS INT)), "
+        f"i -> array_join(slice(w, (i - 1) * {p} + 1, {p}), ' '))"
+    )
+    return w.select("source", F.explode(chunks).alias("passage")).distinct()
+
+
+def source_overlap(docs: DataFrame, p: int = PASSAGE_WORDS) -> DataFrame:
+    """(src_a, src_b, n_shared_passages): for every unordered source pair,
+    how many DISTINCT passages appear in both — the duplication-attribution
+    matrix a corpus owner reads before deciding which feed to dedup or
+    drop.
+
+    Plan: distinct (source, passage) — one shuffle — then a passage-keyed
+    self-join restricted to src_a < src_b. Pair fan-out per passage is
+    bounded by the SOURCE count (tiny), not document frequency: a passage
+    in s sources yields s*(s-1)/2 rows, so a hot passage cannot blow up
+    the join the way hot shingles blow up document self-joins."""
+    sp = _source_passages(docs, p)
+    a = sp.alias("a")
+    b = sp.alias("b")
+    return (
+        a.join(b, "passage")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared_passages"))
+    )
+
+
+def source_dup_profile(docs: DataFrame, p: int = PASSAGE_WORDS) -> DataFrame:
+    """(source, n_passages, n_shared, dup_rate): per source, how many of
+    its distinct passages also occur in at least one OTHER source. The
+    cross-source flag rides the passage-keyed shuffle (count distinct
+    sources per passage, broadcast nothing, corpus touched once)."""
+    sp = _source_passages(docs, p)
+    per_passage = sp.groupBy("passage").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    flagged = sp.join(per_passage, "passage")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.count(F.when(F.col("n_sources") >= 2, 1)).alias("n_shared"),
+        )
+        .select(
+            "source",
+            "n_passages",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_passages"), 4).alias("dup_rate"),
+        )
+    )
+
+
+_DUCK_SRC_PASSAGES_CTE = f"""
+w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT DISTINCT source,
+         array_to_string(
+           list_slice(w, (i - 1) * {PASSAGE_WORDS} + 1, i * {PASSAGE_WORDS}), ' '
+         ) AS passage
+  FROM w, unnest(range(1, CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT) + 1)) AS t(i)
+)"""
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+WITH {_DUCK_SRC_PASSAGES_CTE}
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_passages
+FROM ch a JOIN ch b ON a.passage = b.passage AND a.source < b.source
+GROUP BY 1, 2
+""",
+    tags=("curation", "dedup", "northstar"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication attribution matrix: distinct passages
+    shared by each source pair."""
+    return source_overlap(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_source_dup_profile",
+    oracle=f"""
+WITH {_DUCK_SRC_PASSAGES_CTE},
+pp AS (SELECT passage, count(DISTINCT source) AS n_sources FROM ch GROUP BY 1)
+SELECT source,
+       count(*) AS n_passages,
+       count(*) FILTER (WHERE n_sources >= 2) AS n_shared,
+       round(count(*) FILTER (WHERE n_sources >= 2) / count(*)::DOUBLE, 4)
+         AS dup_rate
+FROM ch JOIN pp USING (passage)
+GROUP BY source
+""",
+    tags=("curation", "dedup", "northstar"),
+)
+def q_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate: the share of a source's distinct
+    passages that also occur in another source."""
+    return source_dup_profile(read_table(spark, sf_dir, "documents"))

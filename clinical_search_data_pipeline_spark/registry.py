@@ -51,17 +51,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-6 window (VERDICT r05 "Next round" #1 — at its close, every one of
-# the 111 registered queries has a hard driver row at its CURRENT behavior
-# for the first time): (a) the 14-name r5 backlog — 8 queries registered
-# after the r5 window was claimed (never driver-checked), the 4 media
-# queries whose shared decode plumbing changed in r5 after their r03 rows,
-# and the two window-displaced explode canaries; (b) queries whose behavior
-# or module changed THIS round (q_pii_redact column rename,
-# q_incremental_dedup corpus-index refactor, q_stream_incremental_dedup
-# new); (c) 33 of the 46 remaining r4-row queries, oldest coverage first —
-# the 13 rotated out are recorded in ROUND_BACKLOG below and must lead the
-# r7 window (tests/test_registry_hygiene.py enforces both directions).
+# Round-6 window: (a) the 14-name r5 backlog — 8 queries registered after
+# the r5 window was claimed (never driver-checked), the 4 media queries
+# whose shared decode plumbing changed in r5 after their r03 rows, and the
+# two window-displaced explode canaries; (b) queries whose behavior or
+# module changed THIS round (q_pii_redact column rename,
+# q_incremental_dedup corpus-index refactor) plus the round's NEW
+# registrations (streaming incremental dedup, chunking, chunked EWMA,
+# substring spans, DSIR, source overlap — never-checked queries must hold
+# slots); (c) the remaining slots refresh r4-row queries, oldest coverage
+# first. Everything rotated out is recorded in ROUND_BACKLOG below and
+# must lead the r7 window (tests/test_registry_hygiene.py enforces both
+# directions). All rotated-out names keep valid driver rows at their
+# current, unchanged behavior.
 ROUND_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked (registered late in r5)
     "q_bpe_train2",
@@ -91,7 +93,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_daily_traffic",
     "q_popular_documents",
     "q_traffic_minute",
-    "q_top_docs",
     "q_anomaly_sessions",
     "q_dedup_events",
     "q_dedup_keys",
@@ -116,7 +117,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stream_dedup_keys",
     "q_stream_traffic_minute",
     "q_stream_anomaly",
-    "q_stream_stream_join",
     # (b) new in the second half of round 6 — never driver-checked, so they
     # MUST hold slots (test_never_checked_queries_claim_window_slots);
     # the four displaced stream queries are r4-green at unchanged
@@ -125,6 +125,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_strip_dup_spans",
     "q_dsir_weights",
     "q_stream_dsir_gate",
+    "q_source_overlap",
+    "q_source_dup_profile",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -134,6 +136,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # long a deferral may stand without failing pytest (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_top_docs",
+    "q_stream_stream_join",
     "q_stream_enriched_traffic",
     "q_stream_running_counts",
     "q_stream_session_window",

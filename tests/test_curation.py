@@ -540,3 +540,59 @@ def test_sliding_chunks_randomized_cross_check(spark):
             )
         expected = {d: ref(t, window, stride) for d, t in docs}
         assert got == expected, f"mismatch at window={window} stride={stride}"
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication attribution
+# ---------------------------------------------------------------------------
+
+
+def _mksrc(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_source_overlap_handcrafted(spark):
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        source_dup_profile,
+        source_overlap,
+    )
+
+    # p=2 passages: srcA doc0=[a b][c d]; srcB doc1=[a b][e f]; srcC
+    # doc2=[a b][c d] — A∩B={ab}, A∩C={ab,cd}, B∩C={ab}
+    docs = _mksrc(
+        spark,
+        [
+            (0, "srcA", "a b c d"),
+            (1, "srcB", "a b e f"),
+            (2, "srcC", "a b c d"),
+        ],
+    )
+    got = {
+        (r.src_a, r.src_b): r.n_shared_passages
+        for r in source_overlap(docs, p=2).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): 1,
+        ("srcA", "srcC"): 2,
+        ("srcB", "srcC"): 1,
+    }
+
+    prof = {r.source: r for r in source_dup_profile(docs, p=2).collect()}
+    assert prof["srcA"].n_passages == 2 and prof["srcA"].n_shared == 2
+    assert prof["srcB"].n_passages == 2 and prof["srcB"].n_shared == 1
+    assert prof["srcB"].dup_rate == 0.5
+    assert prof["srcC"].n_shared == 2
+
+
+def test_source_overlap_fanout_bounded_by_source_count(spark):
+    """A passage duplicated across MANY documents of the same two sources
+    still contributes exactly one pair row — the distinct (source, passage)
+    projection caps fan-out at s*(s-1)/2 regardless of document count."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        source_overlap,
+    )
+
+    rows = [(i, "srcA" if i % 2 else "srcB", "x y") for i in range(200)]
+    out = source_overlap(_mksrc(spark, rows), p=2).collect()
+    assert len(out) == 1
+    assert out[0].n_shared_passages == 1
