@@ -754,3 +754,131 @@ FROM top CROSS JOIN total
 )
 def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_profile(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM: context-aware perplexity proxy
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term (Jelinek-
+#                       Mercer smoothing); the unigram term guarantees
+#                       p > 0 for any bigram whose current word exists.
+
+
+def bigram_nll(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """(doc_id, n_bigrams, sum_bf, avg_nll) — per-document average negative
+    log2-likelihood under a Jelinek-Mercer-interpolated bigram LM fit on
+    the corpus itself:
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c_ctx(w_{i-1})
+                         + (1 - lam) * c(w_i) / N
+
+    the context-aware step past `unigram_nll` (CCNet scores with a real
+    KenLM; the interpolated bigram is its SQL-expressible core). Documents
+    with fewer than two words have no bigrams and are omitted.
+
+    Float determinism: bigram probabilities are re-collected in document
+    position order and folded LEFT-TO-RIGHT from a 0.0 seed; sum_bf (sum
+    of exact bigram counts) is the integer twin in the same row.
+
+    Scale shape: bigram positions are a narrow HOF projection; the bigram
+    and context frequency tables are one keyed shuffle each and both are
+    vocabulary-bounded, so they ride back as BROADCAST sides. At web scale
+    a raw bigram table outgrows broadcast — prune to the top-K bigrams or
+    hash-bucket the features (the `importance.py` device) and the plan
+    shape is unchanged.
+    """
+    w = fan_out(docs).select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bi = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS prev, "
+                    "element_at(w, i + 1) AS cur))"
+                )
+            ).alias("pos", "b"),
+        )
+        .select("doc_id", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    bf = bi.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    cf = bi.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    uf = toks.groupBy("token").agg(F.count("*").alias("c_uni"))
+    total = uf.agg(F.sum("c_uni").alias("n_total"))
+    scored = (
+        bi.join(F.broadcast(bf), ["prev", "cur"])
+        .join(F.broadcast(cf), "prev")
+        .join(F.broadcast(uf), F.col("cur") == F.col("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c_bi").alias("sum_bf"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c_bi", "c_ctx", "c_uni"))
+            ).alias("ps"),
+        )
+    )
+    nll = (
+        f"aggregate(transform(ps, s -> -log2("
+        f"{lam} * CAST(s.c_bi AS DOUBLE) / CAST(s.c_ctx AS DOUBLE) + "
+        f"{1 - lam} * CAST(s.c_uni AS DOUBLE) / CAST(n_total AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bf",
+        F.round(F.expr(nll) / F.col("n_bigrams"), 4).alias("avg_nll"),
+    )
+
+
+@register(
+    "q_bigram_nll",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id, i AS pos, w[i] AS prev, w[i + 1] AS cur
+  FROM w, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+bf AS (SELECT prev, cur, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+cf AS (SELECT prev, count(*) AS c_ctx FROM bi GROUP BY 1),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+uf AS (SELECT token, count(*) AS c_uni FROM toks GROUP BY 1),
+total AS (SELECT sum(c_uni) AS n_total FROM uf),
+scored AS (
+  SELECT bi.doc_id, count(*) AS n_bigrams, sum(bf.c_bi)::BIGINT AS sum_bf,
+         list(struct_pack(c_bi := bf.c_bi, c_ctx := cf.c_ctx,
+                          c_uni := uf.c_uni) ORDER BY bi.pos) AS ps
+  FROM bi
+  JOIN bf USING (prev, cur)
+  JOIN cf USING (prev)
+  JOIN uf ON bi.cur = uf.token
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, n_bigrams, sum_bf,
+       round(
+         list_reduce(
+           list_prepend(
+             0.0::DOUBLE,
+             list_transform(ps, s -> -log2(
+               {BIGRAM_LAMBDA} * s.c_bi::DOUBLE / s.c_ctx::DOUBLE +
+               {1 - BIGRAM_LAMBDA} * s.c_uni::DOUBLE / n_total::DOUBLE))
+           ),
+           (acc, x) -> acc + x
+         ) / n_bigrams, 4) AS avg_nll
+FROM scored CROSS JOIN total
+""",
+    tags=("text", "northstar"),
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity proxy — the context-aware step
+    past q_unigram_nll (CCNet's KenLM scoring, SQL-expressible core)."""
+    return bigram_nll(read_table(spark, sf_dir, "documents"))

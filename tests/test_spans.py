@@ -356,3 +356,67 @@ def test_stream_dsir_gate_equals_batch_scoring(spark):
         for r in streamed
     }
     assert got == expected and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _ref_bigram_nll(texts, lam=0.75):
+    bi, cf, uf = {}, {}, {}
+    n_total = 0
+    docs_bi = []
+    for t in texts:
+        w = t.split(" ")
+        for x in w:
+            uf[x] = uf.get(x, 0) + 1
+            n_total += 1
+        pairs = list(zip(w, w[1:]))
+        docs_bi.append(pairs)
+        for p in pairs:
+            bi[p] = bi.get(p, 0) + 1
+            cf[p[0]] = cf.get(p[0], 0) + 1
+    out = {}
+    for d, pairs in enumerate(docs_bi):
+        if not pairs:
+            continue
+        nll = 0.0
+        for p in pairs:
+            prob = lam * bi[p] / cf[p[0]] + (1 - lam) * uf[p[1]] / n_total
+            nll += -math.log2(prob)
+        out[d] = (len(pairs), sum(bi[p] for p in pairs), nll / len(pairs))
+    return out
+
+
+def test_bigram_nll_matches_python_reference(spark):
+    from clinical_search_data_pipeline_spark.operators.textanalysis import (
+        bigram_nll,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(8)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 20))) for _ in range(25)]
+    texts[3] = "solo"  # single-word doc -> no bigrams -> omitted
+    docs = _mkdocs(spark, texts)
+    got = {r.doc_id: r for r in bigram_nll(docs).collect()}
+    ref = _ref_bigram_nll(texts)
+    assert set(got) == set(ref)
+    for d, (n, sbf, nll) in ref.items():
+        assert got[d].n_bigrams == n and got[d].sum_bf == sbf
+        assert abs(got[d].avg_nll - nll) < 5e-5
+
+
+def test_bigram_nll_repetitive_doc_scores_lower(spark):
+    # a doc made of the corpus's dominant bigram must have lower NLL than
+    # a doc of rare transitions
+    docs = _mkdocs(
+        spark,
+        ["a b a b a b a b", "a b a b a b", "c d e f g h"],
+    )
+    from clinical_search_data_pipeline_spark.operators.textanalysis import (
+        bigram_nll,
+    )
+
+    out = {r.doc_id: r.avg_nll for r in bigram_nll(docs).collect()}
+    assert out[0] < out[2] and out[1] < out[2]
