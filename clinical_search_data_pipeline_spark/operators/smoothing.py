@@ -88,8 +88,12 @@ def ewma_per_user(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     return out.withColumn("ewma", F.round("ewma", 6))
 
 
+EWMA_TARGET_CHUNK_ROWS = 4096  # auto-chunking aims the HOTTEST key at this
+#                                many rows per (user, chunk) task
+
+
 def ewma_per_user_chunked(
-    events: DataFrame, alpha: float = EWMA_ALPHA, chunk_sec: int = 6 * 3600
+    events: DataFrame, alpha: float = EWMA_ALPHA, chunk_sec: int | None = None
 ) -> DataFrame:
     """Skew-hardened EWMA: same output contract as `ewma_per_user`, but no
     task ever holds more than one time-chunk of one user's series.
@@ -114,6 +118,20 @@ def ewma_per_user_chunked(
     splits across tasks without a per-key sort anywhere; chunk order is
     consistent with the global (ts_sec, event_id) order because the bucket
     is monotone in ts_sec.
+
+    Chunk width: grouped-map cost is per GROUP (one Arrow round-trip
+    each), so a fixed width is wrong in both directions — too narrow
+    shatters a sparse series into row-sized groups (the 6-hour default
+    produced 77k near-singleton groups on the sf0.1 fixture, 14x slower
+    than the unchunked path), too wide re-creates the hot-key task. With
+    chunk_sec=None the width is derived from the data: chunk_sec =
+    ceil(EWMA_TARGET_CHUNK_ROWS * span / max_user_rows), which aims the
+    hottest key at ~target rows per task assuming its events spread over
+    the observed span. The derivation costs one user-keyed count + two
+    driver scalars (the kmeans-round sync class). The bound is heuristic
+    for bursty keys — a key that packs its rows into one narrow window
+    still concentrates a chunk; pass chunk_sec explicitly to impose a
+    hard rate-based bound from an SLA.
 
     Numerics: rows in a user's FIRST chunk take the seeded loop value
     (bit-identical to the unchunked path); later chunks evaluate
@@ -171,11 +189,33 @@ def ewma_per_user_chunked(
             }
         )
 
-    sub = (
-        events.select("user_id", "event_id", "ts_sec", "value")
-        .filter("value IS NOT NULL")
-        .withColumn("chunk", (F.col("ts_sec") / F.lit(chunk_sec)).cast("long"))
+    sub = events.select("user_id", "event_id", "ts_sec", "value").filter(
+        "value IS NOT NULL"
     )
+    if chunk_sec is None:
+        import math
+
+        row = (
+            sub.groupBy("user_id")
+            .agg(
+                F.count("*").alias("c"),
+                F.min("ts_sec").alias("lo"),
+                F.max("ts_sec").alias("hi"),
+            )
+            .agg(
+                F.max("c").alias("max_rows"),
+                (F.max("hi") - F.min("lo") + 1).alias("span"),
+            )
+            .collect()[0]
+        )
+        if row.max_rows is None:  # empty input: any width works
+            chunk_sec = 1
+        else:
+            chunk_sec = max(
+                1,
+                int(math.ceil(EWMA_TARGET_CHUNK_ROWS * row.span / row.max_rows)),
+            )
+    sub = sub.withColumn("chunk", (F.col("ts_sec") / F.lit(chunk_sec)).cast("long"))
     n = max(sub.sparkSession.sparkContext.defaultParallelism, 8)
     staged = sub.repartition(n, "user_id", "chunk").groupBy(
         "user_id", "chunk"

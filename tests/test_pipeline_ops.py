@@ -382,3 +382,55 @@ def test_ewma_chunked_matches_unchunked_with_hot_key(spark):
         .collect()[0][0]
     )
     assert max_chunk <= chunk_sec // 97 + 1
+
+
+def test_ewma_auto_chunk_width_does_not_shatter_sparse_series(spark):
+    """Auto-derived chunk width (chunk_sec=None) must keep group count in
+    the same order as the user count on a sparse fixture — the 6h fixed
+    width produced near-singleton groups (one Arrow round-trip per ROW);
+    with ~target-row chunks aimed at the hottest key, a fixture whose
+    hottest user is far below target collapses to O(1) chunks per user."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.smoothing import (
+        ewma_per_user,
+        ewma_per_user_chunked,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+    import math
+
+    from clinical_search_data_pipeline_spark.operators.smoothing import (
+        EWMA_TARGET_CHUNK_ROWS,
+    )
+
+    ev = load_events(spark, SF_SMOKE)
+    sub = ev.filter("value IS NOT NULL")
+    stats = (
+        sub.groupBy("user_id")
+        .agg(F.count("*").alias("c"), F.min("ts_sec").alias("lo"),
+             F.max("ts_sec").alias("hi"))
+        .agg(F.max("c").alias("m"), (F.max("hi") - F.min("lo") + 1).alias("span"),
+             F.count("*").alias("n_users"))
+        .collect()[0]
+    )
+    chunk_sec = max(1, math.ceil(EWMA_TARGET_CHUNK_ROWS * stats.span / stats.m))
+    n_groups = (
+        sub.select("user_id", (F.col("ts_sec") / chunk_sec).cast("long").alias("ch"))
+        .distinct()
+        .count()
+    )
+    # chunk boundaries are absolute (ts // chunk_sec): with width >= span a
+    # user splits across at most 2 buckets -> O(users) groups, not O(rows)
+    assert chunk_sec >= stats.span  # hottest fixture user is far below target
+    assert n_groups <= 2 * stats.n_users
+    # and the output still matches the unchunked path exactly
+    a = {
+        (r.user_id, r.event_id): (r.rn, r.ewma)
+        for r in ewma_per_user(ev).collect()
+    }
+    b = {
+        (r.user_id, r.event_id): (r.rn, r.ewma)
+        for r in ewma_per_user_chunked(ev).collect()
+    }
+    assert a == b
