@@ -58,6 +58,15 @@ HEAVY_FAMILY = (
     # within-copy duplicated-gram run and never collide cross-copy, so
     # output is exactly factor-linear (pinned in tests/test_scale_growth.py)
     "q_strip_dup_spans",
+    # DSIR scoring: the 64-key model shuffle is map-side combined to KB
+    # payload regardless of corpus size; evidence for the broadcast-model
+    # claim. Bigram LM: the ciphered copies grow the vocab (and so the
+    # broadcast tables) 10x yet both stay tiny — the vocabulary-bounded
+    # claim measured. Source overlap: pair fan-out bounded by the SOURCE
+    # count, so output is source-pair-sized however large the corpus.
+    "q_dsir_weights",
+    "q_bigram_nll",
+    "q_source_overlap",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per
