@@ -99,3 +99,12 @@ feats AS (
   SELECT doc_id, lang, pos, kind, {duck_hash64("feat")} % {N_BUCKETS} AS bucket
   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
 )"""
+
+
+# --- substring-span constants (operators/spans.py) --------------------------
+
+SPAN_GRAM_K = 8  # span granularity: smallest duplicated run detected, in
+#                  words (Lee et al. use 50 BPE tokens on web text; the
+#                  fixture vocabulary makes chance collisions vanish by k=8)
+SPAN_GATE_FRAC = 0.3  # ingest gate: contaminated when > this fraction of a
+#                       document's words is covered by corpus k-grams

@@ -48,14 +48,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_search_data_pipeline_spark.operators.fragments import (
+    SPAN_GATE_FRAC,
+    SPAN_GRAM_K,
+)
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
-
-SPAN_GRAM_K = 8  # span granularity: smallest duplicated run detected, in
-#                  words. Lee et al. use 50 BPE tokens on web text; the
-#                  fixture corpus draws from a ~30-word vocabulary, so
-#                  chance k-gram collisions vanish by k=8 while the planted
-#                  duplicate regions (up to ~90 words) stay detectable.
 
 
 def word_grams(docs: DataFrame, k: int = SPAN_GRAM_K) -> DataFrame:
@@ -286,3 +284,75 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup: drop every duplicated region except its
     globally first occurrence, rebuild each document (Lee et al. 2022)."""
     return strip_dup_spans(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time substring contamination: batch docs vs a frozen corpus
+# gram index
+# ---------------------------------------------------------------------------
+
+def corpus_gram_index(corpus: DataFrame, k: int = SPAN_GRAM_K) -> DataFrame:
+    """(gram) — the DISTINCT k-gram set of a standing corpus: the frozen
+    side of ingest-time substring screening. One shuffle (distinct on the
+    gram text); at production scale this is the relation you would back
+    with a bloom filter — the join shape below is unchanged."""
+    return word_grams(corpus, k).select("gram").distinct()
+
+
+def span_contamination(
+    batch: DataFrame,
+    gram_index: DataFrame,
+    k: int = SPAN_GRAM_K,
+    frac: float = SPAN_GATE_FRAC,
+) -> DataFrame:
+    """(doc_id, n_words, n_dup_grams, covered_words, longest_run, status):
+    screen incoming documents against the frozen corpus gram index.
+
+    Per document: how many of its k-grams exist verbatim in the corpus,
+    how many of its word positions those grams cover, and the longest
+    contiguous covered run (the gaps-and-islands merge from `dup_spans`,
+    here per batch document). `status` gates on covered fraction.
+
+    Each row depends only on its own document and the frozen index, so
+    the operator is micro-batch invariant — the streaming-twin property.
+    Joins are gram-keyed equi-joins; windows are per-document."""
+    grams = word_grams(batch, k)
+    hits = grams.join(gram_index, "gram").select("doc_id", "s", "e")
+    by_start = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(by_start.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            (F.max("e") - F.min("s") + 1).alias("run_len"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("n_grams").alias("n_dup_grams"),
+        F.sum("run_len").alias("covered_words"),
+        F.max("run_len").alias("longest_run"),
+    )
+    totals = batch.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.coalesce("covered_words", F.lit(0)).alias("covered_words"),
+        F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+        F.when(
+            F.coalesce("covered_words", F.lit(0)) > F.col("n_words") * F.lit(frac),
+            "contaminated",
+        )
+        .otherwise("clean")
+        .alias("status"),
+    )

@@ -105,7 +105,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_range_join_windows",
     # (c) r4-row rotation: text/quality family
     "q_value_stats",
-    "q_token_stats",
     "q_text_quality",
     "q_lang_profile",
     "q_corpus_filter",
@@ -127,6 +126,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_overlap",
     "q_source_dup_profile",
     "q_bigram_nll",
+    "q_stream_span_gate",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -136,6 +136,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # long a deferral may stand without failing pytest (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_token_stats",
     "q_props_extract",
     "q_top_docs",
     "q_stream_stream_join",

@@ -749,3 +749,120 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming substring-contamination gate: batch docs vs a frozen corpus
+# gram index
+# ---------------------------------------------------------------------------
+
+
+def _stream_span_gate_oracle() -> str:
+    # Screen ONLY the batch partition against the DISTINCT k-gram set of
+    # the standing corpus; per-doc coverage/island aggregates depend on one
+    # document + the frozen index, so micro-batch boundaries cannot change
+    # any row. Island merge mirrors spans.dup_spans (running max end).
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        SPAN_GATE_FRAC,
+        SPAN_GRAM_K,
+    )
+
+    s, k = INCREMENT_SPLIT, SPAN_GRAM_K
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS s, i + {k} - 1 AS e,
+         array_to_string(list_slice(w, i, i + {k} - 1), ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(w) - {k} + 1, 0) + 1)) AS t(i)
+),
+idx AS (SELECT DISTINCT gram FROM g WHERE doc_id < {s}),
+hits AS (
+  SELECT g.doc_id, g.s, g.e FROM g JOIN idx USING (gram)
+  WHERE g.doc_id >= {s}
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM isl
+),
+runs AS (
+  SELECT doc_id, island, max(e) - min(s) + 1 AS run_len, count(*) AS n_grams
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, sum(n_grams)::BIGINT AS n_dup_grams,
+         sum(run_len)::BIGINT AS covered_words,
+         max(run_len)::BIGINT AS longest_run
+  FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id, len(w.w) AS n_words,
+       coalesce(n_dup_grams, 0) AS n_dup_grams,
+       coalesce(covered_words, 0) AS covered_words,
+       coalesce(longest_run, 0) AS longest_run,
+       CASE WHEN coalesce(covered_words, 0) > len(w.w) * {SPAN_GATE_FRAC}
+            THEN 'contaminated' ELSE 'clean' END AS status
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+WHERE d.doc_id >= {s}
+"""
+
+
+@register(
+    "q_stream_span_gate",
+    oracle=_stream_span_gate_oracle(),
+    tags=("streaming", "dedup", "northstar"),
+)
+def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring-contamination screen: the standing corpus's
+    DISTINCT k-gram index is built once and engine-cached; each incoming
+    micro-batch is screened by spans.span_contamination in foreachBatch
+    (per-doc coverage, longest duplicated run, covered-fraction gate).
+    Completes the admission triple with q_stream_incremental_dedup
+    (near-dup) and q_stream_dsir_gate (distribution): this one catches
+    verbatim copied REGIONS at any offset. Per-doc rows depend only on
+    the document and the frozen index, so the accumulated sink equals
+    one-shot batch screening and the query is fully hash-oracled."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    index = engine_cache(corpus_gram_index(corpus))
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_spangate_out_")
+
+    def screen(batch_df: DataFrame, _batch_id: int) -> None:
+        span_contamination(batch_df, index).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, screen, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

@@ -420,3 +420,64 @@ def test_bigram_nll_repetitive_doc_scores_lower(spark):
 
     out = {r.doc_id: r.avg_nll for r in bigram_nll(docs).collect()}
     assert out[0] < out[2] and out[1] < out[2]
+
+
+# ---------------------------------------------------------------------------
+# ingest-time substring-contamination gate
+# ---------------------------------------------------------------------------
+
+
+def test_span_contamination_handcrafted(spark):
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+
+    corpus = _mkdocs(spark, ["a b c d e f g h i j"])  # grams of k=5
+    idx = corpus_gram_index(corpus, k=5)
+    batch = spark.createDataFrame(
+        [
+            # words 3..9 copy corpus words 2..8 -> covered run of 7
+            (10, "x y b c d e f g h z"),
+            (11, "p q r s t u v w"),       # clean
+            (12, "a b c d e f g h i j"),   # full copy -> covered 10/10
+            (13, "s t u"),                 # shorter than k -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in span_contamination(batch, idx, k=5).collect()}
+    assert (out[10].covered_words, out[10].longest_run) == (7, 7)
+    assert out[10].status == "contaminated"  # 7 > 10 * 0.3
+    assert out[11].n_dup_grams == 0 and out[11].status == "clean"
+    assert (out[12].covered_words, out[12].n_words) == (10, 10)
+    assert out[12].status == "contaminated"
+    assert out[13].n_dup_grams == 0 and out[13].status == "clean"
+    assert set(out) == {10, 11, 12, 13}  # gram-less docs still present
+
+
+def test_stream_span_gate_equals_batch_screen(spark):
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    streamed = {
+        r.doc_id: (r.n_words, r.n_dup_grams, r.covered_words, r.longest_run, r.status)
+        for r in all_specs()["q_stream_span_gate"].builder(spark, SF_SMOKE).collect()
+    }
+    docs = read_table(spark, SF_SMOKE, "documents")
+    idx = corpus_gram_index(docs.filter(F.col("doc_id") < INCREMENT_SPLIT))
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    expected = {
+        r.doc_id: (r.n_words, r.n_dup_grams, r.covered_words, r.longest_run, r.status)
+        for r in span_contamination(batch, idx).collect()
+    }
+    assert streamed == expected and len(streamed) > 0
