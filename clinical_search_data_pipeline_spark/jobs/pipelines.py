@@ -249,3 +249,90 @@ def training_export_job(
     n = export.count()
     toks = export.agg(F.sum("n_tokens")).collect()[0][0] or 0
     return {"docs_exported": n, "tokens_exported": int(toks)}
+
+
+def ingest_admission_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    corpus_split: int | None = None,
+) -> Mapping[str, int]:
+    """Ingest-time admission over a document stream: ALL THREE gates run
+    inside ONE foreachBatch — near-dup vs the standing corpus
+    (batch_vs_corpus), DSIR distribution scoring under the frozen bucket
+    model (dsir_score), and substring-contamination screening vs the
+    frozen gram index (span_contamination) — joined on doc_id into a
+    single verdict row per incoming document.
+
+    This is the composition the three registered q_stream_* gate queries
+    exist to verify piecewise: every static side (corpus prefix index,
+    DSIR model, gram index) is built ONCE and engine-cached; each
+    micro-batch pays three broadcast/equi-joins and one doc_id-keyed
+    join of three batch-local relations. A document is admitted only if
+    every gate passes. Per-doc verdicts are micro-batch invariant, so
+    the accumulated lake equals one-shot batch admission (pytest-pinned).
+    """
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        DSIR_GATE,
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.stream_queries import (
+        stage_incremental_batch_source,
+    )
+
+    split = INCREMENT_SPLIT if corpus_split is None else corpus_split
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < split)
+    prefix_index = corpus_prefix_index(corpus)
+    lr_model = engine_cache(dsir_model(corpus))
+    gram_index = engine_cache(corpus_gram_index(corpus))
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+
+    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        dup = batch_vs_corpus(prefix_index, batch_df).select(
+            "doc_id", F.col("status").alias("dup_status"), "n_corpus_matches"
+        )
+        imp = dsir_score(batch_df, lr_model).select(
+            "doc_id", "logw",
+            F.when(F.col("logw") >= DSIR_GATE, "admitted")
+            .otherwise("rejected").alias("dsir_status"),
+        )
+        span = span_contamination(batch_df, gram_index).select(
+            "doc_id", "covered_words", "longest_run",
+            F.col("status").alias("span_status"),
+        )
+        verdicts = (
+            dup.join(imp, "doc_id").join(span, "doc_id")
+            .withColumn(
+                "admitted",
+                (F.col("dup_status") == "admitted")
+                & (F.col("dsir_status") == "admitted")
+                & (F.col("span_status") == "clean"),
+            )
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, admit, shuffle_partitions=8)
+    out = spark.read.parquet(out_dir)
+    n = out.count()
+    n_adm = out.filter("admitted").count()
+    return {"docs_screened": n, "docs_admitted": n_adm}

@@ -299,3 +299,59 @@ def test_training_export_job_deterministic_and_within_budget(spark, tmp_path):
     h2 = out2.select(F.md5(F.concat_ws("|", "doc_id", "order_idx", "text")).alias("h"))
     h2 = h2.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).collect()[0][0]
     assert h1 == h2
+
+
+def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
+    """The combined three-gate foreachBatch job must equal one-shot batch
+    application of the three gates to the whole batch partition — the
+    micro-batch-invariance composition claim."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        DSIR_GATE,
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "admission")
+    summary = ingest_admission_job(spark, SF_SMOKE, out_dir)
+    got = {
+        r.doc_id: (r.dup_status, r.dsir_status, r.span_status, r.admitted)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    dup = {
+        r.doc_id: r.status
+        for r in batch_vs_corpus(corpus_prefix_index(corpus), batch).collect()
+    }
+    imp = {
+        r.doc_id: "admitted" if r.logw >= DSIR_GATE else "rejected"
+        for r in dsir_score(batch, dsir_model(corpus)).collect()
+    }
+    span = {
+        r.doc_id: r.status
+        for r in span_contamination(batch, corpus_gram_index(corpus)).collect()
+    }
+    assert set(got) == set(dup)
+    for d, (ds, is_, ss, adm) in got.items():
+        assert (ds, is_, ss) == (dup[d], imp[d], span[d])
+        assert adm == (ds == "admitted" and is_ == "admitted" and ss == "clean")
+    assert summary["docs_screened"] == len(got) > 0
+    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[3])
