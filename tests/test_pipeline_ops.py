@@ -434,3 +434,39 @@ def test_ewma_auto_chunk_width_does_not_shatter_sparse_series(spark):
         for r in ewma_per_user_chunked(ev).collect()
     }
     assert a == b
+
+
+def test_ewma_chunked_equality_across_widths(spark):
+    """Output must be invariant to chunk width — including chunk_sec=1
+    (one row per chunk, maximal carry-chain depth through the stitch) and
+    a width so large the whole series is one chunk (the stitch degenerates
+    to the seeded path)."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.operators.smoothing import (
+        ewma_per_user,
+        ewma_per_user_chunked,
+    )
+
+    rows = spark.range(300).select(
+        F.pmod(F.col("id"), F.lit(7)).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 13).alias("ts_sec"),
+        F.when(F.pmod("id", F.lit(11)) == 0, None)
+        .otherwise(F.pmod(F.col("id") * 31, F.lit(997)).cast("double") / 7)
+        .alias("value"),
+    )
+    try:
+        base = {
+            (r.user_id, r.event_id): (r.rn, r.ewma)
+            for r in ewma_per_user(rows).collect()
+        }
+        for width in (1, 13, 97, 10_000_000):
+            got = {
+                (r.user_id, r.event_id): (r.rn, r.ewma)
+                for r in ewma_per_user_chunked(rows, chunk_sec=width).collect()
+            }
+            assert got == base, f"divergence at chunk_sec={width}"
+    finally:
+        release_caches()
