@@ -116,8 +116,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stream_traffic_minute",
     "q_stream_anomaly",
     # (b) new in the second half of round 6 — never driver-checked, so they
-    # MUST hold slots (test_never_checked_queries_claim_window_slots);
-    # the four displaced stream queries are r4-green at unchanged
+    # MUST hold slots (test_never_checked_queries_claim_window_slots); the
+    # eight queries displaced to make room are all r4-green at unchanged
     # behavior and lead the r7 backlog below.
     "q_dup_spans",
     "q_strip_dup_spans",
