@@ -460,3 +460,149 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.length("frame_bytes").cast("int").alias("frame_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAV PCM codec (dependency-free, chunk-walking parser)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("max_amp", IntegerType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples, pad_chunk: bool = False) -> bytes:
+    """Canonical RIFF/WAVE, 16-bit LE mono PCM. With pad_chunk a JUNK
+    chunk is inserted BEFORE fmt — legal per RIFF, and it breaks any
+    fixed-offset (byte-44) reader, the same honesty device as the PPM
+    comment line."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    junk = (b"JUNK" + struct.pack("<I", 6) + b"csdp06") if pad_chunk else b""
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = b"WAVE" + junk + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Chunk-walking RIFF parser: validates RIFF/WAVE magics, walks chunks
+    (word-aligned per spec) to find fmt and data wherever they sit, and
+    reads 16-bit LE mono samples out of the data chunk."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack("<HHI", chunk[:8])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt} ch={channels}")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return {
+        "sample_rate": int(sample_rate),
+        "n_samples": n,
+        "amp_sum": int(sum(abs(s) for s in samples)),
+        "max_amp": int(max((abs(s) for s in samples), default=0)),
+    }
+
+
+def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
+    """Encode a real WAV per document with samples that are pure functions
+    of doc_id, so the oracle recomputes what a correct decode must find:
+
+        n    = doc_id % 50 + 20        rate = 8000 + (doc_id % 4) * 4000
+        s[k] = ((doc_id * 31 + k * 17) % 4096) - 2048
+    and odd doc_ids carry a pre-fmt JUNK chunk (parser must walk)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 20
+                rate = 8000 + (d % 4) * 4000
+                samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+                payloads.append(encode_wav(rate, samples, pad_chunk=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode: every output value is read back out of the
+    byte stream by `decode_wav`, never carried through from the producer."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in meta], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in meta], dtype="int64"
+                    ),
+                    "amp_sum": pd.Series([m["amp_sum"] for m in meta], dtype="int64"),
+                    "max_amp": pd.Series([m["max_amp"] for m in meta], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "q_media_audio",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         doc_id % 50 + 20 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sample_rate, n,
+         abs((doc_id * 31 + k * 17) % 4096 - 2048) AS amp
+  FROM d, unnest(range(0, n)) AS t(k)
+)
+SELECT doc_id, sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(amp) AS BIGINT) AS amp_sum,
+       CAST(max(amp) AS INT) AS max_amp
+FROM s GROUP BY doc_id, sample_rate, n
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode round trip over real RIFF/WAV bytes: the Spark side
+    walks RIFF chunks (odd doc_ids carry a pre-fmt JUNK chunk, so
+    fixed-offset readers fail) and reads 16-bit PCM samples back; the
+    oracle recomputes sample statistics arithmetically from doc_id."""
+    return decode_audio(
+        attach_synthetic_audio(read_table(spark, sf_dir, "documents"))
+    )

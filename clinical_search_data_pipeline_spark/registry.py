@@ -100,7 +100,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_time_remap",
     "q_sessionize",
     "q_salted_counts",
-    "q_column_audit",
     "q_traffic_rollup",
     "q_range_join_windows",
     # (c) r4-row rotation: text/quality family
@@ -127,6 +126,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_dup_profile",
     "q_bigram_nll",
     "q_stream_span_gate",
+    "q_media_audio",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -136,6 +136,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # long a deferral may stand without failing pytest (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_column_audit",
     "q_token_stats",
     "q_props_extract",
     "q_top_docs",

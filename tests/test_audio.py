@@ -1,0 +1,78 @@
+"""WAV codec tests: byte-level roundtrip, chunk-walking honesty, and the
+Spark decode query shape. Oracle parity at fixture scale is covered by
+tests/test_oracle_parity.py (q_media_audio)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from clinical_search_data_pipeline_spark.operators.multimodal import (
+    attach_synthetic_audio,
+    decode_audio,
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_property():
+    rng = random.Random(4242)
+    for _ in range(50):
+        n = rng.randint(0, 500)
+        rate = rng.choice([8000, 16000, 44100, 48000])
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        pad = rng.random() < 0.5
+        m = decode_wav(encode_wav(rate, samples, pad_chunk=pad))
+        assert m["sample_rate"] == rate
+        assert m["n_samples"] == n
+        assert m["amp_sum"] == sum(abs(s) for s in samples)
+        assert m["max_amp"] == (max(map(abs, samples)) if samples else 0)
+
+
+def test_wav_junk_chunk_defeats_fixed_offset_readers():
+    """With the JUNK chunk, byte 12 is NOT the fmt chunk — a canonical
+    44-byte-header reader would misparse; the walking parser must not."""
+    payload = encode_wav(8000, [1, -2, 3], pad_chunk=True)
+    assert payload[12:16] == b"JUNK"
+    assert decode_wav(payload)["n_samples"] == 3
+    # odd-sized chunk bodies are word-aligned per RIFF; JUNK body is 6
+    # bytes here, so also prove alignment with an odd body via raw splice
+    import struct
+
+    odd = (
+        payload[:12]
+        + b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+        + payload[12 + 8 + 6 :]
+    )
+    assert decode_wav(odd)["n_samples"] == 3
+
+
+def test_wav_rejects_non_riff_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    import struct
+
+    stereo_fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + stereo_fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError):  # no data chunk
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        b2 = b"WAVE" + fmt
+        decode_wav(b"RIFF" + struct.pack("<I", len(b2)) + b2)
+
+
+def test_audio_decode_query_reads_bytes_not_metadata(spark):
+    """End-to-end over Spark: values must come back out of the payload
+    bytes — cross-checked against direct arithmetic on doc_id."""
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = {r.doc_id: r for r in decode_audio(attach_synthetic_audio(docs)).collect()}
+    for d in range(40):
+        n = d % 50 + 20
+        samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+        r = out[d]
+        assert r.sample_rate == 8000 + (d % 4) * 4000
+        assert r.n_samples == n
+        assert r.amp_sum == sum(abs(s) for s in samples)
+        assert r.max_amp == max(abs(s) for s in samples)
