@@ -606,3 +606,170 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(
         attach_synthetic_audio(read_table(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (Y4M) container codec — header parse + frame walk
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("luma_sum", LongType()),
+    ]
+)
+
+
+def encode_y4m(width: int, height: int, fps_num: int, frames) -> bytes:
+    """YUV4MPEG2 stream, C420 (4:2:0 planar): ASCII stream header, then one
+    `FRAME` marker per frame followed by w*h luma + (w/2)*(h/2)*2 chroma
+    bytes. Frame markers may carry parameters (here an X comment on odd
+    frame indexes) — a parser that assumes a bare `FRAME\\n` misparses."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps_num}:1 Ip A1:1 C420\n".encode()
+    out = [head]
+    for i, luma in enumerate(frames):
+        if len(luma) != width * height:
+            raise ValueError(f"luma plane {len(luma)} != {width}x{height}")
+        marker = b"FRAME Xcsdp\n" if i % 2 else b"FRAME\n"
+        chroma = bytes((width // 2) * (height // 2) * 2)  # flat chroma planes
+        out += [marker, bytes(luma), chroma]
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Walk a Y4M stream: parse the parameterized stream header (tag soup,
+    any order), then iterate FRAME sections — tolerating frame-level
+    parameters after the marker — accumulating the luma-plane sum."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = fps_num = None
+    colorspace = b"C420"
+    for tag in head[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"F":
+            fps_num = int(tag[1:].split(b":")[0])
+        elif tag[:1] == b"C":
+            colorspace = tag
+    if width is None or height is None or fps_num is None:
+        raise ValueError("missing W/H/F header tags")
+    if colorspace != b"C420":
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    frame_bytes = width * height + (width // 2) * (height // 2) * 2
+    pos, n_frames, luma_sum = nl + 1, 0, 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # skip any frame parameters
+        luma = payload[pos : pos + width * height]
+        luma_sum += sum(luma)
+        pos += frame_bytes
+        n_frames += 1
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "n_frames": n_frames,
+        "luma_sum": luma_sum,
+    }
+
+
+def attach_synthetic_video(docs: DataFrame) -> DataFrame:
+    """Encode a real Y4M clip per document, fully determined by doc_id:
+
+        width = (doc_id % 5 + 2) * 2      height = (doc_id % 3 + 2) * 2
+        fps   = doc_id % 30 + 1           n_frames = doc_id % 6 + 1
+        luma[f][k] = (doc_id + 7 * f + k) % 256
+    (even dims keep C420 legal; odd frame indexes carry marker params)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 5 + 2) * 2
+                h = (d % 3 + 2) * 2
+                frames = [
+                    ((d + 7 * f + _np.arange(w * h)) % 256)
+                    .astype(_np.uint8)
+                    .tobytes()
+                    for f in range(d % 6 + 1)
+                ]
+                payloads.append(encode_y4m(w, h, d % 30 + 1, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def decode_video(media: DataFrame) -> DataFrame:
+    """Arrow-batched Y4M decode — values read back out of the container."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_y4m(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([m["width"] for m in meta], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in meta], dtype="int32"),
+                    "fps_num": pd.Series([m["fps_num"] for m in meta], dtype="int32"),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in meta], dtype="int32"
+                    ),
+                    "luma_sum": pd.Series(
+                        [m["luma_sum"] for m in meta], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=VIDEO_SCHEMA)
+
+
+@register(
+    "q_media_video",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST((doc_id % 5 + 2) * 2 AS INT) AS width,
+         CAST((doc_id % 3 + 2) * 2 AS INT) AS height,
+         CAST(doc_id % 30 + 1 AS INT) AS fps_num,
+         CAST(doc_id % 6 + 1 AS INT) AS n_frames
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height, fps_num, n_frames,
+         (doc_id + 7 * f + k) % 256 AS v
+  FROM d,
+       unnest(range(0, n_frames)) AS tf(f),
+       unnest(range(0, width * height)) AS tk(k)
+)
+SELECT doc_id, width, height, fps_num, n_frames,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY 1, 2, 3, 4, 5
+""",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode round trip over real Y4M container bytes: the
+    Spark side parses the tag-soup stream header and walks FRAME sections
+    (odd frame indexes carry marker parameters, so a bare-`FRAME\\n`
+    reader misparses), summing luma planes; the oracle recomputes the
+    same statistics arithmetically from doc_id."""
+    return decode_video(
+        attach_synthetic_video(read_table(spark, sf_dir, "documents"))
+    )

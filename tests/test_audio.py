@@ -76,3 +76,67 @@ def test_audio_decode_query_reads_bytes_not_metadata(spark):
         assert r.n_samples == n
         assert r.amp_sum == sum(abs(s) for s in samples)
         assert r.max_amp == max(abs(s) for s in samples)
+
+
+# ---------------------------------------------------------------------------
+# Y4M video codec
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_property():
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = random.Random(777)
+    for _ in range(30):
+        w = rng.randrange(2, 12, 2)
+        h = rng.randrange(2, 10, 2)
+        nf = rng.randint(0, 8)
+        fps = rng.randint(1, 60)
+        frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(nf)]
+        m = decode_y4m(encode_y4m(w, h, fps, frames))
+        assert (m["width"], m["height"], m["fps_num"], m["n_frames"]) == (
+            w, h, fps, nf,
+        )
+        assert m["luma_sum"] == sum(sum(f) for f in frames)
+
+
+def test_y4m_frame_params_and_rejections():
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    # frame 1 carries marker params (encoder emits them on odd indexes) —
+    # a bare-FRAME\n reader would treat ' Xcsdp' as pixel data
+    payload = encode_y4m(4, 2, 25, [bytes(8), bytes(range(8))])
+    assert b"FRAME Xcsdp\n" in payload
+    assert decode_y4m(payload)["luma_sum"] == sum(range(8))
+    with pytest.raises(ValueError):
+        decode_y4m(b"MPEG4 W4 H2 F25:1\n")
+    with pytest.raises(ValueError):  # unsupported colorspace
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C444\n")
+    with pytest.raises(ValueError):  # truncated/garbage frame marker
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C420\nBOGUS\n" + bytes(12))
+
+
+def test_video_decode_query_reads_bytes_not_metadata(spark):
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        attach_synthetic_video,
+        decode_video,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    out = {r.doc_id: r for r in decode_video(attach_synthetic_video(docs)).collect()}
+    for d in range(30):
+        w, h, nf = (d % 5 + 2) * 2, (d % 3 + 2) * 2, d % 6 + 1
+        expect = sum(
+            (d + 7 * f + k) % 256 for f in range(nf) for k in range(w * h)
+        )
+        r = out[d]
+        assert (r.width, r.height, r.fps_num, r.n_frames) == (
+            w, h, d % 30 + 1, nf,
+        )
+        assert r.luma_sum == expect
