@@ -643,3 +643,61 @@ def q_dedup_keys_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production xxhash64 dedup key (P13/D2 fast path; DuckDB has no
     xxhash64 => rows-only; fixed vectors pinned in tests/test_hashing.py)."""
     return dedup_keys_xxhash(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users by first-seen day x activity-day offset
+# ---------------------------------------------------------------------------
+
+
+def user_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_date, day_offset, n_users): classic retention triangle —
+    every user joins the cohort of their first active day; each later
+    active day counts them once at offset = active_day - cohort_day.
+
+    Plan: epoch-day integer arithmetic end to end (no timestamp
+    comparisons cross-engine); per-user first day is one user-keyed
+    aggregation JOINED BACK on user_id (the cohort relation is
+    user-count-sized — too big to broadcast at 100 TB, so it shares the
+    user-keyed shuffle), then one distinct + count over (cohort, offset,
+    user). Nothing corpus-global."""
+    days = events.select(
+        "user_id", (F.col("ts_sec") / F.lit(86400)).cast("long").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("cohort_day") * 86400), "yyyy-MM-dd"
+            ).alias("cohort_date"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q_user_cohorts",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT user_id, {duck_epoch_sec('ts')} // 86400 AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT strftime(to_timestamp(cohort_day * 86400), '%Y-%m-%d') AS cohort_date,
+       day - cohort_day AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY cohort_day, day_offset
+""",
+    tags=("marts", "aggregate", "northstar"),
+)
+def q_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: cohort by first active day, distinct users per
+    (cohort, day offset)."""
+    return user_cohorts(load_events(spark, sf_dir))

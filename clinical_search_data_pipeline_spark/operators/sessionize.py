@@ -99,3 +99,119 @@ FROM indexed GROUP BY user_id, session_idx
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the event log (30-min inactivity gap)."""
     return sessionize(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Session funnel: ordered step conversion within gap sessions
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # must occur in this order
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    gap_sec: int = GAP_SEC,
+) -> DataFrame:
+    """(step_idx, step, n_sessions): how many gap-sessions progress through
+    the step sequence IN ORDER (a later step only counts if it occurs
+    after the session had already reached the previous one — the classic
+    ordered-funnel semantic, not mere presence).
+
+    Plan: the session index rides the same per-user window as
+    `sessionize`; each session's events are re-collected in (ts, event_id)
+    order and a state-machine LEFT FOLD (Spark `aggregate` HOF; DuckDB
+    list_reduce) advances depth d when the next event matches steps[d].
+    One user-keyed window + one (user, session)-keyed aggregation; the
+    final depth histogram is step-count-sized. Step presence alone cannot
+    fake a conversion: ('click' before any 'view') leaves d at 0.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    cumulative = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select("user_id", "ts_sec", "event_id", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(order) <= gap_sec, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    indexed = flagged.withColumn("session_idx", F.sum("is_new").over(cumulative))
+    # fold over step ORDINALS (0 = not a funnel step): d advances only on
+    # the exact next step — integer-typed on both engines (DuckDB's
+    # list_reduce needs accumulator and element types to match)
+    to_ord = " ".join(
+        f"WHEN s.event_type = '{step}' THEN {i + 1}" for i, step in enumerate(steps)
+    )
+    depth = (
+        f"aggregate(transform(evs, s -> CASE {to_ord} ELSE 0 END), 0, "
+        f"(d, x) -> CASE WHEN x = d + 1 THEN x ELSE d END)"
+    )
+    depths = (
+        indexed.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_sec", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(F.expr(depth).alias("depth"))
+    )
+    # histogram FIRST: the session relation collapses to <= len(steps)+1
+    # rows via an ordinary partial-agg shuffle, so the non-equi >= join
+    # below is tiny x tiny — never a loop over the session relation
+    hist = depths.groupBy("depth").agg(F.count("*").alias("n"))
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step_idx", "step"]
+    )
+    return (
+        F.broadcast(steps_df)
+        .join(hist, F.col("depth") >= F.col("step_idx"), "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_sessions"))
+    )
+
+
+def _funnel_oracle(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    to_ord = " ".join(
+        f"WHEN s = '{step}' THEN {i + 1}" for i, step in enumerate(steps)
+    )
+    values = ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(steps))
+    return f"""
+WITH e AS (
+  SELECT user_id, {duck_epoch_sec('ts')} AS ts_sec, event_id, event_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w <= {GAP_SEC} THEN 0 ELSE 1 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+indexed AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+),
+depths AS (
+  SELECT list_reduce(
+           list_prepend(0, list_transform(
+             list(event_type ORDER BY ts_sec, event_id),
+             s -> CASE {to_ord} ELSE 0 END)),
+           (d, x) -> CASE WHEN x = d + 1 THEN x ELSE d END
+         ) AS depth
+  FROM indexed GROUP BY user_id, session_idx
+),
+steps(step_idx, step) AS (VALUES {values})
+SELECT step_idx, step, count(depth) AS n_sessions
+FROM steps LEFT JOIN depths ON depth >= step_idx
+GROUP BY step_idx, step
+"""
+
+
+@register(
+    "q_session_funnel",
+    oracle=_funnel_oracle(),
+    tags=("sessionize", "window", "northstar"),
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over gap sessions: a later
+    step counts only after the session reached the previous one."""
+    return session_funnel(load_events(spark, sf_dir))

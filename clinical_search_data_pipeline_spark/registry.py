@@ -99,8 +99,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_bronze_archive",
     "q_time_remap",
     "q_sessionize",
-    "q_traffic_rollup",
-    "q_range_join_windows",
     # (c) r4-row rotation: text/quality family
     "q_value_stats",
     "q_text_quality",
@@ -127,6 +125,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stream_span_gate",
     "q_media_audio",
     "q_media_video",
+    "q_session_funnel",
+    "q_user_cohorts",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -136,6 +136,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # long a deferral may stand without failing pytest (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_traffic_rollup",
+    "q_range_join_windows",
     "q_salted_counts",
     "q_column_audit",
     "q_token_stats",

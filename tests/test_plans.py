@@ -113,6 +113,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_bpe_tokenize2",             # inherits bpe_train2's two 1-row argmaxes
     "q_dsir_weights",              # broadcast 1-row corpus/target totals
     "q_bigram_nll",                # broadcast 1-row corpus token total
+    "q_session_funnel",            # 3-row step table >= 4-row depth histogram
 }
 
 

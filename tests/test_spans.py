@@ -481,3 +481,58 @@ def test_stream_span_gate_equals_batch_screen(spark):
         for r in span_contamination(batch, idx).collect()
     }
     assert streamed == expected and len(streamed) > 0
+
+
+# ---------------------------------------------------------------------------
+# session funnel + cohorts (clickstream analytics additions)
+# ---------------------------------------------------------------------------
+
+
+def test_session_funnel_order_matters(spark):
+    from clinical_search_data_pipeline_spark.operators.sessionize import (
+        session_funnel,
+    )
+
+    # user 1: view -> click -> purchase (full funnel, one session)
+    # user 2: click BEFORE view, then view -> nothing else: depth 1 only
+    # user 3: purchase only: depth 0
+    # user 4: view then a 2h gap then click: the gap splits the session,
+    #         so the click lands in a NEW session at depth 0
+    rows = [
+        (1, 1, 100, "view"), (1, 2, 160, "click"), (1, 3, 220, "purchase"),
+        (2, 4, 100, "click"), (2, 5, 160, "view"),
+        (3, 6, 100, "purchase"),
+        (4, 7, 100, "view"), (4, 8, 100 + 7200, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_sec", "event_type"]
+    )
+    out = {r.step: r.n_sessions for r in session_funnel(events).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_user_cohorts_handcrafted(spark):
+    from clinical_search_data_pipeline_spark.operators.marts import user_cohorts
+
+    day = 86400
+    rows = [
+        # user 1: first day 0, active again day 2 (twice -> one distinct)
+        (1, 10), (1, 2 * day + 50), (1, 2 * day + 60),
+        # user 2: first day 0 only
+        (2, 20),
+        # user 3: first day 2, active day 3
+        (3, 2 * day + 5), (3, 3 * day + 5),
+    ]
+    events = spark.createDataFrame(
+        [(u, i, t) for i, (u, t) in enumerate(rows)],
+        ["user_id", "event_id", "ts_sec"],
+    )
+    got = {
+        (r.cohort_date, r.day_offset): r.n_users for r in user_cohorts(events).collect()
+    }
+    assert got == {
+        ("1970-01-01", 0): 2,
+        ("1970-01-01", 2): 1,
+        ("1970-01-03", 0): 1,
+        ("1970-01-03", 1): 1,
+    }
