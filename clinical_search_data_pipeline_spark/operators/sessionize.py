@@ -215,3 +215,87 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel over gap sessions: a later
     step counts only after the session reached the previous one."""
     return session_funnel(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (within-session Markov transitions)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame, gap_sec: int = GAP_SEC) -> DataFrame:
+    """(from_type, to_type, n_transitions, p): consecutive event-type
+    pairs WITHIN a gap session (a transition never crosses a session
+    boundary), with p the row-normalized transition probability.
+
+    Plan: the lead() rides the same per-user (ts, event_id) window as
+    sessionize; the session index computed in the same pass masks
+    cross-session pairs. The matrix is event-type^2-sized, so the
+    normalizing row totals come back via a broadcast join."""
+    order = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    cumulative = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select("user_id", "ts_sec", "event_id", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec").over(order) <= gap_sec, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    indexed = flagged.withColumn("session_idx", F.sum("is_new").over(cumulative))
+    pairs = indexed.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(order).alias("to_type"),
+        (
+            F.lead("session_idx").over(order) == F.col("session_idx")
+        ).alias("same_session"),
+    ).filter(F.col("same_session") & F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("total"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("total"), 4).alias("p"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, {duck_epoch_sec('ts')} AS ts_sec, event_id, event_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w <= {GAP_SEC} THEN 0 ELSE 1 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+indexed AS (
+  SELECT user_id, ts_sec, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         lead(session_idx) OVER w = session_idx AS same_session
+  FROM indexed
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM pairs WHERE same_session AND to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n_transitions) AS total FROM counts GROUP BY 1)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / total::DOUBLE, 4) AS p
+FROM counts JOIN totals USING (from_type)
+""",
+    tags=("sessionize", "window", "northstar"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session Markov transition matrix over event types."""
+    return event_transitions(load_events(spark, sf_dir))

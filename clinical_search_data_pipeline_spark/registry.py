@@ -100,7 +100,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_time_remap",
     "q_sessionize",
     # (c) r4-row rotation: text/quality family
-    "q_value_stats",
     "q_text_quality",
     "q_lang_profile",
     "q_corpus_filter",
@@ -127,6 +126,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_media_video",
     "q_session_funnel",
     "q_user_cohorts",
+    "q_event_transitions",
 )
 
 # Queries rotated OUT of the round-6 window to make room (all r4-green at
@@ -136,6 +136,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # long a deferral may stand without failing pytest (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_value_stats",
     "q_traffic_rollup",
     "q_range_join_windows",
     "q_salted_counts",

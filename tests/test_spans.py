@@ -536,3 +536,27 @@ def test_user_cohorts_handcrafted(spark):
         ("1970-01-03", 0): 1,
         ("1970-01-03", 1): 1,
     }
+
+
+def test_event_transitions_respect_session_boundaries(spark):
+    from clinical_search_data_pipeline_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1, one session: view -> click -> view
+        (1, 1, 100, "view"), (1, 2, 150, "click"), (1, 3, 200, "view"),
+        # user 2: view, then a 2h gap, then click — NO transition across
+        (2, 4, 100, "view"), (2, 5, 100 + 7200, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_sec", "event_type"]
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in event_transitions(events).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 1.0),
+        ("click", "view"): (1, 1.0),
+    }
