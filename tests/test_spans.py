@@ -560,3 +560,52 @@ def test_event_transitions_respect_session_boundaries(spark):
         ("view", "click"): (1, 1.0),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_session_funnel_matches_python_reference_property(spark):
+    from clinical_search_data_pipeline_spark.operators.sessionize import (
+        FUNNEL_STEPS,
+        GAP_SEC,
+        session_funnel,
+    )
+
+    rng = random.Random(1234)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    eid = 0
+    for u in range(25):
+        t = rng.randint(0, 1000)
+        for _ in range(rng.randint(1, 30)):
+            t += rng.choice([5, 60, 600, GAP_SEC + 1, 2 * GAP_SEC])
+            rows.append((u, eid, t, rng.choice(types)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_sec", "event_type"]
+    )
+    got = {r.step: r.n_sessions for r in session_funnel(events).collect()}
+
+    # independent reference: split sessions, walk the state machine
+    sessions = []
+    by_user: dict[int, list] = {}
+    for u, e, t, ty in rows:
+        by_user.setdefault(u, []).append((t, e, ty))
+    for evs in by_user.values():
+        evs.sort()
+        cur = []
+        prev_t = None
+        for t, e, ty in evs:
+            if prev_t is not None and t - prev_t > GAP_SEC:
+                sessions.append(cur)
+                cur = []
+            cur.append(ty)
+            prev_t = t
+        sessions.append(cur)
+    counts = dict.fromkeys(FUNNEL_STEPS, 0)
+    for ses in sessions:
+        d = 0
+        for ty in ses:
+            if d < len(FUNNEL_STEPS) and ty == FUNNEL_STEPS[d]:
+                d += 1
+        for i in range(d):
+            counts[FUNNEL_STEPS[i]] += 1
+    assert got == counts
