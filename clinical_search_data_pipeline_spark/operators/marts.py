@@ -657,9 +657,10 @@ def user_cohorts(events: DataFrame) -> DataFrame:
 
     Plan: epoch-day integer arithmetic end to end (no timestamp
     comparisons cross-engine); per-user first day is one user-keyed
-    aggregation JOINED BACK on user_id (the cohort relation is
-    user-count-sized — too big to broadcast at 100 TB, so it shares the
-    user-keyed shuffle), then one distinct + count over (cohort, offset,
+    aggregation joined back on user_id — the cohort relation is
+    user-count-sized, so Catalyst's stats pick broadcast at mart scale
+    and a user-keyed shuffle join at corpus scale (nothing in the code
+    forces either) — then one distinct + count over (cohort, offset,
     user). Nothing corpus-global."""
     days = events.select(
         "user_id", (F.col("ts_sec") / F.lit(86400)).cast("long").alias("day")

@@ -237,3 +237,15 @@ def test_ewma_chunked_bounded_tasks(spark):
     assert "InMemoryRelation" in plan, plan
     assert "Exchange hashpartitioning(user_id" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_session_funnel", "q_user_cohorts", "q_event_transitions"]
+)
+def test_session_analytics_no_global_stage(spark, name):
+    """The clickstream-analytics additions must run entirely on keyed
+    shuffles (user_id, then group keys) — zero single-partition stages;
+    their only nested-loop join is the funnel's 3-row step table against
+    the 4-row depth histogram."""
+    plan = pl.physical_plan(build(spark, name), "simple")
+    assert "Exchange SinglePartition" not in plan, (name, plan)
