@@ -67,6 +67,10 @@ HEAVY_FAMILY = (
     "q_dsir_weights",
     "q_bigram_nll",
     "q_source_overlap",
+    # Arrow path: synthetic payload encode -> byte-level decode per doc is
+    # embarrassingly parallel mapInPandas; output exactly row-linear
+    "q_media_decode",
+    "q_media_audio",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per
