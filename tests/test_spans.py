@@ -609,3 +609,70 @@ def test_session_funnel_matches_python_reference_property(spark):
         for i in range(d):
             counts[FUNNEL_STEPS[i]] += 1
     assert got == counts
+
+
+def test_transitions_and_cohorts_match_python_reference_property(spark):
+    from clinical_search_data_pipeline_spark.operators.marts import user_cohorts
+    from clinical_search_data_pipeline_spark.operators.sessionize import (
+        GAP_SEC,
+        event_transitions,
+    )
+
+    rng = random.Random(5150)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = rng.randint(0, 5 * 86400)
+        for _ in range(rng.randint(1, 25)):
+            t += rng.choice([7, 300, GAP_SEC + 9, 86400])
+            rows.append((u, eid, t, rng.choice(types)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_sec", "event_type"]
+    )
+
+    # transitions reference
+    ref_counts: dict[tuple, int] = {}
+    by_user: dict[int, list] = {}
+    for u, e, t, ty in rows:
+        by_user.setdefault(u, []).append((t, e, ty))
+    for evs in by_user.values():
+        evs.sort()
+        for (t1, _, a), (t2, _, b) in zip(evs, evs[1:]):
+            if t2 - t1 <= GAP_SEC:
+                ref_counts[(a, b)] = ref_counts.get((a, b), 0) + 1
+    ref_tot: dict[str, int] = {}
+    for (a, _), n in ref_counts.items():
+        ref_tot[a] = ref_tot.get(a, 0) + n
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in event_transitions(events).collect()
+    }
+    assert set(got) == set(ref_counts)
+    for k, (n, p) in got.items():
+        assert n == ref_counts[k]
+        assert abs(p - round(n / ref_tot[k[0]], 4)) < 1e-9
+
+    # cohorts reference
+    ref_c: dict[tuple, set] = {}
+    first = {u: min(t for uu, _, t, _ in rows if uu == u) // 86400
+             for u in {r[0] for r in rows}}
+    for u, _, t, _ in rows:
+        ref_c.setdefault((first[u], t // 86400 - first[u]), set()).add(u)
+    got_c = {
+        (r.cohort_date, r.day_offset): r.n_users
+        for r in user_cohorts(events).collect()
+    }
+    import datetime
+
+    expect = {
+        (
+            datetime.datetime.fromtimestamp(
+                c * 86400, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%d"),
+            off,
+        ): len(users)
+        for (c, off), users in ref_c.items()
+    }
+    assert got_c == expect
