@@ -40,7 +40,10 @@ def env_fingerprint(sf_dir: str) -> dict:
 _CIPHER_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 
 
-def make_scaled_corpus(spark, src_sf_dir: str, out_dir: str, factor: int = 10) -> str:
+def make_scaled_corpus(
+    spark, src_sf_dir: str, out_dir: str, factor: int = 10,
+    scale_events: bool = False,
+) -> str:
     """Self-union + key-shift scale fixture (VERDICT r04 #2): `factor`
     disjoint replicas of documents/embeddings so the heavy dedup/ANN family
     can be measured at N× input with a KNOWN linear answer.
@@ -59,6 +62,11 @@ def make_scaled_corpus(spark, src_sf_dir: str, out_dir: str, factor: int = 10) -
       inner products decorrelate (no rotation-invariant constant-vector
       trap).
 
+    With scale_events=True, events is ALSO replicated (user_id/event_id
+    shifted by i*10_000_000, timestamps unchanged) instead of symlinked:
+    each copy is a disjoint user population with identical per-user event
+    sequences, so every per-user-window relation (sessions, funnels,
+    transitions, cohorts, EWMA series) replicates exactly factor-linearly.
     Every other fixture table is symlinked unchanged. Returns out_dir.
     """
     import os
@@ -99,8 +107,24 @@ def make_scaled_corpus(spark, src_sf_dir: str, out_dir: str, factor: int = 10) -
         scaled_emb = scaled_emb.unionByName(c)
     scaled_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
+    skip = {"documents", "embeddings"}
+    if scale_events:
+        skip.add("events")
+        ev = spark.read.parquet(f"{src_sf_dir}/events.parquet")
+        ev_copies = []
+        for i in range(factor):
+            ev_copies.append(
+                ev.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+                ).withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+            )
+        scaled_ev = ev_copies[0]
+        for c in ev_copies[1:]:
+            scaled_ev = scaled_ev.unionByName(c)
+        scaled_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
     for t in ALL_TABLES:
-        if t in ("documents", "embeddings"):
+        if t in skip:
             continue
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):

@@ -10,7 +10,11 @@ that at dim 64 — so the pair-producing embedding entries additionally
 record the within-copy / cross-copy row split. Within-copy output is
 pinned EXACTLY factor-linear by tests/test_scale_growth.py (sign flips
 preserve within-copy dot products bit-for-bit); everything beyond it is
-cross-copy leakage, i.e. data growth, never plan blowup).
+cross-copy leakage, i.e. data growth, never plan blowup). The per-user
+WINDOW family (SESSION_FAMILY) is measured on a second scaled dir where
+EVENTS are replicated as disjoint user populations, so session/funnel/
+transition/cohort/EWMA outputs are factor-linear by construction
+(equalities pinned in tests/test_scale_growth.py).
 
 Writes ONE JSON line + ./BENCH_scale.json:
   {"metric": "scale_growth", "factor": N, "queries": {name: {base_sec,
@@ -71,6 +75,18 @@ HEAVY_FAMILY = (
     # embarrassingly parallel mapInPandas; output exactly row-linear
     "q_media_decode",
     "q_media_audio",
+)
+
+# Per-user-WINDOW family, measured on a corpus where EVENTS are replicated
+# as disjoint user populations (make_scaled_corpus(scale_events=True)):
+# every per-user window partition replicates exactly, so output is
+# factor-linear and runtime growth exposes any window/shuffle blowup.
+SESSION_FAMILY = (
+    "q_sessionize",
+    "q_session_funnel",
+    "q_event_transitions",
+    "q_user_cohorts",
+    "q_ewma_user_values_chunked",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per
@@ -186,6 +202,29 @@ def main() -> None:
             results[name]["scaled_cross_copy_rows"] = cross
             results[name]["scaled_within_copy_rows"] = scaled_rows - cross
             release_caches()
+        print(f"# {name}: {base_sec:.2f}s -> {scaled_sec:.2f}s "
+              f"(x{results[name]['ratio']}, rows x{results[name]['rows_ratio']}, "
+              f"max tasks {max_tasks})", file=sys.stderr)
+
+    ev_scaled = make_scaled_corpus(
+        spark, src, tempfile.mkdtemp(prefix="csdp_scale_ev_"), factor,
+        scale_events=True,
+    )
+    for name in SESSION_FAMILY:
+        base_sec, base_rows, _ = _timed_run(spark, specs[name], src, f"{name}@base")
+        scaled_sec, scaled_rows, max_tasks = _timed_run(
+            spark, specs[name], ev_scaled, f"{name}@scaled"
+        )
+        results[name] = {
+            "base_sec": round(base_sec, 3),
+            "scaled_sec": round(scaled_sec, 3),
+            "ratio": round(scaled_sec / max(base_sec, 1e-9), 2),
+            "base_rows": base_rows,
+            "scaled_rows": scaled_rows,
+            "rows_ratio": round(scaled_rows / max(base_rows, 1), 2),
+            "scaled_max_stage_tasks": max_tasks,
+            "scaled_input": "events x factor (disjoint user populations)",
+        }
         print(f"# {name}: {base_sec:.2f}s -> {scaled_sec:.2f}s "
               f"(x{results[name]['ratio']}, rows x{results[name]['rows_ratio']}, "
               f"max tasks {max_tasks})", file=sys.stderr)

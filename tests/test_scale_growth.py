@@ -225,3 +225,48 @@ def test_strip_dup_spans_scales_linearly(spark, tmp_path):
     assert scaled_sec < 15 * max(base_sec, 0.5), (
         f"superlinear blowup: base {base_sec:.2f}s -> scaled {scaled_sec:.2f}s"
     )
+
+
+def test_session_family_scales_linearly_on_scaled_events(spark, tmp_path):
+    """scale_events=True replicates events as DISJOINT user populations
+    with identical per-user sequences: session rows x10, funnel counts
+    x10, transition counts x10 at UNCHANGED probabilities, cohort user
+    counts x10 at the same (cohort, offset) keys."""
+    from clinical_search_data_pipeline_spark.operators.marts import user_cohorts
+    from clinical_search_data_pipeline_spark.operators.sessionize import (
+        event_transitions,
+        session_funnel,
+        sessionize,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import load_events
+
+    out = make_scaled_corpus(
+        spark, SF_SMOKE, str(tmp_path / "scaledev"), FACTOR, scale_events=True
+    )
+    base = load_events(spark, SF_SMOKE)
+    scaled = load_events(spark, out)
+
+    assert sessionize(scaled).count() == FACTOR * sessionize(base).count()
+
+    f_base = {r.step: r.n_sessions for r in session_funnel(base).collect()}
+    f_scaled = {r.step: r.n_sessions for r in session_funnel(scaled).collect()}
+    assert f_scaled == {k: FACTOR * v for k, v in f_base.items()}
+
+    t_base = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in event_transitions(base).collect()
+    }
+    t_scaled = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in event_transitions(scaled).collect()
+    }
+    assert t_scaled == {k: (FACTOR * n, p) for k, (n, p) in t_base.items()}
+
+    c_base = {
+        (r.cohort_date, r.day_offset): r.n_users for r in user_cohorts(base).collect()
+    }
+    c_scaled = {
+        (r.cohort_date, r.day_offset): r.n_users
+        for r in user_cohorts(scaled).collect()
+    }
+    assert c_scaled == {k: FACTOR * v for k, v in c_base.items()}
