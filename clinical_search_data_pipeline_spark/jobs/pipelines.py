@@ -264,6 +264,10 @@ def ingest_admission_job(
     frozen gram index (span_contamination) — joined on doc_id into a
     single verdict row per incoming document.
 
+    `out_dir` must not already exist: verdicts are appended per micro-batch
+    and the summary is computed by reading the sink back, so replaying into
+    a populated directory would silently double-count every document.
+
     This is the composition the three registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
     DSIR model, gram index) is built ONCE and engine-cached; each
@@ -291,6 +295,15 @@ def ingest_admission_job(
     from clinical_search_data_pipeline_spark.streaming.stream_queries import (
         stage_incremental_batch_source,
     )
+
+    import pathlib
+
+    if pathlib.Path(out_dir).exists():
+        raise FileExistsError(
+            f"ingest_admission_job: out_dir already exists ({out_dir}); "
+            "appending verdicts into a populated sink double-counts the "
+            "summary — pass a fresh directory per run"
+        )
 
     split = INCREMENT_SPLIT if corpus_split is None else corpus_split
     docs = read_table(spark, sf_dir, "documents")
@@ -332,6 +345,10 @@ def ingest_admission_job(
         verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
+    if not pathlib.Path(out_dir).exists():
+        # zero micro-batches fired (empty staging source): nothing was
+        # appended, so there is no sink to read back
+        return {"docs_screened": 0, "docs_admitted": 0}
     out = spark.read.parquet(out_dir)
     n = out.count()
     n_adm = out.filter("admitted").count()

@@ -56,18 +56,26 @@ __all__ = [
 ]
 
 
-def hashed_features(docs: DataFrame) -> DataFrame:
+def hashed_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     """(doc_id, lang, pos, kind, bucket): word unigrams (kind 0) and
-    bigrams (kind 1) with 1-based positions, hashed into N_BUCKETS.
-    Narrow HOF projection after fan_out — zero shuffles."""
+    bigrams (kind 1) with 1-based positions, hashed into `n_buckets`
+    (default N_BUCKETS; DSIR uses ~10k on web corpora).
+    Narrow HOF projection after fan_out — zero shuffles.
+
+    The bigram transform is guarded for size(w) < 2: Spark's
+    sequence(1, 0) counts DOWN to [1, 0] instead of yielding the empty
+    array, so an unguarded transform calls element_at(w, 0) and throws on
+    any one-word document — an ingest gate must score arbitrary input
+    (same gotcha spans.word_grams guards)."""
     w = fan_out(docs).select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
     )
     uni = "transform(w, (x, i) -> struct(i + 1 AS pos, 0 AS kind, x AS feat))"
     bi = (
-        "transform(sequence(1, greatest(size(w) - 1, 0)), "
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
         "i -> struct(i AS pos, 1 AS kind, "
-        "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS feat))"
+        "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS feat)) "
+        "ELSE array() END"
     )
     return w.select(
         "doc_id",
@@ -78,13 +86,18 @@ def hashed_features(docs: DataFrame) -> DataFrame:
         "lang",
         F.col("f.pos").alias("pos"),
         F.col("f.kind").alias("kind"),
-        F.pmod(hash64(F.col("f.feat")), F.lit(N_BUCKETS)).alias("bucket"),
+        F.pmod(hash64(F.col("f.feat")), F.lit(n_buckets)).alias("bucket"),
     )
 
 
-def bucket_log_ratios(feats: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+def bucket_log_ratios(
+    feats: DataFrame,
+    target_lang: str = TARGET_LANG,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
     """(bucket, lr): add-one-smoothed ln(p_target / p_raw) per hash bucket.
-    One 64-key shuffle; the result is model-sized (<= N_BUCKETS rows)."""
+    One n_buckets-key shuffle; the result is model-sized (<= n_buckets
+    rows). `n_buckets` must match the value the features were hashed with."""
     cnt = feats.groupBy("bucket").agg(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
@@ -95,26 +108,32 @@ def bucket_log_ratios(feats: DataFrame, target_lang: str = TARGET_LANG) -> DataF
     return cnt.crossJoin(F.broadcast(tot)).select(
         "bucket",
         (
-            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(N_BUCKETS))))
-            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(N_BUCKETS))))
+            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(n_buckets))))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(n_buckets))))
         ).alias("lr"),
     )
 
 
-def dsir_model(corpus: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+def dsir_model(
+    corpus: DataFrame,
+    target_lang: str = TARGET_LANG,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
     """Fit the frozen model on a standing corpus: (bucket, lr) DENSE over
-    the whole bucket domain [0, N_BUCKETS) — zero-count buckets carry the
+    the whole bucket domain [0, n_buckets) — zero-count buckets carry the
     add-one-smoothed ratio by construction, so any later scoring join is a
     plain inner broadcast equi-join with no out-of-vocabulary special
-    case. Model-sized (exactly N_BUCKETS rows)."""
-    feats = hashed_features(corpus)
+    case. Model-sized (exactly n_buckets rows; the plan shape is
+    N-independent, so a 100 TB caller can match DSIR's ~10k web-corpus
+    buckets per call — the module constant is only the fixture default)."""
+    feats = hashed_features(corpus, n_buckets)
     cnt = feats.groupBy("bucket").agg(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
     )
     tot = cnt.agg(F.sum("n_raw").alias("t_r"), F.sum("n_t").alias("t_t"))
     domain = (
-        corpus.sparkSession.range(N_BUCKETS).select(F.col("id").alias("bucket"))
+        corpus.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
     )
     dense = domain.join(F.broadcast(cnt), "bucket", "left").fillna(
         0, ["n_raw", "n_t"]
@@ -122,18 +141,21 @@ def dsir_model(corpus: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
     return dense.crossJoin(F.broadcast(tot)).select(
         "bucket",
         (
-            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(N_BUCKETS))))
-            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(N_BUCKETS))))
+            F.log((F.col("n_t") + 1) / (F.col("t_t") + F.lit(float(n_buckets))))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_r") + F.lit(float(n_buckets))))
         ).alias("lr"),
     )
 
 
-def dsir_score(docs: DataFrame, lr: DataFrame) -> DataFrame:
+def dsir_score(
+    docs: DataFrame, lr: DataFrame, n_buckets: int = N_BUCKETS
+) -> DataFrame:
     """(doc_id, lang, n_feats, logw): score documents under a FROZEN dense
     model — one broadcast equi-join on bucket + a doc_id-keyed ordered
     fold. Total over any input (the model covers the full bucket domain),
-    which is the ingest-gate requirement."""
-    feats = hashed_features(docs)
+    which is the ingest-gate requirement. `n_buckets` must match the
+    model's domain."""
+    feats = hashed_features(docs, n_buckets)
     scored = (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id", "lang")
@@ -151,11 +173,15 @@ def dsir_score(docs: DataFrame, lr: DataFrame) -> DataFrame:
     )
 
 
-def dsir_weights(docs: DataFrame, target_lang: str = TARGET_LANG) -> DataFrame:
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = TARGET_LANG,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
     """(doc_id, lang, n_feats, logw): per-document DSIR log importance
     weight — the ordered left fold of its features' bucket log-ratios,
     self-scored (model and scored corpus are the same relation)."""
-    return dsir_score(docs, dsir_model(docs, target_lang))
+    return dsir_score(docs, dsir_model(docs, target_lang, n_buckets), n_buckets)
 
 
 @register(

@@ -355,3 +355,11 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
         assert adm == (ds == "admitted" and is_ == "admitted" and ss == "clean")
     assert summary["docs_screened"] == len(got) > 0
     assert summary["docs_admitted"] == sum(1 for v in got.values() if v[3])
+
+    # rerun guard: replaying into the populated out_dir would append a
+    # second copy of every verdict and silently double the summary — the
+    # job must refuse instead
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        ingest_admission_job(spark, SF_SMOKE, out_dir)

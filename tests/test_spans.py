@@ -322,6 +322,55 @@ def test_dsir_score_handles_unseen_buckets_with_smoothed_default(spark):
     assert abs(row.logw - expected) < 5e-5
 
 
+def test_dsir_scores_one_word_and_empty_docs(spark):
+    """An ingest gate must score ARBITRARY incoming documents: a one-word
+    (or empty-text) doc has no bigrams, and Spark's sequence(1, 0) counts
+    DOWN to [1, 0] — an unguarded bigram transform throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on exactly this input while the
+    DuckDB oracle (range(1, len(w)) is empty) succeeds."""
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+    )
+
+    corpus = _mkdocs(spark, ["alpha beta alpha", "beta alpha beta"], ["en", "fr"])
+    lr = dsir_model(corpus)
+    short = _mkdocs(spark, ["alpha", ""], ["en", "en"])
+    rows = {r.doc_id: r for r in dsir_score(short, lr).collect()}
+    assert rows[0].n_feats == 1  # the lone unigram, zero bigrams
+    lr_map = {r.bucket: r.lr for r in lr.collect()}
+    assert abs(rows[0].logw - lr_map[_py_hash64("alpha") % N_BUCKETS]) < 5e-5
+    # empty text splits to [''] on both engines: one unigram, zero bigrams
+    assert rows[1].n_feats == 1
+
+
+def test_dsir_n_buckets_parameterized(spark):
+    """The dense-domain invariant must hold at a caller-chosen bucket count
+    (DSIR's web-corpus setting is ~10k): model rows == n_buckets exactly,
+    and a frozen model still scores fully-novel input totally."""
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+        dsir_weights,
+    )
+
+    n = 1024
+    corpus = _mkdocs(
+        spark,
+        ["alpha beta gamma delta", "un deux trois quatre"],
+        ["en", "fr"],
+    )
+    lr = dsir_model(corpus, n_buckets=n)
+    assert lr.count() == n
+    assert lr.select("bucket").distinct().count() == n
+    row = dsir_score(
+        _mkdocs(spark, ["zzqx1 zzqx2"], ["de"]), lr, n_buckets=n
+    ).collect()[0]
+    assert row.n_feats == 3  # 2 unigrams + 1 bigram, all scored
+    # self-scored weights at the wider domain still produce one row per doc
+    assert dsir_weights(corpus, n_buckets=n).count() == 2
+
+
 def test_stream_dsir_gate_equals_batch_scoring(spark):
     """The accumulated streaming sink must equal one-shot batch scoring of
     the same partition under the same frozen model — the micro-batch
