@@ -110,15 +110,18 @@ def encode_bmp(width: int, height: int, pix: bytes) -> bytes:
     return header + rows
 
 
-def decode_image(payload: bytes) -> dict:
-    """Parse an uncompressed raster image from raw bytes — no libraries.
+def decode_pixel_rows(payload: bytes):
+    """Parse an uncompressed raster image into a LOGICAL top-down pixel
+    array — no libraries. Returns ``(fmt, width, height, maxval, rows)``
+    where ``rows`` is a uint8 ndarray of shape (height, width*3) in
+    top-to-bottom display order.
 
-    Supports PPM P6 (ASCII header with comments) and 24-bit uncompressed BMP
-    (bottom-up or top-down, padded row stride). Returns
-    ``{fmt, width, height, maxval, pixel_sum, n_pixels}`` where pixel_sum
-    covers exactly the image's RGB bytes (BMP row padding excluded) — a
-    value that is wrong unless header parse AND stride arithmetic are right.
-    """
+    Supports PPM P6 (ASCII header with comments; raster already top-down)
+    and 24-bit uncompressed BMP (padded row stride; a POSITIVE height means
+    the raster is stored bottom-up per the BMP spec, so rows are flipped
+    here — an orientation bug is invisible to order-invariant consumers
+    like pixel sums but corrupts anything positional, e.g. a perceptual
+    hash)."""
     import numpy as _np
 
     if payload[:2] == b"P6":
@@ -136,16 +139,10 @@ def decode_image(payload: bytes) -> dict:
             fields.append(int(payload[start:pos]))
         pos += 1  # single whitespace after maxval, then raster
         width, height, maxval = fields
-        n = width * height * 3
-        pix = _np.frombuffer(payload, dtype=_np.uint8, count=n, offset=pos)
-        return {
-            "fmt": "ppm",
-            "width": width,
-            "height": height,
-            "maxval": maxval,
-            "pixel_sum": int(pix.astype(_np.int64).sum()),
-            "n_pixels": width * height,
-        }
+        rows = _np.frombuffer(
+            payload, dtype=_np.uint8, count=width * height * 3, offset=pos
+        ).reshape(height, width * 3)
+        return "ppm", width, height, maxval, rows
     if payload[:2] == b"BM":
         data_off = int.from_bytes(payload[10:14], "little")
         width = int.from_bytes(payload[18:22], "little", signed=True)
@@ -159,15 +156,31 @@ def decode_image(payload: bytes) -> dict:
         raster = _np.frombuffer(
             payload, dtype=_np.uint8, count=n_rows * stride, offset=data_off
         ).reshape(n_rows, stride)[:, :row]  # drop the padding columns
-        return {
-            "fmt": "bmp",
-            "width": width,
-            "height": n_rows,
-            "maxval": 255,
-            "pixel_sum": int(raster.astype(_np.int64).sum()),
-            "n_pixels": width * n_rows,
-        }
+        if height > 0:  # positive height = bottom-up storage
+            raster = raster[::-1]
+        return "bmp", width, n_rows, 255, raster
     raise ValueError(f"unsupported image magic: {payload[:2]!r}")
+
+
+def decode_image(payload: bytes) -> dict:
+    """Parse an uncompressed raster image from raw bytes — no libraries.
+
+    Returns ``{fmt, width, height, maxval, pixel_sum, n_pixels}`` where
+    pixel_sum covers exactly the image's RGB bytes (BMP row padding
+    excluded) — a value that is wrong unless header parse AND stride
+    arithmetic are right. Delegates the parse to `decode_pixel_rows`.
+    """
+    import numpy as _np
+
+    fmt, width, height, maxval, rows = decode_pixel_rows(payload)
+    return {
+        "fmt": fmt,
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixel_sum": int(rows.astype(_np.int64).sum()),
+        "n_pixels": width * height,
+    }
 
 
 def extract_media_meta(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

@@ -200,6 +200,7 @@ def _load_modules() -> None:
         clustering,
         curation,
         importance,
+        phash,
         redaction,
         smoothing,
         spans,

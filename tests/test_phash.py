@@ -1,0 +1,139 @@
+"""Image perceptual-hash near-dup: codec orientation, hash correctness
+against an independent exact-fraction reference, planted-pair recall, and
+plan shape."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from clinical_search_data_pipeline_spark.operators.multimodal import (
+    decode_pixel_rows,
+    encode_bmp,
+    encode_ppm,
+)
+from clinical_search_data_pipeline_spark.operators.phash import (
+    PHASH_BANDS,
+    PHASH_COLS,
+    PHASH_HAM_MAX,
+    PHASH_ROWS,
+    attach_neardup_images,
+    dhash_images,
+)
+from clinical_search_data_pipeline_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def _logical_image(w: int, h: int, seed: int) -> np.ndarray:
+    k = np.arange(w * h * 3, dtype=np.int64)
+    return ((seed * 31 + k * 7) % 256).astype(np.uint8).reshape(h, w * 3)
+
+
+def test_decode_pixel_rows_flips_bottom_up_bmp():
+    """A positive-height BMP stores its raster bottom-up; decode must give
+    back the LOGICAL top-down rows. A pixel-sum consumer can't see this —
+    a perceptual hash can, which is why the device exists."""
+    w, h = 5, 4  # width 5 -> 15-byte rows -> real stride padding
+    logical = _logical_image(w, h, 3)
+    payload = encode_bmp(w, h, logical[::-1].tobytes())  # stored bottom-up
+    fmt, gw, gh, _maxval, rows = decode_pixel_rows(payload)
+    assert (fmt, gw, gh) == ("bmp", w, h)
+    assert np.array_equal(rows, logical)
+
+    payload = encode_ppm(w, h, logical.tobytes())  # PPM is top-down already
+    fmt, gw, gh, _maxval, rows = decode_pixel_rows(payload)
+    assert (fmt, gw, gh) == ("ppm", w, h)
+    assert np.array_equal(rows, logical)
+
+
+def _ref_dhash(rows: np.ndarray, w: int, h: int) -> list[int]:
+    """Independent dHash: EXACT per-cell mean comparison via Fractions
+    (the operator uses the integer cross-product form — these must agree
+    bit-for-bit)."""
+    gray = rows.astype(np.int64).reshape(h, w, 3).sum(axis=2)
+    cells: dict[tuple[int, int], list[int]] = {}
+    for y in range(h):
+        for x in range(w):
+            cells.setdefault(
+                (y * PHASH_ROWS // h, x * PHASH_COLS // w), []
+            ).append(int(gray[y, x]))
+    mean = {rc: Fraction(sum(v), len(v)) for rc, v in cells.items()}
+    bands = []
+    rows_per_band = PHASH_ROWS // PHASH_BANDS
+    for b in range(PHASH_BANDS):
+        val = 0
+        for rr in range(rows_per_band):
+            r = b * rows_per_band + rr
+            for c in range(PHASH_COLS - 1):
+                if mean[(r, c)] > mean[(r, c + 1)]:
+                    val |= 1 << (rr * (PHASH_COLS - 1) + c)
+        bands.append(val)
+    return bands
+
+
+def test_dhash_matches_exact_fraction_reference(spark):
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(12)
+    hashed = {
+        r.doc_id: (r.fmt, r.width, r.height, [r.b0, r.b1, r.b2, r.b3])
+        for r in dhash_images(attach_neardup_images(docs)).collect()
+    }
+    media = {
+        r.doc_id: bytes(r.payload)
+        for r in attach_neardup_images(docs).collect()
+    }
+    assert len(hashed) == 12
+    for doc_id, (fmt, w, h, bands) in hashed.items():
+        gfmt, gw, gh, _m, rows = decode_pixel_rows(media[doc_id])
+        assert (gfmt, gw, gh) == (fmt, w, h)
+        assert bands == _ref_dhash(rows, w, h), doc_id
+
+
+def _popcount_ham(a: list[int], b: list[int]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_planted_copies_surface_in_neardup_pairs(spark):
+    """Docs ending 8/9 are perturbed copies of their decade leader. Any
+    planted pair within Hamming distance PHASH_BANDS - 1 MUST share a band
+    (pigeonhole) and must therefore appear in the verified output; every
+    reported pair must satisfy the threshold."""
+    specs = all_specs()
+    hashes = {
+        r.doc_id: [r.b0, r.b1, r.b2, r.b3]
+        for r in specs["q_image_hashes"].builder(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in specs["q_image_neardup"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got, "no near-dup pairs found at all"
+    for (a, b), ham in got.items():
+        assert ham <= PHASH_HAM_MAX
+        assert ham == _popcount_ham(hashes[a], hashes[b])
+    decades = sorted({d - d % 10 for d in hashes})
+    guaranteed = 0
+    for dec in decades:
+        for pair in [(dec, dec + 8), (dec, dec + 9), (dec + 8, dec + 9)]:
+            if pair[0] in hashes and pair[1] in hashes:
+                ham = _popcount_ham(hashes[pair[0]], hashes[pair[1]])
+                if ham < PHASH_BANDS:  # pigeonhole-guaranteed band match
+                    guaranteed += 1
+                    assert pair in got, (pair, ham)
+    assert guaranteed > 0, "fixture produced no pigeonhole-guaranteed pairs"
+
+
+def test_neardup_plan_is_banded_equi_join(spark):
+    """Candidate generation must be a shuffle equi-join on band values —
+    no CartesianProduct, no single-partition stage anywhere."""
+    from clinical_search_data_pipeline_spark.plans import introspect as pl
+
+    plan = pl.physical_plan(
+        all_specs()["q_image_neardup"].builder(spark, SF_SMOKE), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
