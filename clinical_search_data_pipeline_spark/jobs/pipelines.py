@@ -257,24 +257,26 @@ def ingest_admission_job(
     out_dir: str,
     corpus_split: int | None = None,
 ) -> Mapping[str, int]:
-    """Ingest-time admission over a document stream: ALL THREE gates run
+    """Ingest-time admission over a document stream: ALL FOUR gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
     (batch_vs_corpus), DSIR distribution scoring under the frozen bucket
-    model (dsir_score), and substring-contamination screening vs the
-    frozen gram index (span_contamination) — joined on doc_id into a
-    single verdict row per incoming document.
+    model (dsir_score), substring-contamination screening vs the frozen
+    gram index (span_contamination), and the learned naive-Bayes quality
+    classifier under its frozen dense model (quality_score) — joined on
+    doc_id into a single verdict row per incoming document.
 
     `out_dir` must not already exist: verdicts are appended per micro-batch
     and the summary is computed by reading the sink back, so replaying into
     a populated directory would silently double-count every document.
 
-    This is the composition the three registered q_stream_* gate queries
+    This is the composition the four registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
-    DSIR model, gram index) is built ONCE and engine-cached; each
-    micro-batch pays three broadcast/equi-joins and one doc_id-keyed
-    join of three batch-local relations. A document is admitted only if
-    every gate passes. Per-doc verdicts are micro-batch invariant, so
-    the accumulated lake equals one-shot batch admission (pytest-pinned).
+    DSIR model, gram index, classifier model) is built ONCE and
+    engine-cached; each micro-batch pays four broadcast/equi-joins and one
+    doc_id-keyed join of four batch-local relations. A document is
+    admitted only if every gate passes. Per-doc verdicts are micro-batch
+    invariant, so the accumulated lake equals one-shot batch admission
+    (pytest-pinned).
     """
     from clinical_search_data_pipeline_spark.caching import engine_cache
     from clinical_search_data_pipeline_spark.operators.curation import (
@@ -286,6 +288,11 @@ def ingest_admission_job(
         DSIR_GATE,
         dsir_model,
         dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_index,
@@ -311,6 +318,7 @@ def ingest_admission_job(
     prefix_index = corpus_prefix_index(corpus)
     lr_model = engine_cache(dsir_model(corpus))
     gram_index = engine_cache(corpus_gram_index(corpus))
+    clf_model = engine_cache(nb_quality_model(quality_labels(corpus)))
 
     staging = stage_incremental_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
@@ -333,13 +341,18 @@ def ingest_admission_job(
             "doc_id", "covered_words", "longest_run",
             F.col("status").alias("span_status"),
         )
+        qual = quality_score(batch_df, clf_model).select(
+            "doc_id", F.col("logit").alias("quality_logit"),
+            F.col("status").alias("quality_status"),
+        )
         verdicts = (
-            dup.join(imp, "doc_id").join(span, "doc_id")
+            dup.join(imp, "doc_id").join(span, "doc_id").join(qual, "doc_id")
             .withColumn(
                 "admitted",
                 (F.col("dup_status") == "admitted")
                 & (F.col("dsir_status") == "admitted")
-                & (F.col("span_status") == "clean"),
+                & (F.col("span_status") == "clean")
+                & (F.col("quality_status") == "admitted"),
             )
         )
         verdicts.write.mode("append").parquet(out_dir)

@@ -56,10 +56,15 @@ __all__ = [
 ]
 
 
-def hashed_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
-    """(doc_id, lang, pos, kind, bucket): word unigrams (kind 0) and
-    bigrams (kind 1) with 1-based positions, hashed into `n_buckets`
-    (default N_BUCKETS; DSIR uses ~10k on web corpora).
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, lang, *carry, pos, kind, bucket): word unigrams (kind 0)
+    and bigrams (kind 1) with 1-based positions, hashed into `n_buckets`
+    (default N_BUCKETS; DSIR uses ~10k on web corpora). `carry` columns
+    (e.g. a training label) ride the projection untouched.
     Narrow HOF projection after fan_out — zero shuffles.
 
     The bigram transform is guarded for size(w) < 2: Spark's
@@ -68,7 +73,7 @@ def hashed_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     any one-word document — an ingest gate must score arbitrary input
     (same gotcha spans.word_grams guards)."""
     w = fan_out(docs).select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
+        "doc_id", "lang", *carry, F.split(F.col("text"), " ").alias("w")
     )
     uni = "transform(w, (x, i) -> struct(i + 1 AS pos, 0 AS kind, x AS feat))"
     bi = (
@@ -80,10 +85,12 @@ def hashed_features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     return w.select(
         "doc_id",
         "lang",
+        *carry,
         F.explode(F.expr(f"concat({uni}, {bi})")).alias("f"),
     ).select(
         "doc_id",
         "lang",
+        *carry,
         F.col("f.pos").alias("pos"),
         F.col("f.kind").alias("kind"),
         F.pmod(hash64(F.col("f.feat")), F.lit(n_buckets)).alias("bucket"),

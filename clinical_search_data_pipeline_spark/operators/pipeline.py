@@ -49,11 +49,14 @@ def corpus_filter(
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
     max_dup_bigram: float = MAX_DUP_BIGRAM,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document keep/drop with the FIRST failing rule as the reason —
     the decision layer of an LLM-corpus cleaning pipeline (length gate,
     composite quality score, Gopher bigram-repetition rule). One narrow
-    projection: every signal is a per-row array expression."""
+    projection: every signal is a per-row array expression. `carry`
+    columns (e.g. text/lang when the verdict feeds a downstream trainer)
+    ride the projection untouched."""
     t = docs.withColumn("_w", textfns.tokens("text"))
     n_tokens = F.size("_w")
     stop_ratio = textfns.stopword_count("_w").cast("double") / n_tokens
@@ -71,6 +74,7 @@ def corpus_filter(
     )
     staged = t.select(
         "doc_id",
+        *carry,
         n_tokens.alias("n_tokens"),
         F.round(quality, 2).alias("quality_score"),
         F.round(dup_bigram, 6).alias("dup_bigram_frac"),

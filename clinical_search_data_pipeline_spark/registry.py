@@ -51,91 +51,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-6 window: (a) the 14-name r5 backlog — 8 queries registered after
-# the r5 window was claimed (never driver-checked), the 4 media queries
-# whose shared decode plumbing changed in r5 after their r03 rows, and the
-# two window-displaced explode canaries; (b) queries whose behavior or
-# module changed THIS round (q_pii_redact column rename,
-# q_incremental_dedup corpus-index refactor) plus the round's NEW
-# registrations (streaming incremental dedup, chunking, chunked EWMA,
-# substring spans, DSIR, source overlap — never-checked queries must hold
-# slots); (c) the remaining slots refresh r4-row queries, oldest coverage
-# first. Everything rotated out is recorded in ROUND_BACKLOG below and
-# must lead the r7 window (tests/test_registry_hygiene.py enforces both
-# directions). All rotated-out names keep valid driver rows at their
+# Round-7 window: (a) the FULL 28-name r6 backlog leads, exactly as the
+# hygiene guard demands — these are the oldest driver rows (r4) and
+# rotating them in brings every registered query's staleness within the
+# mechanical bound (test_no_query_row_older_than_max_staleness); (b) the
+# round's NEW registrations (image perceptual-hash near-dup, the
+# naive-Bayes quality classifier and its streaming gate) — never-checked
+# queries must hold slots; (c) the remaining 18 slots refresh r5-row
+# queries, most-load-bearing dedup/curation families first. Everything
+# else with an r5 row is recorded in ROUND_BACKLOG below and must lead
+# the r8 window. All rotated-out names keep valid driver rows at their
 # current, unchanged behavior.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked (registered late in r5)
-    "q_bpe_train2",
-    "q_bpe_tokenize2",
-    "q_ewma_user_values",
-    "q_length_outliers",
-    "q_pricing_cube",
-    "q_unpivot_order_stats",
-    "q_word_entropy",
-    "q_zipf_profile",
-    # (a) media family — shared mapInPandas/decode plumbing changed in r5
-    "q_media_meta",
-    "q_media_frames",
-    "q_media_resize",
-    "q_media_features",
-    # (a) displaced explode-path canaries (last row r4)
-    "q_clinical_areas",
-    "q_clinical_trend",
-    # (b) changed or new this round
-    "q_pii_redact",
-    "q_incremental_dedup",
-    "q_stream_incremental_dedup",
-    "q_doc_chunks",
-    "q_ewma_user_values_chunked",
-    # (c) r4-row rotation: marts + ingest core
-    "q_session_analysis",
-    "q_daily_traffic",
-    "q_popular_documents",
-    "q_traffic_minute",
-    "q_anomaly_sessions",
-    "q_dedup_events",
-    "q_dedup_keys",
-    "q_bronze_archive",
-    "q_time_remap",
-    "q_sessionize",
-    # (c) r4-row rotation: text/quality family
-    "q_text_quality",
-    "q_lang_profile",
-    "q_corpus_filter",
-    # (c) r4-row rotation: relational family
-    "q_top_revenue_orders",
-    "q_events_orders_asof",
-    # (c) r4-row rotation: the full streaming family
-    "q_stream_dedup_keys",
-    "q_stream_traffic_minute",
-    "q_stream_anomaly",
-    # (b) new in the second half of round 6 — never driver-checked, so they
-    # MUST hold slots (test_never_checked_queries_claim_window_slots); the
-    # eight queries displaced to make room are all r4-green at unchanged
-    # behavior and lead the r7 backlog below.
-    "q_dup_spans",
-    "q_strip_dup_spans",
-    "q_dsir_weights",
-    "q_stream_dsir_gate",
-    "q_source_overlap",
-    "q_source_dup_profile",
-    "q_bigram_nll",
-    "q_stream_span_gate",
-    "q_media_audio",
-    "q_media_video",
-    "q_session_funnel",
-    "q_user_cohorts",
-    "q_event_transitions",
-)
-
-# Queries rotated OUT of the round-6 window to make room (all r4-green at
-# their current behavior; the three rows-only sketch/xxhash originals are
-# additionally shadowed by their r5-green `*_struct` twins). They MUST lead
-# the round-7 window. `deferred_in_round` lets the hygiene guard bound how
-# long a deferral may stand without failing pytest (see
-# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
-ROUND_BACKLOG: tuple[str, ...] = (
+    # (a) the complete r6 backlog (r4 rows), oldest coverage in the repo
     "q_value_stats",
     "q_traffic_rollup",
     "q_range_join_windows",
@@ -164,8 +92,71 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_daily_events",
     "q_session_clicks",
     "q_parse_msdate",
+    # (b) new this round — never driver-checked, must hold slots
+    "q_image_hashes",
+    "q_image_neardup",
+    "q_quality_classifier",
+    "q_stream_quality_gate",
+    # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
+    "q_doc_exact_dedup",
+    "q_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_simhash_fingerprints",
+    "q_simhash_buckets",
+    "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
+    "q_cosine_topk",
+    "q_semdedup",
+    "q_unigram_nll",
+    "q_passage_dedup",
+    "q_media_decode",
+    "q_neardup_clusters",
+    "q_token_budget",
+    "q_winnow_pairs",
+    "q_decontaminate",
+    "q_doc_dedup_apply",
+    "q_curation_funnel",
 )
-ROUND_BACKLOG_DEFERRED_IN = 6  # the round whose window displaced them
+
+# Queries whose latest driver row is r5 and which did NOT fit the round-7
+# window (the 48-name r5 cohort minus the 18 refreshed above). They MUST
+# lead the round-8 window; with them checked at r8, no registered query's
+# row will be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the
+# hygiene guard bound how long a deferral may stand (see
+# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_ann_ivf_multiprobe",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_multiprobe",
+    "q_ann_lsh_topk",
+    "q_approx_daily_traffic_struct",
+    "q_bpe_merge_step",
+    "q_bpe_token_counts",
+    "q_cosine_topk_vectorized",
+    "q_dedup_keys_xxhash_struct",
+    "q_doc_fingerprints",
+    "q_embedding_norms",
+    "q_hash_sample",
+    "q_hash_split",
+    "q_kmeans_refine",
+    "q_lang_id",
+    "q_mixture_sample",
+    "q_mixture_weights",
+    "q_passage_dup_stats",
+    "q_pivot_event_types",
+    "q_repetition_quality",
+    "q_semdedup_refined",
+    "q_sequence_pack",
+    "q_sql_nation_revenue",
+    "q_stratified_sample",
+    "q_stream_corpus_filter",
+    "q_tfidf_top_terms",
+    "q_train_order",
+    "q_user_set_ops",
+    "q_value_quantiles_struct",
+    "q_winnow_fingerprints",
+)
+ROUND_BACKLOG_DEFERRED_IN = 7  # the round whose window displaced them
 
 
 def _load_modules() -> None:
@@ -197,6 +188,7 @@ def _load_modules() -> None:
 
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         bpe,
+        classifier,
         clustering,
         curation,
         importance,

@@ -866,3 +866,75 @@ def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality-classifier gate: frozen NB model scoring at ingest
+# ---------------------------------------------------------------------------
+
+
+def _stream_quality_gate_oracle() -> str:
+    # Train ONLY on the standing corpus (labels AND feature counts
+    # restricted to doc_id < INCREMENT_SPLIT), score ONLY the batch
+    # partition. A score depends on one document + the frozen dense model,
+    # so micro-batch boundaries cannot change any row — same invariance
+    # argument as the DSIR gate.
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        duck_classifier_sql,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+
+    s = INCREMENT_SPLIT
+    return duck_classifier_sql(f"doc_id < {s}", f"f.doc_id >= {s}")
+
+
+@register(
+    "q_stream_quality_gate",
+    oracle=_stream_quality_gate_oracle(),
+    tags=("streaming", "curation", "quality", "northstar"),
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time learned-quality gate: the naive-Bayes classifier is fit
+    ONCE on the standing corpus (bootstrap-labeled by the rule-based
+    corpus filter — the CCNet construction) and engine-cached as a dense
+    broadcast model; incoming documents stream over multiple micro-batches
+    (maxFilesPerTrigger=1) and each batch is scored sigmoid(bias + w·x) +
+    thresholded inside foreachBatch. The FOURTH admission gate: near-dup,
+    distribution (DSIR), verbatim spans, and now learned quality. Scores
+    are micro-batch-invariant, fully hash-oracled."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    model = engine_cache(nb_quality_model(quality_labels(corpus)))
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_qualgate_out_")
+
+    def score(batch_df: DataFrame, _batch_id: int) -> None:
+        quality_score(batch_df, model).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, score, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

@@ -302,13 +302,18 @@ def test_training_export_job_deterministic_and_within_budget(spark, tmp_path):
 
 
 def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
-    """The combined three-gate foreachBatch job must equal one-shot batch
-    application of the three gates to the whole batch partition — the
+    """The combined four-gate foreachBatch job must equal one-shot batch
+    application of the four gates to the whole batch partition — the
     micro-batch-invariance composition claim."""
     from pyspark.sql import functions as F
 
     from clinical_search_data_pipeline_spark.jobs.pipelines import (
         ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
     )
     from clinical_search_data_pipeline_spark.operators.curation import (
         INCREMENT_SPLIT,
@@ -330,7 +335,7 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
     out_dir = str(tmp_path / "admission")
     summary = ingest_admission_job(spark, SF_SMOKE, out_dir)
     got = {
-        r.doc_id: (r.dup_status, r.dsir_status, r.span_status, r.admitted)
+        r.doc_id: (r.dup_status, r.dsir_status, r.span_status, r.quality_status, r.admitted)
         for r in spark.read.parquet(out_dir).collect()
     }
 
@@ -349,12 +354,23 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
         r.doc_id: r.status
         for r in span_contamination(batch, corpus_gram_index(corpus)).collect()
     }
+    qual = {
+        r.doc_id: r.status
+        for r in quality_score(
+            batch, nb_quality_model(quality_labels(corpus))
+        ).collect()
+    }
     assert set(got) == set(dup)
-    for d, (ds, is_, ss, adm) in got.items():
-        assert (ds, is_, ss) == (dup[d], imp[d], span[d])
-        assert adm == (ds == "admitted" and is_ == "admitted" and ss == "clean")
+    for d, (ds, is_, ss, qs, adm) in got.items():
+        assert (ds, is_, ss, qs) == (dup[d], imp[d], span[d], qual[d])
+        assert adm == (
+            ds == "admitted"
+            and is_ == "admitted"
+            and ss == "clean"
+            and qs == "admitted"
+        )
     assert summary["docs_screened"] == len(got) > 0
-    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[3])
+    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[4])
 
     # rerun guard: replaying into the populated out_dir would append a
     # second copy of every verdict and silently double the summary — the

@@ -114,6 +114,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_dsir_weights",              # broadcast 1-row corpus/target totals
     "q_bigram_nll",                # broadcast 1-row corpus token total
     "q_session_funnel",            # 3-row step table >= 4-row depth histogram
+    "q_quality_classifier",        # broadcast 1-row class totals + prior
 }
 
 

@@ -88,6 +88,35 @@ def test_never_checked_queries_claim_window_slots():
     )
 
 
+MAX_ROW_STALENESS = 3  # rounds a query may go without a fresh driver row
+
+
+def test_no_query_row_older_than_max_staleness():
+    """Mechanical bound on rotation debt (VERDICT r06 #5): with 126+
+    queries and a 50-slot window, per-query driver-row age is bounded only
+    by rotation discipline — so make the bound a failing test, not an
+    editorial judgment. Every registered query must have a CORRECTNESS row
+    no older than MAX_ROW_STALENESS rounds behind the newest artifact.
+    Never-checked queries are covered by the window-slot guard above."""
+    from clinical_search_data_pipeline_spark.registry import ROUND_PRIORITY
+
+    checked = _driver_checked_rounds()
+    max_round = checked["__max_round__"]
+    stale = sorted(
+        (n, rnd)
+        for n, rnd in checked.items()
+        if n in all_specs()
+        and max_round - rnd > MAX_ROW_STALENESS
+        # a stale name already holding a window slot is about to be
+        # refreshed — the debt is being paid this round
+        and n not in ROUND_PRIORITY
+    )
+    assert not stale, (
+        f"driver rows older than {MAX_ROW_STALENESS} rounds "
+        f"(newest artifact r{max_round}) without a window slot: {stale}"
+    )
+
+
 def test_round_backlog_not_neglected():
     """The other half: names rotated OUT of a window are recorded in
     ROUND_BACKLOG with the round that displaced them, and a deferral may
