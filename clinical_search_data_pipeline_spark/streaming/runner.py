@@ -72,12 +72,18 @@ def run_foreach_batch(
     timeout_sec: int = 300,
     trigger: dict | None = None,
     shuffle_partitions: int | None = None,
+    checkpoint_location: str | None = None,
 ) -> None:
     """foreachBatch runner (reference K8). `trigger` defaults to availableNow
     for bounded runs; pass {'processingTime': '5 minutes'} for continuous.
     `shuffle_partitions` has run_to_memory's semantics: bounded fixture
     replays pass a small value so micro-batch-sized joins don't pay a
-    cluster-width shuffle; production jobs leave it None."""
+    cluster-width shuffle; production jobs leave it None.
+    `checkpoint_location` defaults to a FRESH isolated dir per call; pass
+    an existing path to RESUME a previous run's source offsets from a new
+    query instance (the file source replays nothing it already committed —
+    exactly-once accumulation across restarts, pinned in
+    tests/test_streaming_sinks.py)."""
     spark = df.sparkSession
     prev = None
     if shuffle_partitions is not None:
@@ -85,7 +91,7 @@ def run_foreach_batch(
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         writer = df.writeStream.foreachBatch(fn).option(
-            "checkpointLocation", checkpoint_dir()
+            "checkpointLocation", checkpoint_location or checkpoint_dir()
         )
         writer = writer.trigger(**(trigger or {"availableNow": True}))
         q = writer.start()

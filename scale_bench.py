@@ -75,6 +75,11 @@ HEAVY_FAMILY = (
     # embarrassingly parallel mapInPandas; output exactly row-linear
     "q_media_decode",
     "q_media_audio",
+    # Image perceptual-hash near-dup: the copy offset is a multiple of 10,
+    # so every replica keeps the decade-planted copy structure (planted
+    # pairs exactly linear) while each copy's base images differ (doc_id-
+    # derived pixels); candidate fan-out stays band-bucket-bounded.
+    "q_image_neardup",
 )
 
 # Per-user-WINDOW family, measured on a corpus where EVENTS are replicated
@@ -140,6 +145,93 @@ def _cross_copy_rows(df, col_a: str, col_b: str) -> int:
     return df.filter(
         F.floor(F.col(col_a) / _COPY) != F.floor(F.col(col_b) / _COPY)
     ).count()
+
+
+def _timed_admission_gates(
+    spark, src: str, scaled_dir: str, factor: int, results: dict
+) -> None:
+    """The flagship ingest story measured (VERDICT r06 #7): for each of the
+    four admission gates, time the frozen-INDEX/MODEL build and the
+    per-batch SCREEN separately at 1x vs FACTORx standing corpus with a
+    FIXED batch (the src batch partition; copy 0 of the scaled corpus is
+    the identity replica, so the batch meets identical matches in both
+    runs). The screen against the engine-cached index must grow far
+    sublinearly in corpus size — a batch admission is an index probe, not
+    a corpus rescan (the gram/prefix index relations are what production
+    backs with bloom filters; model-sized gates are corpus-independent by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+
+    docs_base = spark.read.parquet(f"{src}/documents.parquet")
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+    batch = docs_base.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+
+    gates = {
+        "admission_neardup": (
+            corpus_prefix_index,
+            lambda b, idx: batch_vs_corpus(idx, b),
+        ),
+        "admission_dsir": (dsir_model, dsir_score),
+        "admission_span": (corpus_gram_index, span_contamination),
+        "admission_quality": (
+            lambda c: nb_quality_model(quality_labels(c)),
+            quality_score,
+        ),
+    }
+    def _freeze(side):
+        # corpus_prefix_index returns a tuple of relations; cache each
+        if isinstance(side, tuple):
+            parts = tuple(engine_cache(p) for p in side)
+            return parts, sum(p.count() for p in parts)
+        cached = engine_cache(side)
+        return cached, cached.count()
+
+    for name, (build, screen) in gates.items():
+        entry: dict = {"batch": "src doc_id >= split (fixed across runs)"}
+        for tag, corpus in (("base", docs_base), ("scaled", docs_scaled)):
+            t0 = time.perf_counter()
+            idx, n_idx = _freeze(build(corpus))  # build cost = cache fill
+            entry[f"index_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+            entry[f"index_{tag}_rows"] = n_idx
+            t0 = time.perf_counter()
+            screen(batch, idx).write.format("noop").mode("overwrite").save()
+            entry[f"screen_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+            release_caches()
+        entry["index_ratio"] = round(
+            entry["index_scaled_sec"] / max(entry["index_base_sec"], 1e-9), 2
+        )
+        entry["screen_ratio"] = round(
+            entry["screen_scaled_sec"] / max(entry["screen_base_sec"], 1e-9), 2
+        )
+        results[name] = entry
+        print(
+            f"# {name}: index {entry['index_base_sec']:.2f}s -> "
+            f"{entry['index_scaled_sec']:.2f}s (x{entry['index_ratio']}); "
+            f"screen {entry['screen_base_sec']:.2f}s -> "
+            f"{entry['screen_scaled_sec']:.2f}s (x{entry['screen_ratio']}) "
+            f"at corpus x{factor}",
+            file=sys.stderr,
+        )
 
 
 def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):
@@ -229,6 +321,8 @@ def main() -> None:
               f"(x{results[name]['ratio']}, rows x{results[name]['rows_ratio']}, "
               f"max tasks {max_tasks})", file=sys.stderr)
 
+    _timed_admission_gates(spark, src, scaled_dir, factor, results)
+
     base_sec, base_rows, base_hist = _timed_kmeans_train(spark, src)
     scaled_sec, scaled_rows, scaled_hist = _timed_kmeans_train(spark, scaled_dir)
     results["kmeans_train_r3"] = {
@@ -252,8 +346,12 @@ def main() -> None:
         "cpus": int(cpus),
         "env": env_fingerprint(src),
         "queries": results,
-        "total_base_sec": round(sum(r["base_sec"] for r in results.values()), 3),
-        "total_scaled_sec": round(sum(r["scaled_sec"] for r in results.values()), 3),
+        "total_base_sec": round(
+            sum(r.get("base_sec", 0.0) for r in results.values()), 3
+        ),
+        "total_scaled_sec": round(
+            sum(r.get("scaled_sec", 0.0) for r in results.values()), 3
+        ),
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.json")
     with open(out, "w") as fh:

@@ -270,3 +270,76 @@ def test_session_family_scales_linearly_on_scaled_events(spark, tmp_path):
         for r in user_cohorts(scaled).collect()
     }
     assert c_scaled == {k: FACTOR * v for k, v in c_base.items()}
+
+
+def test_admission_screens_sublinear_at_10x_corpus(spark, tmp_path):
+    """The ingest-admission claim, pinned (VERDICT r06 #7): with the frozen
+    index/model engine-cached, screening a FIXED batch against a 10x
+    standing corpus must cost far less than 10x the 1x screen — admission
+    is an index probe, not a corpus rescan. (The model-sized DSIR/quality
+    gates are corpus-independent by construction; the gram/prefix index
+    joins scan a cached relation that production backs with a bloom
+    filter.) Copy 0 of the scaled corpus is the identity replica, so the
+    batch meets identical matches in both runs."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.caching import engine_cache, release_caches
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+
+    docs_base = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledadm"), FACTOR)
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+    batch = docs_base.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+
+    gates = {
+        "neardup": (corpus_prefix_index, lambda b, i: batch_vs_corpus(i, b)),
+        "dsir": (dsir_model, dsir_score),
+        "span": (corpus_gram_index, span_contamination),
+        "quality": (
+            lambda c: nb_quality_model(quality_labels(c)),
+            quality_score,
+        ),
+    }
+    def _freeze(side):
+        # corpus_prefix_index returns a tuple of relations; cache each
+        if isinstance(side, tuple):
+            parts = tuple(engine_cache(p) for p in side)
+            for p in parts:
+                p.count()
+            return parts
+        cached = engine_cache(side)
+        cached.count()
+        return cached
+
+    for name, (build, screen) in gates.items():
+        times = {}
+        for tag, corpus in (("base", docs_base), ("scaled", docs_scaled)):
+            idx = _freeze(build(corpus))  # materialize before timing
+            screen(batch, idx).count()  # warm pass (codegen/broadcast)
+            t0 = time.perf_counter()
+            screen(batch, idx).count()
+            times[tag] = time.perf_counter() - t0
+            release_caches()
+        # sublinear bound: < FACTOR/2 with a floor so task-launch overhead
+        # at this tiny scale can't fail a healthy plan
+        assert times["scaled"] < (FACTOR / 2) * max(times["base"], 0.5), (
+            name,
+            times,
+        )

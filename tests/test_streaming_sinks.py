@@ -361,3 +361,75 @@ def test_stream_incremental_dedup_equals_batch_across_microbatches(spark):
         assert len(seen) == n_files and sum(seen) == batch.count()
     finally:
         release_caches()
+
+
+def test_foreach_batch_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """T5 hardening (VERDICT r06 #8): run a streaming gate over HALF the
+    staged files, then start a NEW query instance from the SAME checkpoint
+    after the rest of the files land. The file source must replay nothing
+    it already committed, so the accumulated sink equals the one-shot
+    batch run — the restart semantics a real deployment hits first."""
+    import shutil
+
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    model = nb_quality_model(quality_labels(corpus))
+
+    all_files = str(tmp_path / "allfiles")
+    batch.repartition(6).write.parquet(all_files)
+    parts = sorted(glob.glob(f"{all_files}/part-*.parquet"))
+    assert len(parts) == 6
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    for p in parts[:3]:
+        shutil.copy(p, staging)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(all_files).schema
+
+    def score(batch_df, _batch_id):
+        quality_score(batch_df, model).write.mode("append").parquet(out_dir)
+
+    def mkstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staging))
+        )
+
+    run_foreach_batch(
+        mkstream(), score, shuffle_partitions=4, checkpoint_location=ckpt
+    )
+    n_half = spark.read.parquet(out_dir).count()
+    assert 0 < n_half < batch.count(), "first run should cover only half"
+
+    for p in parts[3:]:
+        shutil.copy(p, staging)
+    # a NEW query instance resumes from the same checkpoint
+    run_foreach_batch(
+        mkstream(), score, shuffle_partitions=4, checkpoint_location=ckpt
+    )
+
+    got = [
+        (r.doc_id, r.n_feats, r.logit, r.prob, r.status)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    expect = [
+        (r.doc_id, r.n_feats, r.logit, r.prob, r.status)
+        for r in quality_score(batch, model).collect()
+    ]
+    # exactly-once: every doc present exactly once (sorted multiset equal)
+    assert sorted(got) == sorted(expect)
