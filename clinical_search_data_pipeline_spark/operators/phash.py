@@ -347,3 +347,64 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall behavior is pinned, not just precision."""
     docs = read_table(spark, sf_dir, "documents")
     return image_neardup_pairs(dhash_images(attach_neardup_images(docs)))
+
+
+@register(
+    "q_image_dedup_apply",
+    oracle=f"""
+WITH {_DUCK_PHASH_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN bits ba ON ba.doc_id = p.doc_a
+  JOIN bits bb ON bb.doc_id = p.doc_b AND bb.r = ba.r AND bb.c = ba.c
+  GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE ba.bit != bb.bit) <= {PHASH_HAM_MAX}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ham
+  UNION ALL SELECT doc_b, doc_a FROM ham
+),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, label FROM r
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CASE WHEN c.node IS NULL THEN 'unique' ELSE 'dup_survivor' END AS status
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+WHERE c.node IS NULL OR c.node = c.component
+""",
+    tags=("multimodal", "dedup", "graph", "pipeline", "northstar", "pandas-udf"),
+)
+def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied image dedup — the corpus a multimodal trainer would consume:
+    dHash near-dup pairs -> connected components -> one survivor (min
+    doc_id) per perceptual cluster plus all untouched images. The
+    multimodal twin of q_doc_dedup_apply, riding the same two-phase
+    component machinery."""
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = image_neardup_pairs(dhash_images(attach_neardup_images(docs))).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    status = F.when(F.col("node").isNull(), "unique").otherwise("dup_survivor")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("node") == F.col("component")))
+        .select("doc_id", status.alias("status"))
+    )

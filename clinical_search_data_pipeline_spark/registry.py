@@ -95,6 +95,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # (b) new this round — never driver-checked, must hold slots
     "q_image_hashes",
     "q_image_neardup",
+    "q_image_dedup_apply",
     "q_quality_classifier",
     "q_stream_quality_gate",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
@@ -110,7 +111,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_unigram_nll",
     "q_passage_dedup",
     "q_media_decode",
-    "q_neardup_clusters",
     "q_token_budget",
     "q_winnow_pairs",
     "q_decontaminate",
@@ -142,6 +142,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_lang_id",
     "q_mixture_sample",
     "q_mixture_weights",
+    "q_neardup_clusters",
     "q_passage_dup_stats",
     "q_pivot_event_types",
     "q_repetition_quality",

@@ -137,3 +137,46 @@ def test_neardup_plan_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_dedup_apply_keeps_one_survivor_per_cluster(spark):
+    """Union-find over the verified pairs (independent Python reference):
+    the applied corpus must keep exactly min(cluster) per component plus
+    every untouched image."""
+    specs = all_specs()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in specs["q_image_neardup"].builder(spark, SF_SMOKE).collect()
+    ]
+    got = {
+        r.doc_id: r.status
+        for r in specs["q_image_dedup_apply"].builder(spark, SF_SMOKE).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, set[int]] = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    all_ids = {
+        r.doc_id
+        for r in read_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    touched = set(parent)
+    expect = {d: "unique" for d in all_ids - touched}
+    expect.update({min(m): "dup_survivor" for m in clusters.values()})
+    assert got == expect
+    assert clusters, "fixture produced no perceptual clusters"
