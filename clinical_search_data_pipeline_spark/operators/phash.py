@@ -76,7 +76,9 @@ HASH_SCHEMA = StructType(
 )
 
 
-def attach_neardup_images(docs: DataFrame) -> DataFrame:
+def attach_neardup_images(
+    docs: DataFrame, wrap_base: int | None = None
+) -> DataFrame:
     """Encode one real raster file per document — BMP (stored bottom-up,
     per the spec) for even doc_ids, PPM for odd — whose LOGICAL top-down
     pixels are pure integer functions of doc_id:
@@ -86,6 +88,11 @@ def attach_neardup_images(docs: DataFrame) -> DataFrame:
         v[k]   = (x*(base%11 + 2) + y*y*(base%5 + 3) + base*97
                   + k*(base%13 + 1)) % 256          (k = (y*w + x)*3 + ch)
         copies (doc_id % 10 in {8, 9}) add (doc_id*(k+3)) % 5, mod 256
+
+    With `wrap_base`, a copy's leader is taken MOD wrap_base — so copies
+    ABOVE the wrap reference images BELOW it (the cross-split planting the
+    streaming ingest gate needs: batch images that near-duplicate standing
+    corpus images).
 
     The x/y gradient terms give every base image a distinct texture (so
     unrelated images rarely collide in a hash band) while the mod-5
@@ -107,6 +114,8 @@ def attach_neardup_images(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 is_copy = doc_id % NEARDUP_DECADE >= 8
                 base = doc_id - doc_id % NEARDUP_DECADE if is_copy else doc_id
+                if is_copy and wrap_base is not None:
+                    base %= wrap_base
                 w = base % 7 + 12
                 h = (base * 3) % 7 + 12
                 k = _np.arange(w * h * 3, dtype=_np.int64)
@@ -205,6 +214,13 @@ def image_neardup_pairs(
     usual LSH recall. The verify joins the pair list back to the hash
     relation twice (pair-keyed shuffle equi-joins; the hash relation is
     doc-count-sized and narrow) and filters on built-in bit_count."""
+    # The hash relation feeds FOUR plan branches (both sides of the band
+    # self-join + both sides of the verify join); without a cut, the
+    # Arrow encode->decode->hash stage re-executes per branch. The
+    # relation is doc-count-sized and 8 columns wide, so materialize it
+    # once (same device as components.connected_components edges; at
+    # 100 TB use checkpoint() to reliable storage).
+    hashes = hashes.localCheckpoint()
     long = hashes.selectExpr(
         "doc_id",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)",
@@ -247,11 +263,18 @@ def image_neardup_pairs(
 
 # DuckDB twin of the synthetic image + dHash arithmetic: recompute logical
 # pixels from doc_id, pool to the grid, compare cells, pack band values.
-_DUCK_PHASH_CTE = f"""
+# `wrap_base` mirrors attach_neardup_images: with it, copies reference the
+# leader MOD wrap_base (planting cross-split duplicates for the ingest
+# gate); without it, the leader of the doc's own decade.
+def duck_phash_cte(wrap_base: int | None = None) -> str:
+    leader = f"doc_id - doc_id % {NEARDUP_DECADE}"
+    if wrap_base is not None:
+        leader = f"({leader}) % {wrap_base}"
+    return f"""
 d AS (
   SELECT doc_id,
          CASE WHEN doc_id % {NEARDUP_DECADE} >= 8
-              THEN doc_id - doc_id % {NEARDUP_DECADE} ELSE doc_id END AS base,
+              THEN {leader} ELSE doc_id END AS base,
          doc_id % {NEARDUP_DECADE} >= 8 AS is_copy
   FROM documents
 ),
@@ -289,6 +312,9 @@ bands AS (
            AS band_val
   FROM bits GROUP BY 1, 2
 )"""
+
+
+_DUCK_PHASH_CTE = duck_phash_cte()
 
 
 @register(
@@ -407,4 +433,53 @@ def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(comp, docs["doc_id"] == comp["node"], "left")
         .filter(F.col("node").isNull() | (F.col("node") == F.col("component")))
         .select("doc_id", status.alias("status"))
+    )
+
+
+def image_vs_corpus(
+    corpus_hashes: DataFrame,
+    batch_hashes: DataFrame,
+    ham_max: int = PHASH_HAM_MAX,
+) -> DataFrame:
+    """(doc_id, n_corpus_matches, status) for each batch image screened
+    against a FROZEN corpus hash index — the perceptual twin of
+    curation.batch_vs_corpus. Candidates come from a band equi-join of the
+    batch's bands against the corpus index (never batch x corpus); verify
+    is the usual bit_count filter; every batch doc gets a row (zero
+    matches -> 'admitted'). A verdict depends on one image + the frozen
+    index, so micro-batch boundaries cannot change any row."""
+    stack = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+    c_long = corpus_hashes.selectExpr("doc_id AS doc_a", stack)
+    b_long = batch_hashes.selectExpr("doc_id AS doc_b", stack)
+    cand = (
+        b_long.join(c_long, ["band_idx", "band_val"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = corpus_hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(PHASH_BANDS)],
+    )
+    hb = batch_hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"c{b}") for b in range(PHASH_BANDS)],
+    )
+    ham = " + ".join(f"bit_count(a{b} ^ c{b})" for b in range(PHASH_BANDS))
+    per_doc = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(F.expr(ham) <= ham_max)
+        .groupBy("doc_b")
+        .agg(F.count("*").alias("n_corpus_matches"))
+    )
+    return (
+        batch_hashes.select("doc_id")
+        .join(per_doc, batch_hashes["doc_id"] == per_doc["doc_b"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+            F.when(F.coalesce("n_corpus_matches", F.lit(0)) > 0, "dup_image")
+            .otherwise("admitted")
+            .alias("status"),
+        )
     )

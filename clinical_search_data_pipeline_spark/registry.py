@@ -96,6 +96,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_image_hashes",
     "q_image_neardup",
     "q_image_dedup_apply",
+    "q_stream_image_gate",
     "q_quality_classifier",
     "q_stream_quality_gate",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
@@ -113,7 +114,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_media_decode",
     "q_token_budget",
     "q_winnow_pairs",
-    "q_decontaminate",
     "q_doc_dedup_apply",
     "q_curation_funnel",
 )
@@ -133,6 +133,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_bpe_merge_step",
     "q_bpe_token_counts",
     "q_cosine_topk_vectorized",
+    "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
     "q_doc_fingerprints",
     "q_embedding_norms",

@@ -938,3 +938,106 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, score, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming image-dedup gate: incoming images vs a frozen corpus hash index
+# ---------------------------------------------------------------------------
+
+
+def _stream_image_gate_oracle() -> str:
+    # Hash both partitions with the SAME arithmetic (wrap_base makes batch
+    # copies reference corpus leaders: (doc_id - doc_id%10) % split), then
+    # screen ONLY batch docs against ONLY corpus bands. A verdict depends
+    # on one image + the frozen index -> micro-batch-invariant.
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        PHASH_HAM_MAX,
+        duck_phash_cte,
+    )
+
+    s = INCREMENT_SPLIT
+    return f"""
+WITH {duck_phash_cte(wrap_base=s)},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < {s} AND b.doc_id >= {s}
+),
+ham AS (
+  SELECT p.doc_b, p.doc_a
+  FROM pairs p
+  JOIN bits ba ON ba.doc_id = p.doc_a
+  JOIN bits bb ON bb.doc_id = p.doc_b AND bb.r = ba.r AND bb.c = ba.c
+  GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE ba.bit != bb.bit) <= {PHASH_HAM_MAX}
+),
+per_doc AS (SELECT doc_b AS doc_id, count(*) AS n FROM ham GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n, 0) AS n_corpus_matches,
+       CASE WHEN coalesce(n, 0) > 0 THEN 'dup_image' ELSE 'admitted' END
+         AS status
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.doc_id >= {s}
+"""
+
+
+@register(
+    "q_stream_image_gate",
+    oracle=_stream_image_gate_oracle(),
+    tags=("streaming", "multimodal", "dedup", "northstar", "pandas-udf"),
+)
+def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time IMAGE near-dup gate — the fifth admission screen and the
+    perceptual twin of q_stream_incremental_dedup: the standing corpus's
+    dHash index is computed ONCE (real PPM/BMP decode) and engine-cached;
+    each incoming micro-batch's images are decoded + hashed in Arrow
+    batches and probed against the frozen band index (band equi-join +
+    bit_count verify — never batch x corpus). Batch copies reference
+    corpus leaders via the wrap_base planting, so the gate has real
+    cross-split duplicates to catch; verdicts are micro-batch-invariant
+    and fully hash-oracled."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    corpus_hashes = engine_cache(
+        dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT))
+    )
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_imggate_out_")
+
+    def screen(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_hashes = dhash_images(
+            attach_neardup_images(batch_df, wrap_base=INCREMENT_SPLIT)
+        ).localCheckpoint()
+        image_vs_corpus(corpus_hashes, batch_hashes).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    run_foreach_batch(stream, screen, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

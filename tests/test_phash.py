@@ -180,3 +180,41 @@ def test_image_dedup_apply_keeps_one_survivor_per_cluster(spark):
     expect.update({min(m): "dup_survivor" for m in clusters.values()})
     assert got == expect
     assert clusters, "fixture produced no perceptual clusters"
+
+
+def test_stream_image_gate_equals_batch_screen(spark):
+    """The accumulated streaming sink must equal one-shot batch screening
+    under the same frozen corpus hash index, and the planted cross-split
+    copies (batch docs ending 8/9 reference corpus leaders via wrap_base)
+    must be flagged."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    got = {
+        r.doc_id: (r.n_corpus_matches, r.status)
+        for r in all_specs()["q_stream_image_gate"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    ch = dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT))
+    bh = dhash_images(attach_neardup_images(batch, wrap_base=INCREMENT_SPLIT))
+    expect = {
+        r.doc_id: (r.n_corpus_matches, r.status)
+        for r in image_vs_corpus(ch, bh).collect()
+    }
+    assert got == expect and got
+    flagged = {d for d, (_n, s) in got.items() if s == "dup_image"}
+    planted = {d for d in got if d % 10 >= 8}
+    assert planted and planted <= flagged
