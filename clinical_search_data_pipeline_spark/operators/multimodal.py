@@ -506,10 +506,11 @@ def encode_wav(sample_rate: int, samples, pad_chunk: bool = False) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Chunk-walking RIFF parser: validates RIFF/WAVE magics, walks chunks
-    (word-aligned per spec) to find fmt and data wherever they sit, and
-    reads 16-bit LE mono samples out of the data chunk."""
+def decode_wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """(sample_rate, samples): chunk-walking RIFF parser — validates
+    RIFF/WAVE magics, walks chunks (word-aligned per spec) to find fmt and
+    data wherever they sit, and reads 16-bit LE mono samples out of the
+    data chunk."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -529,10 +530,16 @@ def decode_wav(payload: bytes) -> dict:
     if sample_rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return int(sample_rate), struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Sample statistics off `decode_wav_samples` — every value read out
+    of the byte stream, never carried through from a producer."""
+    sample_rate, samples = decode_wav_samples(payload)
     return {
-        "sample_rate": int(sample_rate),
-        "n_samples": n,
+        "sample_rate": sample_rate,
+        "n_samples": len(samples),
         "amp_sum": int(sum(abs(s) for s in samples)),
         "max_amp": int(max((abs(s) for s in samples), default=0)),
     }

@@ -97,6 +97,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_image_neardup",
     "q_image_dedup_apply",
     "q_stream_image_gate",
+    "q_audio_fingerprints",
+    "q_audio_neardup",
     "q_quality_classifier",
     "q_stream_quality_gate",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
@@ -112,8 +114,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_unigram_nll",
     "q_passage_dedup",
     "q_media_decode",
-    "q_token_budget",
-    "q_winnow_pairs",
     "q_doc_dedup_apply",
     "q_curation_funnel",
 )
@@ -153,10 +153,12 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_stratified_sample",
     "q_stream_corpus_filter",
     "q_tfidf_top_terms",
+    "q_token_budget",
     "q_train_order",
     "q_user_set_ops",
     "q_value_quantiles_struct",
     "q_winnow_fingerprints",
+    "q_winnow_pairs",
 )
 ROUND_BACKLOG_DEFERRED_IN = 7  # the round whose window displaced them
 
@@ -189,6 +191,7 @@ def _load_modules() -> None:
     )
 
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
+        audiofp,
         bpe,
         classifier,
         clustering,

@@ -78,7 +78,11 @@ HEAVY_FAMILY = (
     # Image perceptual-hash near-dup: the copy offset is a multiple of 10,
     # so every replica keeps the decade-planted copy structure (planted
     # pairs exactly linear) while each copy's base images differ (doc_id-
-    # derived pixels); candidate fan-out stays band-bucket-bounded.
+    # derived pixels); candidate fan-out stays band-bucket-bounded. Rows
+    # grow SUPERlinearly by data geometry — a 64-bit perceptual hash over
+    # 10x more distinct images yields quadratically more CHANCE band
+    # collisions surviving the Hamming verify (the embedding-family
+    # cross-copy story) — while TIME stays ~linear: no plan blowup.
     "q_image_neardup",
 )
 

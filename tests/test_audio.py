@@ -8,6 +8,8 @@ import random
 
 import pytest
 
+from tests.conftest import SF_SMOKE
+
 from clinical_search_data_pipeline_spark.operators.multimodal import (
     attach_synthetic_audio,
     decode_audio,
@@ -140,3 +142,85 @@ def test_video_decode_query_reads_bytes_not_metadata(spark):
             w, h, d % 30 + 1, nf,
         )
         assert r.luma_sum == expect
+
+
+# ---------------------------------------------------------------------------
+# Energy-difference audio fingerprints (operators/audiofp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_matches_exact_fraction_reference(spark):
+    """Independent reference: exact per-frame mean-energy comparison via
+    Fractions must agree bit-for-bit with the operator's integer
+    cross-product form, over the REAL encode->decode round trip."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        FP_FRAMES,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(12)
+    media = {
+        r.doc_id: bytes(r.payload)
+        for r in attach_neardup_audio(docs).collect()
+    }
+    got = {
+        r.doc_id: (r.sample_rate, r.n_samples, [r.b0, r.b1, r.b2, r.b3])
+        for r in audio_fingerprints(attach_neardup_audio(docs)).collect()
+    }
+    assert len(got) == 12
+    for doc_id, payload in media.items():
+        rate, samples = decode_wav_samples(payload)
+        n = len(samples)
+        frames: dict[int, list[int]] = {}
+        for i, s in enumerate(samples):
+            frames.setdefault(i * FP_FRAMES // n, []).append(abs(s))
+        mean = {f: Fraction(sum(v), len(v)) for f, v in frames.items()}
+        bands = []
+        for b in range(4):
+            val = 0
+            for j in range(16):
+                f = b * 16 + j
+                if mean[f] > mean[f + 1]:
+                    val |= 1 << j
+            bands.append(val)
+        assert got[doc_id] == (rate, n, bands), doc_id
+
+
+def test_audio_planted_copies_surface(spark):
+    """Decade copies (noise-perturbed leader signals) must surface within
+    the Hamming<=3 pigeonhole guarantee; every reported pair must verify."""
+    from clinical_search_data_pipeline_spark.operators.audiofp import AF_HAM_MAX
+    from clinical_search_data_pipeline_spark.registry import all_specs
+
+    specs = all_specs()
+    fps = {
+        r.doc_id: [r.b0, r.b1, r.b2, r.b3]
+        for r in specs["q_audio_fingerprints"].builder(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in specs["q_audio_neardup"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got, "no audio near-dups found"
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+
+    for (a, b), h in got.items():
+        assert h <= AF_HAM_MAX and h == ham(a, b)
+    guaranteed = 0
+    for dec in sorted({d - d % 10 for d in fps}):
+        for pair in [(dec, dec + 8), (dec, dec + 9), (dec + 8, dec + 9)]:
+            if pair[0] in fps and pair[1] in fps and ham(*pair) < 4:
+                guaranteed += 1
+                assert pair in got, (pair, ham(*pair))
+    assert guaranteed > 0
