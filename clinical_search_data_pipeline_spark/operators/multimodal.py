@@ -660,10 +660,12 @@ def encode_y4m(width: int, height: int, fps_num: int, frames) -> bytes:
     return b"".join(out)
 
 
-def decode_y4m(payload: bytes) -> dict:
-    """Walk a Y4M stream: parse the parameterized stream header (tag soup,
-    any order), then iterate FRAME sections — tolerating frame-level
-    parameters after the marker — accumulating the luma-plane sum."""
+def decode_y4m_frame_sums(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, fps_num, per-frame luma sums): walk a Y4M stream —
+    parse the parameterized stream header (tag soup, any order), then
+    iterate FRAME sections, tolerating frame-level parameters after the
+    marker, summing each frame's luma plane separately (the per-frame
+    energy sequence a temporal fingerprint consumes)."""
     nl = payload.index(b"\n")
     head = payload[:nl].split(b" ")
     if head[0] != b"YUV4MPEG2":
@@ -684,21 +686,26 @@ def decode_y4m(payload: bytes) -> dict:
     if colorspace != b"C420":
         raise ValueError(f"unsupported colorspace {colorspace!r}")
     frame_bytes = width * height + (width // 2) * (height // 2) * 2
-    pos, n_frames, luma_sum = nl + 1, 0, 0
+    pos, sums = nl + 1, []
     while pos < len(payload):
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
         pos = payload.index(b"\n", pos) + 1  # skip any frame parameters
-        luma = payload[pos : pos + width * height]
-        luma_sum += sum(luma)
+        sums.append(sum(payload[pos : pos + width * height]))
         pos += frame_bytes
-        n_frames += 1
+    return width, height, fps_num, sums
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Aggregate container statistics off `decode_y4m_frame_sums` — every
+    value read back out of the byte stream."""
+    width, height, fps_num, sums = decode_y4m_frame_sums(payload)
     return {
         "width": width,
         "height": height,
         "fps_num": fps_num,
-        "n_frames": n_frames,
-        "luma_sum": luma_sum,
+        "n_frames": len(sums),
+        "luma_sum": sum(sums),
     }
 
 

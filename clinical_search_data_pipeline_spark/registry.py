@@ -99,14 +99,14 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_stream_image_gate",
     "q_audio_fingerprints",
     "q_audio_neardup",
+    "q_video_fingerprints",
+    "q_video_neardup",
     "q_quality_classifier",
     "q_stream_quality_gate",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
     "q_doc_exact_dedup",
     "q_jaccard_pairs",
     "q_minhash_lsh_pairs",
-    "q_simhash_fingerprints",
-    "q_simhash_buckets",
     "q_embedding_neardup",
     "q_embedding_neardup_lsh",
     "q_cosine_topk",
@@ -149,6 +149,8 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_repetition_quality",
     "q_semdedup_refined",
     "q_sequence_pack",
+    "q_simhash_buckets",
+    "q_simhash_fingerprints",
     "q_sql_nation_revenue",
     "q_stratified_sample",
     "q_stream_corpus_filter",
@@ -193,6 +195,7 @@ def _load_modules() -> None:
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         audiofp,
         bpe,
+        videofp,
         classifier,
         clustering,
         curation,

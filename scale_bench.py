@@ -84,6 +84,10 @@ HEAVY_FAMILY = (
     # collisions surviving the Hamming verify (the embedding-family
     # cross-copy story) — while TIME stays ~linear: no plan blowup.
     "q_image_neardup",
+    # Audio/video twins: same banded-Hamming machinery, same geometry
+    # caveat.
+    "q_audio_neardup",
+    "q_video_neardup",
 )
 
 # Per-user-WINDOW family, measured on a corpus where EVENTS are replicated

@@ -224,3 +224,72 @@ def test_audio_planted_copies_surface(spark):
                 guaranteed += 1
                 assert pair in got, (pair, ham(*pair))
     assert guaranteed > 0
+
+
+# ---------------------------------------------------------------------------
+# Temporal video fingerprints (operators/videofp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_video_fingerprint_matches_frame_sum_reference(spark):
+    """Independent reference: recompute per-frame luma sums straight from
+    the decoded container walk and re-derive the sign bits — must agree
+    with the operator over the REAL encode->decode round trip."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_y4m_frame_sums,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        FP_BITS,
+        attach_neardup_video,
+        video_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(12)
+    media = {
+        r.doc_id: bytes(r.payload)
+        for r in attach_neardup_video(docs).collect()
+    }
+    got = {
+        r.doc_id: (r.width, r.height, r.fps_num, r.n_frames, [r.b0, r.b1, r.b2, r.b3])
+        for r in video_fingerprints(attach_neardup_video(docs)).collect()
+    }
+    assert len(got) == 12
+    for doc_id, payload in media.items():
+        w, h, fps, sums = decode_y4m_frame_sums(payload)
+        bits = [1 if sums[f] > sums[f + 1] else 0 for f in range(FP_BITS)]
+        bands = [
+            sum(bits[b * 16 + j] << j for j in range(16)) for b in range(4)
+        ]
+        assert got[doc_id] == (w, h, fps, len(sums), bands), doc_id
+
+
+def test_video_planted_copies_surface(spark):
+    """Decade copies (noise-perturbed leader clips) must surface within
+    the Hamming<=3 pigeonhole guarantee; every reported pair verifies."""
+    from clinical_search_data_pipeline_spark.operators.videofp import VF_HAM_MAX
+    from clinical_search_data_pipeline_spark.registry import all_specs
+
+    specs = all_specs()
+    fps = {
+        r.doc_id: [r.b0, r.b1, r.b2, r.b3]
+        for r in specs["q_video_fingerprints"].builder(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in specs["q_video_neardup"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got, "no video near-dups found"
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+
+    for (a, b), h in got.items():
+        assert h <= VF_HAM_MAX and h == ham(a, b)
+    guaranteed = 0
+    for dec in sorted({d - d % 10 for d in fps}):
+        for pair in [(dec, dec + 8), (dec, dec + 9), (dec + 8, dec + 9)]:
+            if pair[0] in fps and pair[1] in fps and ham(*pair) < 4:
+                guaranteed += 1
+                assert pair in got, (pair, ham(*pair))
+    assert guaranteed > 0
