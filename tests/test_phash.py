@@ -126,13 +126,17 @@ def test_planted_copies_surface_in_neardup_pairs(spark):
     assert guaranteed > 0, "fixture produced no pigeonhole-guaranteed pairs"
 
 
-def test_neardup_plan_is_banded_equi_join(spark):
-    """Candidate generation must be a shuffle equi-join on band values —
-    no CartesianProduct, no single-partition stage anywhere."""
+@pytest.mark.parametrize(
+    "name", ["q_image_neardup", "q_audio_neardup", "q_video_neardup"]
+)
+def test_neardup_plan_is_banded_equi_join(spark, name):
+    """All three modality families ride the same banded machinery, so all
+    three must plan as shuffle equi-joins on band values — no
+    CartesianProduct, no single-partition stage anywhere."""
     from clinical_search_data_pipeline_spark.plans import introspect as pl
 
     plan = pl.physical_plan(
-        all_specs()["q_image_neardup"].builder(spark, SF_SMOKE), "simple"
+        all_specs()[name].builder(spark, SF_SMOKE), "simple"
     )
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
