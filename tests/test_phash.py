@@ -222,3 +222,43 @@ def test_stream_image_gate_equals_batch_screen(spark):
     flagged = {d for d, (_n, s) in got.items() if s == "dup_image"}
     planted = {d for d in got if d % 10 >= 8}
     assert planted and planted <= flagged
+
+
+@pytest.mark.parametrize("seed", [11, 37, 91])
+def test_banded_pairs_match_bruteforce_on_random_hashes(spark, seed):
+    """The banded machinery against an exhaustive reference on ARBITRARY
+    band tables (not just codec-derived ones): output must equal exactly
+    the set of pairs that (a) share at least one 16-bit band and (b) pass
+    the Hamming threshold — LSH recall and verify pinned together."""
+    import random
+
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        image_neardup_pairs,
+    )
+
+    rng = random.Random(seed)
+    n = 48
+    rows = []
+    for d in range(n):
+        if d % 7 == 3:  # plant exact copies and 1-bit neighbors
+            b = list(rows[d - 1][1:])
+            if d % 2:
+                b[rng.randrange(4)] ^= 1 << rng.randrange(16)
+        else:
+            b = [rng.randrange(1 << 16) for _ in range(4)]
+        rows.append((d, *b))
+    df = spark.createDataFrame(rows, ["doc_id", "b0", "b1", "b2", "b3"])
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_neardup_pairs(df, ham_max=PHASH_HAM_MAX).collect()
+    }
+    bands = {d: b for d, *b in rows}
+    expect = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b]))
+            shares = any(x == y for x, y in zip(bands[a], bands[b]))
+            if shares and ham <= PHASH_HAM_MAX:
+                expect[(a, b)] = ham
+    assert got == expect
+    assert expect, "seed produced no qualifying pairs"
