@@ -1021,6 +1021,11 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_hashes = engine_cache(
         dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT))
     )
+    # materialize the frozen index BEFORE the stream starts: the first
+    # micro-batch must not pay the corpus decode+hash build (the index
+    # build is an offline step in production; the scale bench times it
+    # separately from the per-batch screen for the same reason)
+    corpus_hashes.count()
 
     staging = stage_incremental_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
