@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.functions import textfns
+from clinical_search_data_pipeline_spark.operators.fragments import (
+    _DUCK_SHINGLES_CTE,
+    JACCARD_THRESHOLD,
+)
 from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.functions.timeops import duck_event_date
 from clinical_search_data_pipeline_spark.registry import register
@@ -368,3 +372,98 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-stream packing at a {PACK_BUDGET_TOKENS}-token chunk
     budget (whitespace token count as the stand-in tokenizer)."""
     return sequence_pack(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe splits: near-dup-aware train/test assignment
+# ---------------------------------------------------------------------------
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    val_pct: int = VAL_PCT,
+    test_pct: int = TEST_PCT,
+) -> DataFrame:
+    """(doc_id, cluster_rep, split): train/val/test assignment at
+    NEAR-DUP-CLUSTER granularity. Lee et al. 2022 show that duplicated
+    text straddling a train/test split inflates eval scores (the model
+    has memorized the test set's near-copies); a leak-free split must
+    therefore assign whole clusters, not documents. Near-dup pairs ->
+    connected components; every document takes its component
+    representative (min doc_id; untouched docs represent themselves) as
+    its SPLIT IDENTITY, and `hash_split` hashes that — so two documents
+    sharing any near-dup path can never land on opposite sides.
+
+    Scale shape: the component relation is edge-sized (orders of
+    magnitude smaller than the corpus) and joins back doc-keyed; the
+    split itself stays a zero-state projection."""
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    rep = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        docs["doc_id"],
+        F.coalesce("component", docs["doc_id"]).alias("cluster_rep"),
+    )
+    return hash_split(rep, "cluster_rep", val_pct=val_pct, test_pct=test_pct)
+
+
+@register(
+    "q_cluster_safe_split",
+    oracle=f"""
+WITH {_DUCK_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM r JOIN edges e ON e.b = r.node
+  )
+  SELECT node, label FROM r
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN {_duck_bucket("CAST(cluster_rep AS VARCHAR)")} < {TEST_PCT}
+              THEN 'test'
+            WHEN {_duck_bucket("CAST(cluster_rep AS VARCHAR)")}
+                 < {TEST_PCT + VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split
+FROM rep
+""",
+    tags=("splits", "dedup", "graph", "northstar"),
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split: exact Jaccard near-dup pairs ->
+    connected components -> whole-cluster hash assignment, so duplicated
+    content never straddles the split (the eval-inflation hazard Lee et
+    al. 2022 document)."""
+    from clinical_search_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
+    return cluster_safe_split(docs, pairs)

@@ -104,8 +104,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_video_neardup",
     "q_quality_classifier",
     "q_stream_quality_gate",
+    "q_cluster_safe_split",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
-    "q_doc_exact_dedup",
     "q_jaccard_pairs",
     "q_minhash_lsh_pairs",
     "q_embedding_neardup",
@@ -136,6 +136,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_cosine_topk_vectorized",
     "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
+    "q_doc_exact_dedup",
     "q_doc_fingerprints",
     "q_embedding_norms",
     "q_hash_sample",

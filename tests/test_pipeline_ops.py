@@ -470,3 +470,46 @@ def test_ewma_chunked_equality_across_widths(spark):
             assert got == base, f"divergence at chunk_sec={width}"
     finally:
         release_caches()
+
+
+def test_cluster_safe_split_never_straddles_neardup_pairs(spark):
+    """The leak-free property, end-to-end: no near-dup pair may land on
+    opposite sides of the split, every component member shares its
+    representative's split, and untouched docs keep plain hash_split
+    assignment (so the cluster-aware split is a strict refinement, not a
+    different scheme)."""
+    from clinical_search_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from clinical_search_data_pipeline_spark.operators.splits import hash_split
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    assigned = {
+        r.doc_id: (r.cluster_rep, r.split)
+        for r in all_specs()["q_cluster_safe_split"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = read_table(spark, SF_SMOKE, "documents")
+    assert set(assigned) == {r.doc_id for r in docs.select("doc_id").collect()}
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs, "fixture produced no near-dup pairs"
+    for a, b in pairs:
+        assert assigned[a][1] == assigned[b][1], (a, b)
+        assert assigned[a][0] == assigned[b][0], (a, b)
+
+    # untouched docs: split == plain hash_split of their own doc_id
+    touched = {d for p in pairs for d in p}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs.select("doc_id", "lang"), "doc_id"
+        ).collect()
+    }
+    for d, (rep, split) in assigned.items():
+        if d not in touched:
+            assert rep == d and split == plain[d]
