@@ -55,10 +55,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # hygiene guard demands — these are the oldest driver rows (r4) and
 # rotating them in brings every registered query's staleness within the
 # mechanical bound (test_no_query_row_older_than_max_staleness); (b) the
-# round's 10 NEW registrations (the image/audio/video perceptual near-dup
-# families + applied image dedup + streaming image gate, and the
-# naive-Bayes quality classifier + its streaming gate) — never-checked
-# queries must hold slots; (c) the remaining 12 slots refresh r5-row
+# round's 11 NEW registrations (the image/audio/video perceptual near-dup
+# families + applied image dedup + streaming image gate, the naive-Bayes
+# quality classifier + its streaming gate, and the cluster-safe split) —
+# never-checked queries must hold slots; (c) the remaining 11 slots
+# refresh r5-row
 # queries, most-load-bearing dedup/curation families first. Everything
 # else with an r5 row is recorded in ROUND_BACKLOG below and must lead
 # the r8 window. All rotated-out names keep valid driver rows at their
@@ -120,7 +121,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 )
 
 # Queries whose latest driver row is r5 and which did NOT fit the round-7
-# window (the 48-name r5 cohort minus the 12 refreshed above). They MUST
+# window (the 48-name r5 cohort minus the 11 refreshed above). They MUST
 # lead the round-8 window; with them checked at r8, no registered query's
 # row will be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the
 # hygiene guard bound how long a deferral may stand (see
