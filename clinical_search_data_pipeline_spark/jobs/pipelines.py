@@ -257,26 +257,28 @@ def ingest_admission_job(
     out_dir: str,
     corpus_split: int | None = None,
 ) -> Mapping[str, int]:
-    """Ingest-time admission over a document stream: ALL FOUR gates run
+    """Ingest-time admission over a document stream: ALL FIVE gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
     (batch_vs_corpus), DSIR distribution scoring under the frozen bucket
     model (dsir_score), substring-contamination screening vs the frozen
-    gram index (span_contamination), and the learned naive-Bayes quality
-    classifier under its frozen dense model (quality_score) — joined on
+    gram index (span_contamination), the learned naive-Bayes quality
+    classifier under its frozen dense model (quality_score), and the
+    perceptual IMAGE near-dup screen vs the frozen corpus dHash index
+    (image_vs_corpus over each document's attached media) — joined on
     doc_id into a single verdict row per incoming document.
 
     `out_dir` must not already exist: verdicts are appended per micro-batch
     and the summary is computed by reading the sink back, so replaying into
     a populated directory would silently double-count every document.
 
-    This is the composition the four registered q_stream_* gate queries
+    This is the composition the five registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
-    DSIR model, gram index, classifier model) is built ONCE and
-    engine-cached; each micro-batch pays four broadcast/equi-joins and one
-    doc_id-keyed join of four batch-local relations. A document is
-    admitted only if every gate passes. Per-doc verdicts are micro-batch
-    invariant, so the accumulated lake equals one-shot batch admission
-    (pytest-pinned).
+    DSIR model, gram index, classifier model, corpus image-hash index) is
+    built ONCE and engine-cached; each micro-batch pays five
+    broadcast/equi-joins and one doc_id-keyed join of five batch-local
+    relations. A document is admitted only if every gate passes. Per-doc
+    verdicts are micro-batch invariant, so the accumulated lake equals
+    one-shot batch admission (pytest-pinned).
     """
     from clinical_search_data_pipeline_spark.caching import engine_cache
     from clinical_search_data_pipeline_spark.operators.curation import (
@@ -293,6 +295,11 @@ def ingest_admission_job(
         nb_quality_model,
         quality_labels,
         quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_index,
@@ -319,6 +326,9 @@ def ingest_admission_job(
     lr_model = engine_cache(dsir_model(corpus))
     gram_index = engine_cache(corpus_gram_index(corpus))
     clf_model = engine_cache(nb_quality_model(quality_labels(corpus)))
+    image_index = engine_cache(
+        dhash_images(attach_neardup_images(corpus, wrap_base=split))
+    )
 
     staging = stage_incremental_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
@@ -345,14 +355,23 @@ def ingest_admission_job(
             "doc_id", F.col("logit").alias("quality_logit"),
             F.col("status").alias("quality_status"),
         )
+        img = image_vs_corpus(
+            image_index,
+            dhash_images(attach_neardup_images(batch_df, wrap_base=split)),
+        ).select(
+            "doc_id", F.col("n_corpus_matches").alias("n_image_matches"),
+            F.col("status").alias("image_status"),
+        )
         verdicts = (
             dup.join(imp, "doc_id").join(span, "doc_id").join(qual, "doc_id")
+            .join(img, "doc_id")
             .withColumn(
                 "admitted",
                 (F.col("dup_status") == "admitted")
                 & (F.col("dsir_status") == "admitted")
                 & (F.col("span_status") == "clean")
-                & (F.col("quality_status") == "admitted"),
+                & (F.col("quality_status") == "admitted")
+                & (F.col("image_status") == "admitted"),
             )
         )
         verdicts.write.mode("append").parquet(out_dir)

@@ -302,8 +302,8 @@ def test_training_export_job_deterministic_and_within_budget(spark, tmp_path):
 
 
 def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
-    """The combined four-gate foreachBatch job must equal one-shot batch
-    application of the four gates to the whole batch partition — the
+    """The combined five-gate foreachBatch job must equal one-shot batch
+    application of the five gates to the whole batch partition — the
     micro-batch-invariance composition claim."""
     from pyspark.sql import functions as F
 
@@ -314,6 +314,11 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
         nb_quality_model,
         quality_labels,
         quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
     )
     from clinical_search_data_pipeline_spark.operators.curation import (
         INCREMENT_SPLIT,
@@ -335,7 +340,14 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
     out_dir = str(tmp_path / "admission")
     summary = ingest_admission_job(spark, SF_SMOKE, out_dir)
     got = {
-        r.doc_id: (r.dup_status, r.dsir_status, r.span_status, r.quality_status, r.admitted)
+        r.doc_id: (
+            r.dup_status,
+            r.dsir_status,
+            r.span_status,
+            r.quality_status,
+            r.image_status,
+            r.admitted,
+        )
         for r in spark.read.parquet(out_dir).collect()
     }
 
@@ -360,17 +372,27 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
             batch, nb_quality_model(quality_labels(corpus))
         ).collect()
     }
+    img = {
+        r.doc_id: r.status
+        for r in image_vs_corpus(
+            dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT)),
+            dhash_images(attach_neardup_images(batch, wrap_base=INCREMENT_SPLIT)),
+        ).collect()
+    }
     assert set(got) == set(dup)
-    for d, (ds, is_, ss, qs, adm) in got.items():
-        assert (ds, is_, ss, qs) == (dup[d], imp[d], span[d], qual[d])
+    for d, (ds, is_, ss, qs, ims, adm) in got.items():
+        assert (ds, is_, ss, qs, ims) == (dup[d], imp[d], span[d], qual[d], img[d])
         assert adm == (
             ds == "admitted"
             and is_ == "admitted"
             and ss == "clean"
             and qs == "admitted"
+            and ims == "admitted"
         )
+    # the image gate must actually bite: planted cross-split image copies
+    assert any(v == "dup_image" for v in img.values())
     assert summary["docs_screened"] == len(got) > 0
-    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[4])
+    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[5])
 
     # rerun guard: replaying into the populated out_dir would append a
     # second copy of every verdict and silently double the summary — the
