@@ -81,7 +81,13 @@ def nb_quality_model(labeled: DataFrame, n_buckets: int = N_BUCKETS) -> DataFram
         F.count(F.when(F.col("lab"), 1)).alias("n_p"),
         F.count(F.when(~F.col("lab"), 1)).alias("n_n"),
     )
-    tot = cnt.agg(F.sum("n_p").alias("t_p"), F.sum("n_n").alias("t_n"))
+    # empty-label cold start: sum() over zero buckets is NULL -> NULL
+    # weights -> silent wholesale rejection; coalescing to 0 yields the
+    # NEUTRAL model (w = 0, bias = ln(1/1) = 0 -> prob 0.5, admitted)
+    tot = cnt.agg(
+        F.coalesce(F.sum("n_p"), F.lit(0)).alias("t_p"),
+        F.coalesce(F.sum("n_n"), F.lit(0)).alias("t_n"),
+    )
     prior = labeled.agg(
         F.log(
             (F.count(F.when(F.col("lab"), 1)) + F.lit(1.0))

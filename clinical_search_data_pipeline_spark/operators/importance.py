@@ -109,8 +109,12 @@ def bucket_log_ratios(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
     )
+    # coalesce: sum() over ZERO buckets (an empty corpus at cold start) is
+    # NULL, which would silently null every ratio; 0 yields the NEUTRAL
+    # smoothed model (lr = 0 everywhere) instead
     tot = cnt.agg(
-        F.sum("n_raw").alias("t_r"), F.sum("n_t").alias("t_t")
+        F.coalesce(F.sum("n_raw"), F.lit(0)).alias("t_r"),
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("t_t"),
     )
     return cnt.crossJoin(F.broadcast(tot)).select(
         "bucket",
@@ -138,7 +142,14 @@ def dsir_model(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("lang") == target_lang, 1)).alias("n_t"),
     )
-    tot = cnt.agg(F.sum("n_raw").alias("t_r"), F.sum("n_t").alias("t_t"))
+    # empty-corpus cold start: sum() over zero buckets is NULL -> every
+    # ratio NULL -> every score NULL -> silent wholesale rejection at the
+    # gate; coalescing to 0 gives the NEUTRAL model (lr = 0, logw = 0 ->
+    # the >= 0 gate ADMITS, which is the right no-evidence behavior)
+    tot = cnt.agg(
+        F.coalesce(F.sum("n_raw"), F.lit(0)).alias("t_r"),
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("t_t"),
+    )
     domain = (
         corpus.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
     )

@@ -114,7 +114,10 @@ def attach_neardup_images(
                 doc_id = int(doc_id)
                 is_copy = doc_id % NEARDUP_DECADE >= 8
                 base = doc_id - doc_id % NEARDUP_DECADE if is_copy else doc_id
-                if is_copy and wrap_base is not None:
+                # wrap_base=0 (an EMPTY standing corpus at cold start) has
+                # nothing below the split to reference — fall through to
+                # the doc's own decade leader instead of dividing by zero
+                if is_copy and wrap_base:
                     base %= wrap_base
                 w = base % 7 + 12
                 h = (base * 3) % 7 + 12

@@ -401,3 +401,25 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         ingest_admission_job(spark, SF_SMOKE, out_dir)
+
+
+def test_ingest_admission_job_cold_start_admits_everything(spark, tmp_path):
+    """corpus_split=0 is day one of a standing corpus: no index can match
+    (dedup/span/image admit) and the DSIR/quality models have ZERO
+    evidence, so they must degrade to the NEUTRAL smoothed model (score
+    0 -> the >= 0 gates ADMIT) — not to NULL scores that silently reject
+    the whole first batch (the bug this pins: sum() over an empty bucket
+    relation is NULL, not 0)."""
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        ingest_admission_job,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "cold")
+    summary = ingest_admission_job(spark, SF_SMOKE, out_dir, corpus_split=0)
+    rows = spark.read.parquet(out_dir).collect()
+    assert summary["docs_screened"] == len(rows) > 0
+    assert summary["docs_admitted"] == len(rows)
+    for r in rows:
+        assert r.admitted, r
+        assert r.logw == 0.0 and r.quality_logit == 0.0, r
