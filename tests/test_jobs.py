@@ -423,3 +423,65 @@ def test_ingest_admission_job_cold_start_admits_everything(spark, tmp_path):
     for r in rows:
         assert r.admitted, r
         assert r.logw == 0.0 and r.quality_logit == 0.0, r
+
+
+def test_every_admission_gate_is_total_over_degenerate_docs(spark):
+    """A missing verdict row would make the admission job's five-way join
+    silently DROP a document from the lake, so every gate must emit one
+    row per incoming doc even for one-word and empty-text input (no
+    shingles, no k-grams, no bigrams)."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        nb_quality_model,
+        quality_labels,
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+        corpus_prefix_index,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_model,
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    corpus = read_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    batch = spark.createDataFrame(
+        [
+            (9001, "alpha", "en", "webcrawl", 5),
+            (9002, "", "en", "webcrawl", 0),
+            (9003, "alpha beta", "en", "webcrawl", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    ids = {9001, 9002, 9003}
+    gates = {
+        "dup": batch_vs_corpus(corpus_prefix_index(corpus), batch),
+        "span": span_contamination(batch, corpus_gram_index(corpus)),
+        "dsir": dsir_score(batch, dsir_model(corpus)),
+        "quality": quality_score(
+            batch, nb_quality_model(quality_labels(corpus))
+        ),
+        "image": image_vs_corpus(
+            dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT)),
+            dhash_images(attach_neardup_images(batch, wrap_base=INCREMENT_SPLIT)),
+        ),
+    }
+    for name, df in gates.items():
+        got = {r.doc_id for r in df.select("doc_id").collect()}
+        assert got == ids, (name, got)
