@@ -513,3 +513,36 @@ def test_cluster_safe_split_never_straddles_neardup_pairs(spark):
     for d, (rep, split) in assigned.items():
         if d not in touched:
             assert rep == d and split == plain[d]
+
+
+def test_cluster_safe_split_degrades_to_hash_split_without_pairs(spark):
+    """An entirely-unique corpus (empty pair relation) must reduce to the
+    plain per-doc hash split — the components machinery cannot choke on
+    zero edges."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from clinical_search_data_pipeline_spark.operators.splits import (
+        cluster_safe_split,
+        hash_split,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(20)
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+        ),
+    )
+    got = {
+        r.doc_id: (r.cluster_rep, r.split)
+        for r in cluster_safe_split(docs, empty).collect()
+    }
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    assert len(got) == 20
+    for d, (rep, split) in got.items():
+        assert rep == d and split == plain[d]
