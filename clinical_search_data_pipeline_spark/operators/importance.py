@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clinical_search_data_pipeline_spark.functions.hashing import hash64
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.operators.fragments import (
     _DUCK_FEATS_CTE,
     DSIR_GATE,
@@ -48,8 +48,10 @@ from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_ta
 __all__ = [
     "DSIR_GATE",
     "N_BUCKETS",
+    "RESAMPLE_K",
     "TARGET_LANG",
     "dsir_model",
+    "dsir_resample",
     "dsir_score",
     "dsir_weights",
     "hashed_features",
@@ -235,3 +237,93 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: ln(p_target/p_raw) per document under
     hashed unigram+bigram bucket models (Xie et al. 2023)."""
     return dsir_weights(read_table(spark, sf_dir, "documents"))
+
+
+# --- importance RESAMPLING: the "R" in DSIR ---------------------------------
+
+RESAMPLE_K = 100  # fixture default; a 100 TB caller passes its budget
+_U_BUCKETS = 1_000_000  # hash-derived uniform resolution
+
+
+def dsir_resample(
+    weights: DataFrame, k: int = RESAMPLE_K, salt: str = "epoch0"
+) -> DataFrame:
+    """(doc_id, lang, logw, gkey): the top-`k` documents under Gumbel
+    top-k weighted sampling WITHOUT replacement — DSIR's final step
+    (sample ∝ exp(logw)), via the Efraimidis-Spirakis / Gumbel-max
+    equivalence: adding an independent Gumbel draw to each log-weight and
+    taking the k largest keys IS a weighted sample without replacement.
+
+    Determinism device: the per-document uniform is hash-derived —
+    u = (hash64(salt || doc_id) mod M + 0.5) / M — so the draw is
+    reproducible across engines and runs (a new `salt` is a fresh
+    epoch's draw); g = -ln(-ln(u)); key = round(logw + g, 4), ranked
+    with doc_id as the deterministic tie-break.
+
+    Scale shape: one narrow projection over the doc-count-sized weight
+    relation, then a global top-k — TakeOrderedAndProject, never a full
+    sort (the same plan class as q_top_revenue_orders)."""
+    u = (
+        F.pmod(
+            hash64(F.concat(F.lit(salt), F.lit("|"), F.col("doc_id").cast("string"))),
+            F.lit(_U_BUCKETS),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_U_BUCKETS))
+    key = F.round(F.col("logw") + (-F.log(-F.log(u))), 4)
+    return (
+        weights.select("doc_id", "lang", "logw", key.alias("gkey"))
+        .orderBy(F.col("gkey").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+@register(
+    "q_dsir_resample",
+    oracle=f"""
+WITH {_DUCK_FEATS_CTE},
+cnt AS (
+  SELECT bucket, count(*) AS n_raw,
+         count(*) FILTER (WHERE lang = '{TARGET_LANG}') AS n_t
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(n_raw) AS t_r, sum(n_t) AS t_t FROM cnt),
+lr AS (
+  SELECT bucket,
+         ln((n_t + 1) / (t_t + {N_BUCKETS}.0))
+           - ln((n_raw + 1) / (t_r + {N_BUCKETS}.0)) AS lr
+  FROM cnt CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, lang, count(*) AS n_feats,
+         list(lr ORDER BY pos, kind) AS lrs
+  FROM feats JOIN lr USING (bucket)
+  GROUP BY doc_id, lang
+),
+wts AS (
+  SELECT doc_id, lang,
+         round(list_reduce(list_prepend(0.0::DOUBLE, lrs),
+                           (acc, x) -> acc + x), 4) AS logw
+  FROM scored
+),
+keyed AS (
+  SELECT doc_id, lang, logw,
+         round(logw + (-ln(-ln(
+           ({duck_hash64("'epoch0|' || CAST(doc_id AS VARCHAR)")}
+              % {_U_BUCKETS} + 0.5) / {_U_BUCKETS}.0
+         ))), 4) AS gkey
+  FROM wts
+)
+SELECT doc_id, lang, logw, gkey FROM keyed
+ORDER BY gkey DESC, doc_id LIMIT {RESAMPLE_K}
+""",
+    tags=("curation", "text", "northstar"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: importance weights -> Gumbel top-k weighted
+    resampling without replacement (Xie et al. 2023 select their
+    pretraining subset exactly this way; Efraimidis-Spirakis 2006 /
+    Gumbel-max give the one-pass distributed form). Hash-derived
+    uniforms make the draw reproducible — and oracle-checkable."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_resample(dsir_weights(docs).drop("n_feats"))

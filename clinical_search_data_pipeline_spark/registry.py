@@ -55,10 +55,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # hygiene guard demands — these are the oldest driver rows (r4) and
 # rotating them in brings every registered query's staleness within the
 # mechanical bound (test_no_query_row_older_than_max_staleness); (b) the
-# round's 11 NEW registrations (the image/audio/video perceptual near-dup
+# round's 12 NEW registrations (the image/audio/video perceptual near-dup
 # families + applied image dedup + streaming image gate, the naive-Bayes
-# quality classifier + its streaming gate, and the cluster-safe split) —
-# never-checked queries must hold slots; (c) the remaining 11 slots
+# quality classifier + its streaming gate, the cluster-safe split, and the
+# DSIR Gumbel resample) —
+# never-checked queries must hold slots; (c) the remaining 10 slots
 # refresh r5-row
 # queries, most-load-bearing dedup/curation families first. Everything
 # else with an r5 row is recorded in ROUND_BACKLOG below and must lead
@@ -106,6 +107,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_quality_classifier",
     "q_stream_quality_gate",
     "q_cluster_safe_split",
+    "q_dsir_resample",
     # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
     "q_jaccard_pairs",
     "q_minhash_lsh_pairs",
@@ -115,13 +117,12 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_semdedup",
     "q_unigram_nll",
     "q_passage_dedup",
-    "q_media_decode",
     "q_doc_dedup_apply",
     "q_curation_funnel",
 )
 
 # Queries whose latest driver row is r5 and which did NOT fit the round-7
-# window (the 48-name r5 cohort minus the 11 refreshed above). They MUST
+# window (the 48-name r5 cohort minus the 10 refreshed above). They MUST
 # lead the round-8 window; with them checked at r8, no registered query's
 # row will be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the
 # hygiene guard bound how long a deferral may stand (see
@@ -144,6 +145,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_hash_split",
     "q_kmeans_refine",
     "q_lang_id",
+    "q_media_decode",
     "q_mixture_sample",
     "q_mixture_weights",
     "q_neardup_clusters",

@@ -112,6 +112,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_zipf_profile",              # broadcast 1-row corpus token total
     "q_bpe_tokenize2",             # inherits bpe_train2's two 1-row argmaxes
     "q_dsir_weights",              # broadcast 1-row corpus/target totals
+    "q_dsir_resample",             # inherits dsir_weights' 1-row totals
     "q_bigram_nll",                # broadcast 1-row corpus token total
     "q_session_funnel",            # 3-row step table >= 4-row depth histogram
     "q_quality_classifier",        # broadcast 1-row class totals + prior

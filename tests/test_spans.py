@@ -725,3 +725,45 @@ def test_transitions_and_cohorts_match_python_reference_property(spark):
         for (c, off), users in ref_c.items()
     }
     assert got_c == expect
+
+
+def test_dsir_resample_matches_python_reference(spark):
+    """The Gumbel top-k draw recomputed independently in Python (md5
+    uniforms, float Gumbel transform, same tie-break) must select the
+    identical k documents; a fresh salt must give a different draw; and
+    the draw must skew toward high-importance docs (that is the point of
+    importance RESAMPLING)."""
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_resample,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    weights = dsir_weights(docs).drop("n_feats")
+    wmap = {r.doc_id: r.logw for r in weights.collect()}
+
+    def ref_draw(salt, k):
+        keyed = []
+        for d, logw in wmap.items():
+            u = (_py_hash64(f"{salt}|{d}") % 1_000_000 + 0.5) / 1_000_000
+            keyed.append((round(logw + -math.log(-math.log(u)), 4), -d, d))
+        keyed.sort(reverse=True)
+        return [(d, k_) for k_, _neg, d in keyed[:k]]
+
+    k = 50
+    got = [
+        (r.doc_id, r.gkey)
+        for r in dsir_resample(weights, k=k, salt="epoch0").collect()
+    ]
+    expect = ref_draw("epoch0", k)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gk), (ed, ek) in zip(got, expect):
+        assert abs(gk - ek) < 5e-4, (gd, gk, ek)
+
+    other = {r.doc_id for r in dsir_resample(weights, k=k, salt="epoch1").collect()}
+    assert other != {d for d, _ in got}, "salt must re-randomize the draw"
+
+    sel_mean = sum(wmap[d] for d, _ in got) / k
+    corpus_mean = sum(wmap.values()) / len(wmap)
+    assert sel_mean > corpus_mean, "resampling must skew toward the target"
