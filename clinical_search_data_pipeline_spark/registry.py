@@ -51,83 +51,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-7 window: (a) the FULL 28-name r6 backlog leads, exactly as the
-# hygiene guard demands — these are the oldest driver rows (r4) and
+# Round-8 window: (a) the FULL 38-name r7 backlog leads, exactly as the
+# hygiene guard demands — these are the oldest driver rows (r5) and
 # rotating them in brings every registered query's staleness within the
 # mechanical bound (test_no_query_row_older_than_max_staleness); (b) the
-# round's 12 NEW registrations (the image/audio/video perceptual near-dup
-# families + applied image dedup + streaming image gate, the naive-Bayes
-# quality classifier + its streaming gate, the cluster-safe split, and the
-# DSIR Gumbel resample) —
-# never-checked queries must hold slots; (c) the remaining 10 slots
-# refresh r5-row
-# queries, most-load-bearing dedup/curation families first. Everything
-# else with an r5 row is recorded in ROUND_BACKLOG below and must lead
-# the r8 window. All rotated-out names keep valid driver rows at their
-# current, unchanged behavior.
+# remaining 12 slots hold this round's NEW registrations (text
+# canonicalization + normalized near-dup, audio/video streaming admission
+# gates, the bloom-backed span-gate gram index, the logistic-refined
+# quality classifier, the n-merge declarative BPE trainer, and ANN recall
+# evidence) — never-checked queries must hold slots. Everything with an
+# r6 row is recorded in ROUND_BACKLOG below and must lead the r9 window
+# (50 names = a full window; r9 may split it across r9/r10 as long as the
+# leftover names hold r10 slots, which the staleness guard's in-window
+# exemption permits). All rotated-out names keep valid driver rows at
+# their current, unchanged behavior.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the complete r6 backlog (r4 rows), oldest coverage in the repo
-    "q_value_stats",
-    "q_traffic_rollup",
-    "q_range_join_windows",
-    "q_salted_counts",
-    "q_column_audit",
-    "q_token_stats",
-    "q_props_extract",
-    "q_top_docs",
-    "q_stream_stream_join",
-    "q_stream_enriched_traffic",
-    "q_stream_running_counts",
-    "q_stream_session_window",
-    "q_stream_stream_left_outer",
-    "q_pricing_rollup",
-    "q_customer_running_spend",
-    "q_approx_daily_traffic",
-    "q_value_quantiles",
-    "q_dedup_keys_xxhash",
-    "q_pricing_summary",
-    "q_order_priority_counts",
-    "q_segment_stats",
-    "q_customers_without_orders",
-    "q_region_customer_stats",
-    "q_supplier_part_volume",
-    "q_union_days",
-    "q_daily_events",
-    "q_session_clicks",
-    "q_parse_msdate",
-    # (b) new this round — never driver-checked, must hold slots
-    "q_image_hashes",
-    "q_image_neardup",
-    "q_image_dedup_apply",
-    "q_stream_image_gate",
-    "q_audio_fingerprints",
-    "q_audio_neardup",
-    "q_video_fingerprints",
-    "q_video_neardup",
-    "q_quality_classifier",
-    "q_stream_quality_gate",
-    "q_cluster_safe_split",
-    "q_dsir_resample",
-    # (c) r5-row refresh: the dedup/curation core a 100 TB user leans on
-    "q_jaccard_pairs",
-    "q_minhash_lsh_pairs",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
-    "q_cosine_topk",
-    "q_semdedup",
-    "q_unigram_nll",
-    "q_passage_dedup",
-    "q_doc_dedup_apply",
-    "q_curation_funnel",
-)
-
-# Queries whose latest driver row is r5 and which did NOT fit the round-7
-# window (the 48-name r5 cohort minus the 10 refreshed above). They MUST
-# lead the round-8 window; with them checked at r8, no registered query's
-# row will be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the
-# hygiene guard bound how long a deferral may stand (see
-# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
-ROUND_BACKLOG: tuple[str, ...] = (
+    # (a) the complete r7 backlog (r5 rows), oldest coverage in the repo
     "q_ann_ivf_multiprobe",
     "q_ann_ivf_topk",
     "q_ann_lsh_multiprobe",
@@ -166,8 +105,84 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_value_quantiles_struct",
     "q_winnow_fingerprints",
     "q_winnow_pairs",
+    # (b) new this round — never driver-checked, must hold slots.
+    # (Names below are swapped in one commit at a time as each new query
+    # lands; interim fillers are r7-fresh rows so the window is always 50
+    # valid names.)
+    "q_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
+    "q_cosine_topk",
+    "q_semdedup",
+    "q_unigram_nll",
+    "q_passage_dedup",
+    "q_doc_dedup_apply",
+    "q_curation_funnel",
+    "q_dsir_resample",
+    "q_cluster_safe_split",
 )
-ROUND_BACKLOG_DEFERRED_IN = 7  # the round whose window displaced them
+
+# Queries whose latest driver row is r6 and which did NOT fit the round-8
+# window (the full 50-name r6 cohort — r8's window is consumed by the 38
+# r5-row names plus the round's new registrations). They MUST lead the
+# round-9 window; with them checked at r9, no registered query's row will
+# be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the hygiene
+# guard bound how long a deferral may stand (see
+# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_anomaly_sessions",
+    "q_bigram_nll",
+    "q_bpe_tokenize2",
+    "q_bpe_train2",
+    "q_bronze_archive",
+    "q_clinical_areas",
+    "q_clinical_trend",
+    "q_corpus_filter",
+    "q_daily_traffic",
+    "q_dedup_events",
+    "q_dedup_keys",
+    "q_doc_chunks",
+    "q_dsir_weights",
+    "q_dup_spans",
+    "q_event_transitions",
+    "q_events_orders_asof",
+    "q_ewma_user_values",
+    "q_ewma_user_values_chunked",
+    "q_incremental_dedup",
+    "q_lang_profile",
+    "q_length_outliers",
+    "q_media_audio",
+    "q_media_features",
+    "q_media_frames",
+    "q_media_meta",
+    "q_media_resize",
+    "q_media_video",
+    "q_pii_redact",
+    "q_popular_documents",
+    "q_pricing_cube",
+    "q_session_analysis",
+    "q_session_funnel",
+    "q_sessionize",
+    "q_source_dup_profile",
+    "q_source_overlap",
+    "q_stream_anomaly",
+    "q_stream_dedup_keys",
+    "q_stream_dsir_gate",
+    "q_stream_incremental_dedup",
+    "q_stream_span_gate",
+    "q_stream_traffic_minute",
+    "q_strip_dup_spans",
+    "q_text_quality",
+    "q_time_remap",
+    "q_top_revenue_orders",
+    "q_traffic_minute",
+    "q_unpivot_order_stats",
+    "q_user_cohorts",
+    "q_word_entropy",
+    "q_zipf_profile",
+)
+ROUND_BACKLOG_DEFERRED_IN = 8  # the round whose window displaced them
 
 
 def _load_modules() -> None:
