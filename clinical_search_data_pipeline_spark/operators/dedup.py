@@ -139,8 +139,23 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
     )
 
 
+def canonicalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Optional pre-step for the shingle family: replace `text_col` with its
+    canonical form (functions/normalize.py) so re-cased / re-punctuated /
+    re-accented copies shingle identically. Narrow projection — free at
+    scan speed; see q_jaccard_pairs_normalized for the planted-copy proof
+    that raw shingles miss what normalized shingles catch."""
+    from clinical_search_data_pipeline_spark.functions.normalize import normalize_text
+
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(*others, normalize_text(text_col).alias(text_col))
+
+
 def jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = SHINGLE_K,
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING — lossless, so the
     all-pairs oracle is unchanged.
@@ -164,6 +179,8 @@ def jaccard_pairs(
     registry-wide runs don't accumulate pinned plans. At 100 TB stage it to
     parquet instead.
     """
+    if normalize:
+        docs = canonicalize(docs)
     # REBALANCE before caching: the set build rides fan_out's wide narrow
     # stage, but every downstream shuffle pays |map parts| x |reduce parts|
     # block overhead, so the cache must be SIZE-partitioned (AQE packs to
@@ -223,6 +240,7 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     k: int = SHINGLE_K,
+    normalize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -231,6 +249,8 @@ def minhash_lsh_pairs(
     1-(1-j^2)^4 — ~99.9% recall at j=0.9. Verification then computes exact
     Jaccard for candidates only.
     """
+    if normalize:
+        docs = canonicalize(docs)
     rows = num_hashes // bands
     # ONE materialized shingle-set relation feeds signatures AND
     # verification (was: two separate .cache()s of the exploded plan).

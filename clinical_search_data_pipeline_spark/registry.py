@@ -109,9 +109,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # (Names below are swapped in one commit at a time as each new query
     # lands; interim fillers are r7-fresh rows so the window is always 50
     # valid names.)
-    "q_jaccard_pairs",
-    "q_minhash_lsh_pairs",
-    "q_embedding_neardup",
+    "q_normalize_text",
+    "q_jaccard_pairs_normalized",
+    "q_minhash_lsh_normalized",
     "q_embedding_neardup_lsh",
     "q_cosine_topk",
     "q_semdedup",
@@ -215,6 +215,7 @@ def _load_modules() -> None:
     from clinical_search_data_pipeline_spark.operators import (  # noqa: F401
         audiofp,
         bpe,
+        canonical,
         videofp,
         classifier,
         clustering,
