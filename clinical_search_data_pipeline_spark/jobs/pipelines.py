@@ -257,26 +257,28 @@ def ingest_admission_job(
     out_dir: str,
     corpus_split: int | None = None,
 ) -> Mapping[str, int]:
-    """Ingest-time admission over a document stream: ALL FIVE gates run
+    """Ingest-time admission over a document stream: ALL SEVEN gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
     (batch_vs_corpus), DSIR distribution scoring under the frozen bucket
     model (dsir_score), substring-contamination screening vs the frozen
     gram index (span_contamination), the learned naive-Bayes quality
     classifier under its frozen dense model (quality_score), and the
-    perceptual IMAGE near-dup screen vs the frozen corpus dHash index
-    (image_vs_corpus over each document's attached media) — joined on
-    doc_id into a single verdict row per incoming document.
+    perceptual IMAGE / AUDIO / VIDEO near-dup screens vs the frozen
+    corpus fingerprint indexes (image_vs_corpus over each document's
+    attached media — the banded-Hamming probe is modality-agnostic) —
+    joined on doc_id into a single verdict row per incoming document.
 
     `out_dir` must not already exist: verdicts are appended per micro-batch
     and the summary is computed by reading the sink back, so replaying into
     a populated directory would silently double-count every document.
 
-    This is the composition the five registered q_stream_* gate queries
+    This is the composition the seven registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
-    DSIR model, gram index, classifier model, corpus image-hash index) is
-    built ONCE and engine-cached; each micro-batch pays five
-    broadcast/equi-joins and one doc_id-keyed join of five batch-local
-    relations. A document is admitted only if every gate passes. Per-doc
+    DSIR model, gram index, classifier model, corpus image/audio/video
+    fingerprint indexes) is built ONCE and engine-cached; each micro-batch
+    pays seven broadcast/equi-joins and one doc_id-keyed join of seven
+    batch-local relations. A document is admitted only if every gate
+    passes. Per-doc
     verdicts are micro-batch invariant, so the accumulated lake equals
     one-shot batch admission (pytest-pinned).
     """
@@ -296,6 +298,11 @@ def ingest_admission_job(
         quality_labels,
         quality_score,
     )
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
     from clinical_search_data_pipeline_spark.operators.phash import (
         attach_neardup_images,
         dhash_images,
@@ -304,6 +311,11 @@ def ingest_admission_job(
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_index,
         span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        attach_neardup_video,
+        video_fingerprints,
     )
     from clinical_search_data_pipeline_spark.sources.readers import read_table
     from clinical_search_data_pipeline_spark.streaming.stream_queries import (
@@ -328,6 +340,12 @@ def ingest_admission_job(
     clf_model = engine_cache(nb_quality_model(quality_labels(corpus)))
     image_index = engine_cache(
         dhash_images(attach_neardup_images(corpus, wrap_base=split))
+    )
+    audio_index = engine_cache(
+        audio_fingerprints(attach_neardup_audio(corpus, wrap_base=split))
+    )
+    video_index = engine_cache(
+        video_fingerprints(attach_neardup_video(corpus, wrap_base=split))
     )
 
     staging = stage_incremental_batch_source(spark, sf_dir)
@@ -362,16 +380,36 @@ def ingest_admission_job(
             "doc_id", F.col("n_corpus_matches").alias("n_image_matches"),
             F.col("status").alias("image_status"),
         )
+        aud = image_vs_corpus(
+            audio_index,
+            audio_fingerprints(attach_neardup_audio(batch_df, wrap_base=split)),
+            ham_max=AF_HAM_MAX,
+            dup_status="dup_audio",
+        ).select(
+            "doc_id", F.col("n_corpus_matches").alias("n_audio_matches"),
+            F.col("status").alias("audio_status"),
+        )
+        vid = image_vs_corpus(
+            video_index,
+            video_fingerprints(attach_neardup_video(batch_df, wrap_base=split)),
+            ham_max=VF_HAM_MAX,
+            dup_status="dup_video",
+        ).select(
+            "doc_id", F.col("n_corpus_matches").alias("n_video_matches"),
+            F.col("status").alias("video_status"),
+        )
         verdicts = (
             dup.join(imp, "doc_id").join(span, "doc_id").join(qual, "doc_id")
-            .join(img, "doc_id")
+            .join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
             .withColumn(
                 "admitted",
                 (F.col("dup_status") == "admitted")
                 & (F.col("dsir_status") == "admitted")
                 & (F.col("span_status") == "clean")
                 & (F.col("quality_status") == "admitted")
-                & (F.col("image_status") == "admitted"),
+                & (F.col("image_status") == "admitted")
+                & (F.col("audio_status") == "admitted")
+                & (F.col("video_status") == "admitted"),
             )
         )
         verdicts.write.mode("append").parquet(out_dir)

@@ -70,7 +70,7 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
-def attach_neardup_audio(docs: DataFrame) -> DataFrame:
+def attach_neardup_audio(docs: DataFrame, wrap_base: int | None = None) -> DataFrame:
     """Encode one real WAV per document whose samples are pure integer
     functions of doc_id:
 
@@ -80,9 +80,13 @@ def attach_neardup_audio(docs: DataFrame) -> DataFrame:
                 + (k % (base%11 + 5)) * 997) % 4096 - 2048
         copies add (doc_id*(k+5)) % 33 - 16  (small sample noise, no wrap)
 
-    The base-dependent quadratic/periodic coefficients give every base
-    signal a distinct energy profile; odd doc_ids carry the pre-fmt JUNK
-    chunk so the decode path stays the chunk-walking parser."""
+    With `wrap_base`, a copy's leader is taken MOD wrap_base — so copies
+    reference recordings BELOW the corpus/batch split (cross-split planted
+    duplicates for the streaming admission gate), mirroring
+    phash.attach_neardup_images. The base-dependent quadratic/periodic
+    coefficients give every base signal a distinct energy profile; odd
+    doc_ids carry the pre-fmt JUNK chunk so the decode path stays the
+    chunk-walking parser."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import encode_wav
@@ -94,6 +98,10 @@ def attach_neardup_audio(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 is_copy = d % 10 >= 8
                 base = d - d % 10 if is_copy else d
+                # wrap_base=0 (an EMPTY standing corpus at cold start) has
+                # nothing to reference — keep the in-batch leader
+                if is_copy and wrap_base:
+                    base %= wrap_base
                 n = base % 60 + 140
                 k = _np.arange(n, dtype=_np.int64)
                 s = (
@@ -167,10 +175,17 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
 
 # DuckDB twin: recompute samples, frame energies, bits, band values from
 # doc_id arithmetic (`f` is the frame index, `amp` the |sample| value).
-_DUCK_AUDIO_FP_CTE = f"""
+# `wrap_base` mirrors attach_neardup_audio: with it, copies reference the
+# leader MOD wrap_base (planting cross-split duplicates for the ingest
+# gate oracle).
+def duck_audio_fp_cte(wrap_base: int | None = None) -> str:
+    leader = "doc_id - doc_id % 10"
+    if wrap_base is not None:
+        leader = f"({leader}) % {wrap_base}"
+    return f"""
 d AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+         CASE WHEN doc_id % 10 >= 8 THEN {leader}
               ELSE doc_id END AS base,
          doc_id % 10 >= 8 AS is_copy
   FROM documents
@@ -199,6 +214,9 @@ bands AS (
          CAST(sum(bit * (1 << (f % 16))) AS INT) AS band_val
   FROM bits GROUP BY 1, 2
 )"""
+
+
+_DUCK_AUDIO_FP_CTE = duck_audio_fp_cte()
 
 
 @register(

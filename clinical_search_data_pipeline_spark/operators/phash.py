@@ -443,6 +443,7 @@ def image_vs_corpus(
     corpus_hashes: DataFrame,
     batch_hashes: DataFrame,
     ham_max: int = PHASH_HAM_MAX,
+    dup_status: str = "dup_image",
 ) -> DataFrame:
     """(doc_id, n_corpus_matches, status) for each batch image screened
     against a FROZEN corpus hash index — the perceptual twin of
@@ -450,7 +451,11 @@ def image_vs_corpus(
     batch's bands against the corpus index (never batch x corpus); verify
     is the usual bit_count filter; every batch doc gets a row (zero
     matches -> 'admitted'). A verdict depends on one image + the frozen
-    index, so micro-batch boundaries cannot change any row."""
+    index, so micro-batch boundaries cannot change any row.
+
+    Modality-agnostic (like image_neardup_pairs): any 4x16-bit-band hash
+    frame works — the audio/video admission gates pass their fingerprint
+    frames here with `dup_status` 'dup_audio'/'dup_video'."""
     stack = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
     c_long = corpus_hashes.selectExpr("doc_id AS doc_a", stack)
     b_long = batch_hashes.selectExpr("doc_id AS doc_b", stack)
@@ -481,7 +486,7 @@ def image_vs_corpus(
         .select(
             "doc_id",
             F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
-            F.when(F.coalesce("n_corpus_matches", F.lit(0)) > 0, "dup_image")
+            F.when(F.coalesce("n_corpus_matches", F.lit(0)) > 0, dup_status)
             .otherwise("admitted")
             .alias("status"),
         )

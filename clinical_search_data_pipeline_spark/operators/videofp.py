@@ -67,7 +67,7 @@ VIDEO_FP_SCHEMA = StructType(
 )
 
 
-def attach_neardup_video(docs: DataFrame) -> DataFrame:
+def attach_neardup_video(docs: DataFrame, wrap_base: int | None = None) -> DataFrame:
     """Encode one real Y4M clip per document whose luma planes are pure
     integer functions of doc_id:
 
@@ -78,9 +78,12 @@ def attach_neardup_video(docs: DataFrame) -> DataFrame:
                       + k*k*(base%11 + 2) + f*k*(base%13 + 1)) % 256
         copies add (doc_id*(f + k + 3)) % 3, mod 256
 
-    The f*k cross term gives every base clip a distinct temporal energy
-    profile; odd frame indexes carry marker parameters so the decode path
-    stays the parameter-tolerant FRAME walker."""
+    With `wrap_base`, a copy's leader is taken MOD wrap_base — cross-split
+    planted duplicates for the streaming admission gate, mirroring
+    phash.attach_neardup_images. The f*k cross term gives every base clip
+    a distinct temporal energy profile; odd frame indexes carry marker
+    parameters so the decode path stays the parameter-tolerant FRAME
+    walker."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import encode_y4m
@@ -92,6 +95,10 @@ def attach_neardup_video(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 is_copy = d % 10 >= 8
                 base = d - d % 10 if is_copy else d
+                # wrap_base=0 (empty standing corpus at cold start): keep
+                # the in-batch leader, same convention as the image family
+                if is_copy and wrap_base:
+                    base %= wrap_base
                 w = (base % 4 + 2) * 2
                 h = (base % 3 + 2) * 2
                 n = base % 16 + 65
@@ -170,11 +177,16 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
 
 
 # DuckDB twin: per-frame luma energies, difference-sign bits, band values
-# — all recomputed from doc_id arithmetic.
-_DUCK_VIDEO_FP_CTE = f"""
+# — all recomputed from doc_id arithmetic. `wrap_base` mirrors
+# attach_neardup_video (cross-split duplicates for the ingest gate oracle).
+def duck_video_fp_cte(wrap_base: int | None = None) -> str:
+    leader = "doc_id - doc_id % 10"
+    if wrap_base is not None:
+        leader = f"({leader}) % {wrap_base}"
+    return f"""
 d AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 10 >= 8 THEN doc_id - doc_id % 10
+         CASE WHEN doc_id % 10 >= 8 THEN {leader}
               ELSE doc_id END AS base,
          doc_id % 10 >= 8 AS is_copy
   FROM documents
@@ -204,6 +216,9 @@ bands AS (
          CAST(sum(bit * (1 << (f % 16))) AS INT) AS band_val
   FROM bits GROUP BY 1, 2
 )"""
+
+
+_DUCK_VIDEO_FP_CTE = duck_video_fp_cte()
 
 
 @register(

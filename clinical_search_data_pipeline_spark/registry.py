@@ -112,8 +112,8 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_normalize_text",
     "q_jaccard_pairs_normalized",
     "q_minhash_lsh_normalized",
-    "q_embedding_neardup_lsh",
-    "q_cosine_topk",
+    "q_stream_audio_gate",
+    "q_stream_video_gate",
     "q_semdedup",
     "q_unigram_nll",
     "q_passage_dedup",

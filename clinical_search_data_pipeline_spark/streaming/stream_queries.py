@@ -1046,3 +1046,200 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming audio/video-dedup gates: the gate x modality matrix completed
+# ---------------------------------------------------------------------------
+
+
+def _stream_fp_gate_oracle(fp_cte: str, bit_key: str, ham_max: int, dup: str) -> str:
+    """Shared oracle template for the audio/video admission gates — the
+    same screen-only-batch-against-corpus shape as the image gate, with
+    the modality's fingerprint CTE plugged in (`bit_key` is the bit
+    relation's position column: frame index `f` for both fingerprints)."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+
+    s = INCREMENT_SPLIT
+    return f"""
+WITH {fp_cte},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < {s} AND b.doc_id >= {s}
+),
+ham AS (
+  SELECT p.doc_b, p.doc_a
+  FROM pairs p
+  JOIN bits ba ON ba.doc_id = p.doc_a
+  JOIN bits bb ON bb.doc_id = p.doc_b AND bb.{bit_key} = ba.{bit_key}
+  GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE ba.bit != bb.bit) <= {ham_max}
+),
+per_doc AS (SELECT doc_b AS doc_id, count(*) AS n FROM ham GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n, 0) AS n_corpus_matches,
+       CASE WHEN coalesce(n, 0) > 0 THEN '{dup}' ELSE 'admitted' END
+         AS status
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.doc_id >= {s}
+"""
+
+
+def _run_fp_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_fp: DataFrame,
+    batch_fp_fn,
+    ham_max: int,
+    dup_status: str,
+    out_prefix: str,
+) -> DataFrame:
+    """Shared driver for the fingerprint admission gates: materialize the
+    frozen corpus index BEFORE the stream (the index build is an offline
+    step in production), then per micro-batch decode+fingerprint in Arrow
+    batches and probe via band equi-join + bit_count verify — never
+    batch x corpus."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.phash import image_vs_corpus
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    corpus_hashes = engine_cache(corpus_fp)
+    corpus_hashes.count()
+
+    staging = stage_incremental_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix=out_prefix)
+
+    def screen(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_hashes = batch_fp_fn(batch_df).localCheckpoint()
+        image_vs_corpus(
+            corpus_hashes, batch_hashes, ham_max=ham_max, dup_status=dup_status
+        ).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, screen, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)
+
+
+def _stream_audio_gate_oracle() -> str:
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        duck_audio_fp_cte,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+
+    return _stream_fp_gate_oracle(
+        duck_audio_fp_cte(wrap_base=INCREMENT_SPLIT), "f", AF_HAM_MAX, "dup_audio"
+    )
+
+
+@register(
+    "q_stream_audio_gate",
+    oracle=_stream_audio_gate_oracle(),
+    tags=("streaming", "multimodal", "dedup", "northstar", "pandas-udf"),
+)
+def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time AUDIO near-dup gate — the sixth admission screen,
+    completing the audio column of the gate x modality matrix: the
+    standing corpus's Haitsma-Kalker fingerprint index is computed ONCE
+    (real RIFF/WAV chunk-walk decode) and engine-cached; each micro-batch
+    is decoded + fingerprinted in Arrow batches and probed against the
+    frozen band index (band equi-join + bit_count verify). Batch copies
+    reference corpus leaders via wrap_base planting, so the gate has real
+    cross-split duplicates to catch; verdicts are micro-batch-invariant
+    and fully hash-oracled."""
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    return _run_fp_gate(
+        spark,
+        sf_dir,
+        audio_fingerprints(
+            attach_neardup_audio(corpus, wrap_base=INCREMENT_SPLIT)
+        ),
+        lambda b: audio_fingerprints(
+            attach_neardup_audio(b, wrap_base=INCREMENT_SPLIT)
+        ),
+        AF_HAM_MAX,
+        "dup_audio",
+        "csdp_audgate_out_",
+    )
+
+
+def _stream_video_gate_oracle() -> str:
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        duck_video_fp_cte,
+    )
+
+    return _stream_fp_gate_oracle(
+        duck_video_fp_cte(wrap_base=INCREMENT_SPLIT), "f", VF_HAM_MAX, "dup_video"
+    )
+
+
+@register(
+    "q_stream_video_gate",
+    oracle=_stream_video_gate_oracle(),
+    tags=("streaming", "multimodal", "dedup", "northstar", "pandas-udf"),
+)
+def q_stream_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time VIDEO near-dup gate — the seventh admission screen,
+    completing the gate x modality matrix (text near-dup, DSIR, spans,
+    quality, image, audio, video): the standing corpus's temporal-
+    signature index is computed ONCE (real Y4M frame-walk decode) and
+    engine-cached; each micro-batch is decoded + fingerprinted in Arrow
+    batches and probed against the frozen band index. Cross-split planted
+    copies via wrap_base; micro-batch-invariant, fully hash-oracled."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        attach_neardup_video,
+        video_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INCREMENT_SPLIT
+    )
+    return _run_fp_gate(
+        spark,
+        sf_dir,
+        video_fingerprints(
+            attach_neardup_video(corpus, wrap_base=INCREMENT_SPLIT)
+        ),
+        lambda b: video_fingerprints(
+            attach_neardup_video(b, wrap_base=INCREMENT_SPLIT)
+        ),
+        VF_HAM_MAX,
+        "dup_video",
+        "csdp_vidgate_out_",
+    )

@@ -159,7 +159,7 @@ def _timed_admission_gates(
     spark, src: str, scaled_dir: str, factor: int, results: dict
 ) -> None:
     """The flagship ingest story measured (VERDICT r06 #7): for each of the
-    four admission gates, time the frozen-INDEX/MODEL build and the
+    seven admission gates, time the frozen-INDEX/MODEL build and the
     per-batch SCREEN separately at 1x vs FACTORx standing corpus with a
     FIXED batch (the src batch partition; copy 0 of the scaled corpus is
     the identity replica, so the batch meets identical matches in both
@@ -194,6 +194,28 @@ def _timed_admission_gates(
     docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
     batch = docs_base.filter(F.col("doc_id") >= INCREMENT_SPLIT)
 
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        attach_neardup_video,
+        video_fingerprints,
+    )
+
+    # Perceptual gates measured with plain in-decade planting (no
+    # wrap_base): batch docs' leaders live in the corpus, and copy 0 of
+    # the scaled corpus is the identity replica while the other copies
+    # carry SHIFTED doc_ids (disjoint media) — so the fixed batch meets
+    # identical matches vs the 1x and Nx corpora and the screen ratio
+    # isolates index-probe cost, not fixture leader-concentration.
     gates = {
         "admission_neardup": (
             corpus_prefix_index,
@@ -204,6 +226,30 @@ def _timed_admission_gates(
         "admission_quality": (
             lambda c: nb_quality_model(quality_labels(c)),
             quality_score,
+        ),
+        "admission_image": (
+            lambda c: dhash_images(attach_neardup_images(c)),
+            lambda b, idx: image_vs_corpus(
+                idx, dhash_images(attach_neardup_images(b))
+            ),
+        ),
+        "admission_audio": (
+            lambda c: audio_fingerprints(attach_neardup_audio(c)),
+            lambda b, idx: image_vs_corpus(
+                idx,
+                audio_fingerprints(attach_neardup_audio(b)),
+                ham_max=AF_HAM_MAX,
+                dup_status="dup_audio",
+            ),
+        ),
+        "admission_video": (
+            lambda c: video_fingerprints(attach_neardup_video(c)),
+            lambda b, idx: image_vs_corpus(
+                idx,
+                video_fingerprints(attach_neardup_video(b)),
+                ham_max=VF_HAM_MAX,
+                dup_status="dup_video",
+            ),
         ),
     }
     def _freeze(side):

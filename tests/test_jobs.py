@@ -302,8 +302,8 @@ def test_training_export_job_deterministic_and_within_budget(spark, tmp_path):
 
 
 def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
-    """The combined five-gate foreachBatch job must equal one-shot batch
-    application of the five gates to the whole batch partition — the
+    """The combined seven-gate foreachBatch job must equal one-shot batch
+    application of the seven gates to the whole batch partition — the
     micro-batch-invariance composition claim."""
     from pyspark.sql import functions as F
 
@@ -315,10 +315,20 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
         quality_labels,
         quality_score,
     )
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
     from clinical_search_data_pipeline_spark.operators.phash import (
         attach_neardup_images,
         dhash_images,
         image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        attach_neardup_video,
+        video_fingerprints,
     )
     from clinical_search_data_pipeline_spark.operators.curation import (
         INCREMENT_SPLIT,
@@ -346,6 +356,8 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
             r.span_status,
             r.quality_status,
             r.image_status,
+            r.audio_status,
+            r.video_status,
             r.admitted,
         )
         for r in spark.read.parquet(out_dir).collect()
@@ -379,20 +391,44 @@ def test_ingest_admission_job_matches_oneshot_batch(spark, tmp_path):
             dhash_images(attach_neardup_images(batch, wrap_base=INCREMENT_SPLIT)),
         ).collect()
     }
+    aud = {
+        r.doc_id: r.status
+        for r in image_vs_corpus(
+            audio_fingerprints(attach_neardup_audio(corpus, wrap_base=INCREMENT_SPLIT)),
+            audio_fingerprints(attach_neardup_audio(batch, wrap_base=INCREMENT_SPLIT)),
+            ham_max=AF_HAM_MAX,
+            dup_status="dup_audio",
+        ).collect()
+    }
+    vid = {
+        r.doc_id: r.status
+        for r in image_vs_corpus(
+            video_fingerprints(attach_neardup_video(corpus, wrap_base=INCREMENT_SPLIT)),
+            video_fingerprints(attach_neardup_video(batch, wrap_base=INCREMENT_SPLIT)),
+            ham_max=VF_HAM_MAX,
+            dup_status="dup_video",
+        ).collect()
+    }
     assert set(got) == set(dup)
-    for d, (ds, is_, ss, qs, ims, adm) in got.items():
-        assert (ds, is_, ss, qs, ims) == (dup[d], imp[d], span[d], qual[d], img[d])
+    for d, (ds, is_, ss, qs, ims, aus, vs, adm) in got.items():
+        assert (ds, is_, ss, qs, ims, aus, vs) == (
+            dup[d], imp[d], span[d], qual[d], img[d], aud[d], vid[d]
+        )
         assert adm == (
             ds == "admitted"
             and is_ == "admitted"
             and ss == "clean"
             and qs == "admitted"
             and ims == "admitted"
+            and aus == "admitted"
+            and vs == "admitted"
         )
-    # the image gate must actually bite: planted cross-split image copies
+    # every perceptual gate must actually bite: planted cross-split copies
     assert any(v == "dup_image" for v in img.values())
+    assert any(v == "dup_audio" for v in aud.values())
+    assert any(v == "dup_video" for v in vid.values())
     assert summary["docs_screened"] == len(got) > 0
-    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[5])
+    assert summary["docs_admitted"] == sum(1 for v in got.values() if v[7])
 
     # rerun guard: replaying into the populated out_dir would append a
     # second copy of every verdict and silently double the summary — the
@@ -446,6 +482,10 @@ def test_every_admission_gate_is_total_over_degenerate_docs(spark):
         dsir_model,
         dsir_score,
     )
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
     from clinical_search_data_pipeline_spark.operators.phash import (
         attach_neardup_images,
         dhash_images,
@@ -454,6 +494,10 @@ def test_every_admission_gate_is_total_over_degenerate_docs(spark):
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_index,
         span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        attach_neardup_video,
+        video_fingerprints,
     )
     from clinical_search_data_pipeline_spark.sources.readers import read_table
     from tests.conftest import SF_SMOKE
@@ -480,6 +524,16 @@ def test_every_admission_gate_is_total_over_degenerate_docs(spark):
         "image": image_vs_corpus(
             dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT)),
             dhash_images(attach_neardup_images(batch, wrap_base=INCREMENT_SPLIT)),
+        ),
+        "audio": image_vs_corpus(
+            audio_fingerprints(attach_neardup_audio(corpus, wrap_base=INCREMENT_SPLIT)),
+            audio_fingerprints(attach_neardup_audio(batch, wrap_base=INCREMENT_SPLIT)),
+            dup_status="dup_audio",
+        ),
+        "video": image_vs_corpus(
+            video_fingerprints(attach_neardup_video(corpus, wrap_base=INCREMENT_SPLIT)),
+            video_fingerprints(attach_neardup_video(batch, wrap_base=INCREMENT_SPLIT)),
+            dup_status="dup_video",
         ),
     }
     for name, df in gates.items():
