@@ -309,6 +309,7 @@ def ingest_admission_job(
         image_vs_corpus,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_bloom,
         corpus_gram_index,
         span_contamination,
     )
@@ -337,6 +338,7 @@ def ingest_admission_job(
     prefix_index = corpus_prefix_index(corpus)
     lr_model = engine_cache(dsir_model(corpus))
     gram_index = engine_cache(corpus_gram_index(corpus))
+    gram_bloom = engine_cache(corpus_gram_bloom(gram_index))
     clf_model = engine_cache(nb_quality_model(quality_labels(corpus)))
     image_index = engine_cache(
         dhash_images(attach_neardup_images(corpus, wrap_base=split))
@@ -365,7 +367,7 @@ def ingest_admission_job(
             F.when(F.col("logw") >= DSIR_GATE, "admitted")
             .otherwise("rejected").alias("dsir_status"),
         )
-        span = span_contamination(batch_df, gram_index).select(
+        span = span_contamination(batch_df, gram_index, bloom=gram_bloom).select(
             "doc_id", "covered_words", "longest_run",
             F.col("status").alias("span_status"),
         )

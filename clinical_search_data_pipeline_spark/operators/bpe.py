@@ -265,6 +265,113 @@ def q_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The n-merge trainer with NO per-merge driver collect (the kmeans_train
+# pattern): one broadcast argmax per round, engine-tracked caches
+# ---------------------------------------------------------------------------
+
+
+def bpe_train_n(docs: DataFrame, n_merges: int) -> DataFrame:
+    """(step, pair, freq) — the first `n_merges` BPE merges in order, as a
+    single n-row result with ZERO per-merge driver data transfer: each
+    round's argmax stays a 1-row RELATION broadcast into the next round's
+    rewrite (the `bpe_two_merges` unrolling generalized), and the merge
+    table is the union of the per-round argmax relations, collected once
+    by the caller's action.
+
+    `bpe_train`'s per-merge `.collect()` is hereby retired from the scale
+    path (VERDICT r07 #6): the only driver round-trips are the per-round
+    cache-materializing `.count()` scalars — the kmeans_train discipline
+    that keeps lineage one round deep instead of n rewrites deep, each a
+    VOCAB-sized job (the corpus is aggregated exactly once, in
+    `word_vocab`). A degenerate corpus that runs out of pairs before
+    n_merges yields an empty argmax relation and the merge table simply
+    truncates — same contract as `bpe_train`'s early break."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    vocab = engine_cache(word_vocab(docs))
+    merges: list[DataFrame] = []
+    cur = vocab
+    for i in range(n_merges):
+        b = engine_cache(
+            best_pair(pair_frequencies(cur)).select(
+                F.lit(i + 1).alias("step"),
+                "pair",
+                "freq",
+                F.expr("replace(pair, '||', '')").alias("_rep"),
+            )
+        )
+        nxt = engine_cache(
+            cur.crossJoin(F.broadcast(b.select("pair", "_rep")))
+            .withColumn("s", F.expr("replace(s, pair, _rep)"))
+            .select("word", "wf", "s")
+        )
+        nxt.count()  # vocab-sized materialization; also fills b's cache
+        if cur is not vocab:
+            cur.unpersist()
+        merges.append(b.select("step", "pair", "freq"))
+        cur = nxt
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def duck_bpe_train_sql(n_merges: int) -> str:
+    """DuckDB twin of `bpe_train_n`: the trainer rounds unrolled as nested
+    CTEs (generated, not hand-written — the SQL is the same round block
+    repeated over the previous round's rewritten vocabulary)."""
+    parts = [
+        """w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wf,
+         '|' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), '||') || '|' AS s
+  FROM w WHERE word <> '' AND NOT contains(word, '|')
+  GROUP BY word
+)"""
+    ]
+    prev = "vocab"
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""pf{i} AS (
+  SELECT pair, sum(wf)::BIGINT AS freq FROM (
+    SELECT wf, unnest(list_transform(range(1, len(a)),
+             i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair
+    FROM (SELECT wf, string_split(trim(s, '|'), '||') AS a FROM {prev})
+  ) GROUP BY pair
+),
+b{i} AS (SELECT {i} AS step, pair, freq, replace(pair, '||', '') AS r
+       FROM pf{i} ORDER BY freq DESC, pair ASC LIMIT 1),
+v{i} AS (SELECT word, wf, replace(s, b{i}.pair, b{i}.r) AS s
+       FROM {prev} CROSS JOIN b{i})"""
+        )
+        prev = f"v{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, pair, freq FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+BPE_TRAIN_N = 4  # registered depth: enough rounds that merges 3/4 depend on
+#                  rewritten (multi-char) symbols, i.e. the loop carry is real
+
+
+@register(
+    "q_bpe_train4",
+    oracle=duck_bpe_train_sql(BPE_TRAIN_N),
+    tags=("bpe", "text", "northstar"),
+)
+def q_bpe_train4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four BPE trainer rounds as one declarative program: per-round
+    broadcast argmax, vocab-sized rewrites, no per-merge driver collect —
+    pytest-pinned equal to the sequential `bpe_train` merge list."""
+    return bpe_train_n(read_table(spark, sf_dir, "documents"), BPE_TRAIN_N)
+
+
+# ---------------------------------------------------------------------------
 # Applying the learned merges back to the corpus: per-doc token accounting
 # ---------------------------------------------------------------------------
 

@@ -294,9 +294,20 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_gram_index(corpus: DataFrame, k: int = SPAN_GRAM_K) -> DataFrame:
     """(gram) — the DISTINCT k-gram set of a standing corpus: the frozen
     side of ingest-time substring screening. One shuffle (distinct on the
-    gram text); at production scale this is the relation you would back
-    with a bloom filter — the join shape below is unchanged."""
+    gram text). At production scale a Bloom filter backs this relation —
+    build it with `corpus_gram_bloom` and pass it to `span_contamination`;
+    the exact join below is unchanged (the Bloom side only pre-shrinks its
+    probe input, never its output)."""
     return word_grams(corpus, k).select("gram").distinct()
+
+
+def corpus_gram_bloom(gram_index: DataFrame) -> DataFrame:
+    """(word_idx, bits): the broadcastable Bloom bitset of the corpus gram
+    index — the approximate-membership screen probed BEFORE the exact gram
+    join. <= 2^20/64 rows regardless of corpus size (operators/bloom.py)."""
+    from clinical_search_data_pipeline_spark.operators.bloom import bloom_build
+
+    return bloom_build(gram_index, "gram")
 
 
 def span_contamination(
@@ -304,6 +315,7 @@ def span_contamination(
     gram_index: DataFrame,
     k: int = SPAN_GRAM_K,
     frac: float = SPAN_GATE_FRAC,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_dup_grams, covered_words, longest_run, status):
     screen incoming documents against the frozen corpus gram index.
@@ -315,8 +327,19 @@ def span_contamination(
 
     Each row depends only on its own document and the frozen index, so
     the operator is micro-batch invariant — the streaming-twin property.
-    Joins are gram-keyed equi-joins; windows are per-document."""
+    Joins are gram-keyed equi-joins; windows are per-document.
+
+    When `bloom` (the `corpus_gram_bloom` bitset) is given, batch grams
+    are screened through the broadcast Bloom filter FIRST: definitely-
+    absent grams — the overwhelming majority of a mostly-novel batch —
+    never reach the gram-keyed shuffle against the corpus index. Output
+    is bit-identical with or without it (no false negatives; the exact
+    join verifies every Bloom survivor)."""
     grams = word_grams(batch, k)
+    if bloom is not None:
+        from clinical_search_data_pipeline_spark.operators.bloom import bloom_probe
+
+        grams = bloom_probe(grams, "gram", bloom)
     hits = grams.join(gram_index, "gram").select("doc_id", "s", "e")
     by_start = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(by_start.rowsBetween(Window.unboundedPreceding, -1))

@@ -114,9 +114,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_minhash_lsh_normalized",
     "q_stream_audio_gate",
     "q_stream_video_gate",
-    "q_semdedup",
-    "q_unigram_nll",
-    "q_passage_dedup",
+    "q_span_gate_bloom",
+    "q_quality_classifier_refined",
+    "q_bpe_train4",
     "q_doc_dedup_apply",
     "q_curation_funnel",
     "q_dsir_resample",

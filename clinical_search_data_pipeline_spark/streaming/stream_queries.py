@@ -832,12 +832,18 @@ def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dup) and q_stream_dsir_gate (distribution): this one catches
     verbatim copied REGIONS at any offset. Per-doc rows depend only on
     the document and the frozen index, so the accumulated sink equals
-    one-shot batch screening and the query is fully hash-oracled."""
+    one-shot batch screening and the query is fully hash-oracled.
+
+    The gram probe rides the broadcast Bloom pre-filter
+    (spans.corpus_gram_bloom): definitely-novel batch grams never reach
+    the gram-keyed shuffle. Output is bit-identical (exact join verifies
+    every Bloom survivor), so the oracle is unchanged."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
     from clinical_search_data_pipeline_spark.operators.curation import (
         INCREMENT_SPLIT,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_bloom,
         corpus_gram_index,
         span_contamination,
     )
@@ -851,6 +857,7 @@ def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < INCREMENT_SPLIT
     )
     index = engine_cache(corpus_gram_index(corpus))
+    bloom = engine_cache(corpus_gram_bloom(index))
 
     staging = stage_incremental_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
@@ -862,10 +869,50 @@ def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_spangate_out_")
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
-        span_contamination(batch_df, index).write.mode("append").parquet(out_dir)
+        span_contamination(batch_df, index, bloom=bloom).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "q_span_gate_bloom",
+    # the SAME exact-screen semantics as q_stream_span_gate, re-stated as
+    # an explicit projection: passing an oracle with NO bloom in it is the
+    # transparency proof (the Bloom path may only drop rows the exact join
+    # would drop anyway)
+    oracle=(
+        "SELECT doc_id, n_words, n_dup_grams, covered_words, longest_run, "
+        "status FROM (" + _stream_span_gate_oracle() + ") exact_screen"
+    ),
+    tags=("dedup", "text", "northstar"),
+)
+def q_span_gate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the substring admission gate with the Bloom
+    pre-filter made a first-class, hash-oracled surface: incoming docs are
+    screened against the corpus gram index, but their grams pass through
+    the broadcast hashed-bitset (operators/bloom.py) BEFORE the exact
+    gram join. The oracle is the plain exact-screen SQL — passing it
+    proves the Bloom path removes only definitely-absent grams (zero
+    false negatives), while tests/test_bloom.py pins the false-positive
+    bound and the broadcast plan shape."""
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_bloom,
+        corpus_gram_index,
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
+    index = corpus_gram_index(corpus)
+    return span_contamination(batch, index, bloom=corpus_gram_bloom(index))
 
 
 # ---------------------------------------------------------------------------

@@ -186,8 +186,10 @@ def _timed_admission_gates(
         dsir_score,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
+        corpus_gram_bloom,
         corpus_gram_index,
         span_contamination,
+        word_grams,
     )
 
     docs_base = spark.read.parquet(f"{src}/documents.parquet")
@@ -223,6 +225,12 @@ def _timed_admission_gates(
         ),
         "admission_dsir": (dsir_model, dsir_score),
         "admission_span": (corpus_gram_index, span_contamination),
+        "admission_span_bloom": (
+            lambda c: (lambda idx: (idx, corpus_gram_bloom(idx)))(
+                corpus_gram_index(c)
+            ),
+            lambda b, idx: span_contamination(b, idx[0], bloom=idx[1]),
+        ),
         "admission_quality": (
             lambda c: nb_quality_model(quality_labels(c)),
             quality_score,
@@ -286,6 +294,32 @@ def _timed_admission_gates(
             f"at corpus x{factor}",
             file=sys.stderr,
         )
+
+    # Bloom shrink evidence (VERDICT r07 #4): how much of the fixed
+    # batch's gram relation the broadcast pre-filter removes BEFORE the
+    # exact corpus-index join, vs the SCALED corpus (more corpus = more
+    # bits set = the hardest case for the filter).
+    from clinical_search_data_pipeline_spark.operators.bloom import bloom_probe
+
+    idx = engine_cache(corpus_gram_index(docs_scaled))
+    blm = engine_cache(corpus_gram_bloom(idx))
+    grams = word_grams(batch)
+    total = grams.count()
+    after = bloom_probe(grams, "gram", blm).count()
+    release_caches()
+    results["admission_span_bloom"].update(
+        {
+            "grams_batch_total": total,
+            "grams_after_bloom": after,
+            "bloom_join_input_frac": round(after / max(total, 1), 4),
+        }
+    )
+    print(
+        f"# admission_span_bloom: exact-join input {total} -> {after} grams "
+        f"({results['admission_span_bloom']['bloom_join_input_frac']:.1%} "
+        f"survive the broadcast pre-filter vs the x{factor} corpus)",
+        file=sys.stderr,
+    )
 
 
 def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):

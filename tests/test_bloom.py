@@ -1,0 +1,120 @@
+"""Bloom pre-filter for the substring admission gate (operators/bloom.py):
+no false negatives (completeness — the exactness guarantee), measured
+false-positive rate within the analytic bound, output transparency through
+span_contamination, bounded relation size, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.operators.bloom import (
+    BLOOM_HASHES,
+    BLOOM_M_BITS,
+    bloom_build,
+    bloom_fp_rate,
+    bloom_probe,
+)
+from clinical_search_data_pipeline_spark.operators.spans import (
+    corpus_gram_bloom,
+    corpus_gram_index,
+    span_contamination,
+    word_grams,
+)
+
+
+def _strings(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["gram"])
+
+
+def test_bloom_no_false_negatives(spark):
+    # every inserted value MUST pass the probe — this is what makes the
+    # pre-filter exactness-preserving in front of the exact gram join.
+    members = [f"member gram number {i}" for i in range(2000)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    survivors = bloom_probe(_strings(spark, members), "gram", bloom)
+    assert survivors.count() == len(members)
+
+
+def test_bloom_fp_rate_within_analytic_bound(spark):
+    # disjoint probe set: survivors are pure false positives. The measured
+    # rate should sit near (1 - e^{-kn/m})^k; 3x + small absolute slack
+    # absorbs hash-family variance on a finite sample.
+    n = 5000
+    members = [f"inserted value {i}" for i in range(n)]
+    absent = [f"never inserted {i}" for i in range(n)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    fp = bloom_probe(_strings(spark, absent), "gram", bloom).count() / n
+    predicted = bloom_fp_rate(n)
+    assert fp <= 3 * predicted + 0.002, (fp, predicted)
+
+
+def test_bloom_relation_bounded_and_broadcastable(spark):
+    # the packed-word relation never exceeds m/64 rows no matter how many
+    # values are inserted — the corpus-size-independence claim.
+    members = [f"value {i}" for i in range(20000)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    assert bloom.count() <= BLOOM_M_BITS // 64
+    assert bloom.schema.simpleString() == "struct<word_idx:bigint,bits:bigint>"
+
+
+def _gate_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the corpus holds this exact protected passage of many words "
+                "plus unrelated filler text one"),
+            (1, "another corpus document with completely different body two"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # copies the protected passage verbatim (contaminated) ...
+            (10, "intro words then the corpus holds this exact protected "
+                 "passage of many words and an outro"),
+            # ... and an entirely novel document (clean)
+            (11, "fresh novel content sharing not a single eight gram with "
+                 "the standing corpus at all whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    return corpus, batch
+
+
+def test_span_contamination_bloom_transparent(spark):
+    # bloom on vs off: bit-identical output rows.
+    corpus, batch = _gate_fixture(spark)
+    index = corpus_gram_index(corpus)
+    plain = span_contamination(batch, index)
+    bloomed = span_contamination(batch, index, bloom=corpus_gram_bloom(index))
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
+    by_id = {r.doc_id: r.status for r in bloomed.collect()}
+    assert by_id[10] == "contaminated" and by_id[11] == "clean"
+
+
+def test_bloom_shrinks_exact_join_input(spark):
+    # the point of the filter: a mostly-novel batch's grams mostly never
+    # reach the exact corpus join.
+    corpus, batch = _gate_fixture(spark)
+    novel = batch.filter(F.col("doc_id") == 11)
+    bloom = corpus_gram_bloom(corpus_gram_index(corpus))
+    total = word_grams(novel).count()
+    survived = bloom_probe(word_grams(novel), "gram", bloom).count()
+    assert total > 0
+    assert survived < total * 0.5, (survived, total)
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    # the probe must be BLOOM_HASHES broadcast joins — no shuffle of the
+    # batch grams, no cartesian anything.
+    corpus, batch = _gate_fixture(spark)
+    bloom = corpus_gram_bloom(corpus_gram_index(corpus))
+    plan = (
+        bloom_probe(word_grams(batch), "gram", bloom)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= BLOOM_HASHES, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

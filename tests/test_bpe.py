@@ -10,6 +10,7 @@ from clinical_search_data_pipeline_spark.operators.bpe import (
     bpe_train,
     word_vocab,
 )
+from tests.conftest import SF_SMOKE
 
 
 def _docs(spark, texts):
@@ -134,3 +135,42 @@ def test_tokenize2_hand_counts(spark):
     got = {r["doc_id"]: r.asDict() for r in bpe_tokenize2(docs).collect()}
     assert got[0] == {"doc_id": 0, "n_words": 5, "n_bpe_tokens": 3 * 2 + 2 * 3}
     assert got[1] == {"doc_id": 1, "n_words": 5, "n_bpe_tokens": 4 * 5 + 6}
+
+
+def test_train_n_equals_sequential_trainer(spark):
+    """The no-collect n-merge program must pick EXACTLY the sequential
+    trainer's merges, in order, for n beyond the unrolled-two special case
+    — pinned at n=4 and n=6 on the classic corpus plus fixture docs."""
+    from clinical_search_data_pipeline_spark.operators.bpe import bpe_train_n
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    corpora = [
+        _docs(
+            spark,
+            ["low low low lower lower", "newest newest newest newest widest"],
+        ),
+        read_table(spark, SF_SMOKE, "documents").limit(40),
+    ]
+    for docs in corpora:
+        for n in (4, 6):
+            seq = bpe_train(docs, n)
+            dec = [
+                (r.pair, int(r.freq))
+                for r in bpe_train_n(docs, n).orderBy("step").collect()
+            ]
+            assert dec == seq, (n, seq, dec)
+
+
+def test_train_n_truncates_when_pairs_run_out(spark):
+    """Degenerate corpus (single-char words): the merge table truncates at
+    the same point the sequential trainer breaks, instead of erroring."""
+    from clinical_search_data_pipeline_spark.operators.bpe import bpe_train_n
+
+    docs = _docs(spark, ["a b a b c", "c a b"])
+    seq = bpe_train(docs, 5)
+    dec = [
+        (r.pair, int(r.freq))
+        for r in bpe_train_n(docs, 5).orderBy("step").collect()
+    ]
+    assert dec == seq
+    assert len(dec) < 5

@@ -165,3 +165,45 @@ def test_classifier_plan_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_logistic_refine_improves_training_likelihood(spark):
+    """One lr/N gradient step from the NB init must raise the mean training
+    log-likelihood — the 'trained linear classifier' claim, pinned.
+    Computed from the logit (not the 4-dp-rounded prob, whose 0/1 endpoints
+    would blow up ln)."""
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        logistic_refine,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    labeled = quality_labels(docs)
+    m0 = nb_quality_model(labeled)
+    m1 = logistic_refine(labeled, m0)
+
+    def mean_ll(model) -> float:
+        scored = quality_score(docs, model).join(
+            labeled.select("doc_id", "lab"), "doc_id"
+        )
+        lls = [
+            -math.log1p(math.exp(-r.logit))
+            if r.lab
+            else -math.log1p(math.exp(r.logit))
+            for r in scored.select("logit", "lab").collect()
+        ]
+        return sum(lls) / len(lls)
+
+    ll0, ll1 = mean_ll(m0), mean_ll(m1)
+    assert ll1 > ll0, (ll0, ll1)
+
+
+def test_refined_keeps_schema_and_gate_semantics(spark):
+    """The refined query is a drop-in for the base classifier: identical
+    schema, and the logit-0 / prob-0.5 gate equivalence holds row-wise."""
+    base = all_specs()["q_quality_classifier"].builder(spark, SF_SMOKE)
+    refined = all_specs()["q_quality_classifier_refined"].builder(spark, SF_SMOKE)
+    assert refined.schema == base.schema
+    for r in refined.collect():
+        assert (r.logit >= QUALITY_GATE) == (r.status == "admitted")
+        assert (r.logit >= QUALITY_GATE) == (r.prob >= 0.5)
