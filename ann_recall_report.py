@@ -1,0 +1,77 @@
+"""Regenerate ANN_RECALL.md: recall@k of every ANN variant vs the exact
+brute-force scan (q_cosine_topk), per scale factor.
+
+Usage:  python ann_recall_report.py [> ANN_RECALL.md]
+
+Runs q_ann_recall at each /root/testdata/sf* directory on
+local[$SPARK_GRAFT_CPUS] and prints the markdown a tuner reads before
+picking nprobe / probe width at 100 TB. Everything is deterministic
+(md5-seeded hyperplanes, fixed centroid ids), so re-runs reproduce the
+committed numbers bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def main() -> None:
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="ann-recall-report",
+        master=f"local[{cpus}]",
+        extra_confs={"spark.sql.shuffle.partitions": cpus},
+    )
+    builder = all_specs()["q_ann_recall"].builder
+
+    print("# ANN recall evidence (`q_ann_recall`)")
+    print()
+    print("recall@5 of each approximate variant against the exact")
+    print("brute-force cosine top-k (`q_cosine_topk`), over the 8 fixed")
+    print("query vectors (possible = 8 x 5 = 40 true neighbors). recall_bp")
+    print("is integer basis points: floor(hits * 10000 / possible).")
+    print("Regenerate with `python ann_recall_report.py`; value-level")
+    print("cross-engine parity of every figure is driver-checked (the")
+    print("composed DuckDB oracle embeds each variant's registered SQL via")
+    print("`registry.oracle_of`) and pinned in tests/test_ann_recall.py.")
+    print()
+    for sf_dir in SF_DIRS:
+        t0 = time.time()
+        rows = builder(spark, sf_dir).collect()
+        dt = time.time() - t0
+        print(f"## {sf_dir.rsplit('/', 1)[-1]}  ({dt:.1f}s)")
+        print()
+        print("| variant | probes | hits | possible | recall_bp | recall |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r.variant} | {r.probes} | {r.hits} | {r.possible} "
+                f"| {r.recall_bp} | {r.recall_bp / 100:.2f}% |"
+            )
+        print()
+    print("**Reading the curve:** multiprobe is the recall knob with the")
+    print("plan shape unchanged (probes explode on the broadcast query side")
+    print("only): IVF nprobe 1->2 roughly doubles recall at every SF, and")
+    print("single-band 8-bit LSH (lsh_p1) is too selective for top-k on")
+    print("this fixture — its Hamming-1 multiprobe (lsh_p9) recovers what")
+    print("hyperplane boundary noise loses. For NEAR-DUP (threshold, not")
+    print("top-k) search the engine uses the banded 8x8 LSH")
+    print("(`q_embedding_neardup_lsh`), which is exact-verified and not a")
+    print("recall trade at all. A 100 TB tuner should start at ivf with")
+    print("k-means centroids and raise nprobe until the marginal recall_bp")
+    print("per probe flattens; each probe adds one equi-join partition's")
+    print("worth of candidates, never a rescan.")
+
+
+if __name__ == "__main__":
+    main()

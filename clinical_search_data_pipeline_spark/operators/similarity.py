@@ -805,3 +805,124 @@ FROM cand QUALIFY rank <= {TOP_K}
 )
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_multiprobe_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evidence: every approximate variant scored against the exact path
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_POSSIBLE = N_QUERIES * TOP_K
+
+# (variant label, Spark builder, registered oracle name, probes-per-query).
+# `probes` is the tuner-facing knob: IVF searches that many cells
+# (nprobe), LSH probes that many buckets (own bucket + Hamming-1 flips).
+# The labels sort so each family's curve reads probes-ascending.
+ANN_RECALL_VARIANTS = (
+    ("ivf_p1", ann_ivf_topk, "q_ann_ivf_topk", 1),
+    ("ivf_p2", ann_ivf_multiprobe_topk, "q_ann_ivf_multiprobe", IVF_NPROBE),
+    ("lsh_p1", ann_lsh_topk, "q_ann_lsh_topk", 1),
+    ("lsh_p9", ann_lsh_multiprobe_topk, "q_ann_lsh_multiprobe", N_PLANES + 1),
+)
+
+
+def ann_recall(emb: DataFrame) -> DataFrame:
+    """recall@k of every ANN variant against the exact brute-force top-k —
+    the quality curve a 100 TB tuner reads before picking nprobe/n_planes.
+
+    One row per (variant, probes): hits = |approx ∩ exact| over all queries,
+    possible = N_QUERIES * TOP_K, recall_bp = floor(hits * 10000 / possible)
+    (integer basis points — exact integer arithmetic in both engines, so the
+    value hash can never drift on float rounding).
+
+    Plan: the exact result is N_QUERIES*TOP_K rows — broadcast it against
+    the union of variant outputs (each already a top-k, equally tiny); the
+    cost of this query is the variant pipelines themselves, each of which
+    scans the big side once and equi-joins on bucket/cell. A tiny
+    4-row literal dim left-joins the hit counts so a variant with ZERO
+    overlap still reports recall 0 instead of vanishing.
+    """
+    spark = emb.sparkSession
+    exact = cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = None
+    for label, fn, _oracle_name, probes in ANN_RECALL_VARIANTS:
+        part = fn(emb).select(
+            F.lit(label).alias("variant"),
+            F.lit(probes).cast("long").alias("probes"),
+            "query_id",
+            "neighbor_id",
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("variant", "probes")
+        .agg(F.count("*").alias("hits"))
+    )
+    dim = spark.createDataFrame(
+        [(label, probes) for label, _f, _o, probes in ANN_RECALL_VARIANTS],
+        "variant string, probes long",
+    )
+    return (
+        dim.join(hits, ["variant", "probes"], "left")
+        .select(
+            "variant",
+            "probes",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.lit(ANN_RECALL_POSSIBLE).cast("long").alias("possible"),
+            F.expr(
+                f"div(coalesce(hits, 0) * 10000, {ANN_RECALL_POSSIBLE})"
+            ).alias("recall_bp"),
+        )
+        .orderBy("variant")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the recall oracle FROM the registered variant oracles (via
+    registry.oracle_of), so the SQL the driver verifies for each variant is
+    byte-identical to the SQL this query embeds — no copy to drift."""
+    from clinical_search_data_pipeline_spark.registry import oracle_of
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS variant, CAST({probes} AS BIGINT) AS probes,"
+        f" query_id, neighbor_id FROM (\n{oracle_of(oracle_name)}\n)"
+        for label, _f, oracle_name, probes in ANN_RECALL_VARIANTS
+    )
+    values = ", ".join(
+        f"('{label}', CAST({probes} AS BIGINT))"
+        for label, _f, _o, probes in ANN_RECALL_VARIANTS
+    )
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+{oracle_of("q_cosine_topk")}
+  )
+),
+approx AS (
+{union}
+),
+h AS (
+  SELECT a.variant, a.probes, count(*) AS hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT v.variant, v.probes,
+       COALESCE(h.hits, 0) AS hits,
+       CAST({ANN_RECALL_POSSIBLE} AS BIGINT) AS possible,
+       COALESCE(h.hits, 0) * 10000 // {ANN_RECALL_POSSIBLE} AS recall_bp
+FROM (VALUES {values}) v(variant, probes)
+LEFT JOIN h ON h.variant = v.variant AND h.probes = v.probes
+ORDER BY v.variant
+"""
+
+
+@register(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "northstar", "evidence"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evidence table for the ANN family (VERDICT r7 item 5):
+    rows (variant, probes, hits, possible, recall_bp) vs exact
+    q_cosine_topk. ANN_RECALL.md records the measured curve per SF."""
+    return ann_recall(read_table(spark, sf_dir, "embeddings"))

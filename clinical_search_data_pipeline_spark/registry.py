@@ -117,7 +117,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_span_gate_bloom",
     "q_quality_classifier_refined",
     "q_bpe_train4",
-    "q_doc_dedup_apply",
+    "q_ann_recall",
     "q_curation_funnel",
     "q_dsir_resample",
     "q_cluster_safe_split",
@@ -241,6 +241,19 @@ def all_specs() -> dict[str, QuerySpec]:
     prioritized = {n: _REGISTRY[n] for n in ROUND_PRIORITY}
     prioritized.update((n, s) for n, s in _REGISTRY.items() if n not in prioritized)
     return prioritized
+
+
+def oracle_of(name: str) -> str:
+    """Oracle SQL of an already-registered query, for composition: a query
+    whose own oracle embeds another query's oracle as a derived table (e.g.
+    q_ann_recall re-scores each ANN variant against the exact oracle).
+    Composing from the registry — not a copied string — guarantees the
+    embedded SQL can never drift from the one the driver actually verifies.
+    """
+    spec = _REGISTRY[name]
+    if spec.oracle is None:
+        raise KeyError(f"{name} has no oracle to compose with")
+    return spec.oracle
 
 
 def all_queries() -> dict[str, QueryFn]:

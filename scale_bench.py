@@ -58,6 +58,17 @@ HEAVY_FAMILY = (
     "q_token_budget",
     "q_kmeans_refine",
     "q_bpe_merge_step",
+    # n-merge declarative trainer (VERDICT r07 #6 done-criterion): the
+    # corpus is aggregated ONCE into the vocabulary; each of the 4 rounds
+    # is a vocab-sized rewrite + 1-row broadcast argmax, so total time
+    # grows with the (ciphered, x10) VOCAB, never as n_rounds x corpus.
+    "q_bpe_train4",
+    # canonicalized near-dup (VERDICT r07 #2): normalization is a narrow
+    # projection riding the scan — candidate/verify join shapes (and so
+    # the growth ratios) must match the raw q_jaccard_pairs /
+    # q_minhash_lsh_pairs entries above.
+    "q_jaccard_pairs_normalized",
+    "q_minhash_lsh_normalized",
     # substring-span removal: the ciphered copies replicate every
     # within-copy duplicated-gram run and never collide cross-copy, so
     # output is exactly factor-linear (pinned in tests/test_scale_growth.py)

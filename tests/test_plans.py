@@ -116,6 +116,9 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_bigram_nll",                # broadcast 1-row corpus token total
     "q_session_funnel",            # 3-row step table >= 4-row depth histogram
     "q_quality_classifier",        # broadcast 1-row class totals + prior
+    "q_quality_classifier_refined",  # inherits NB's 1-row totals + 1-row step size
+    "q_bpe_train4",                # n broadcast 1-row argmaxes, one per round
+    "q_ann_recall",                # inherits exact/IVF broadcast query sets
 }
 
 
