@@ -64,7 +64,13 @@ def main() -> None:
     print("only): IVF nprobe 1->2 roughly doubles recall at every SF, and")
     print("single-band 8-bit LSH (lsh_p1) is too selective for top-k on")
     print("this fixture — its Hamming-1 multiprobe (lsh_p9) recovers what")
-    print("hyperplane boundary noise loses. For NEAR-DUP (threshold, not")
+    print("hyperplane boundary noise loses. pq_m32k32 is a different trade:")
+    print("it scans EVERY candidate (no pruning) but touches only 160-bit")
+    print("codes (25x compression) — its recall cost is quantization error")
+    print("alone, and it leads this fixture's curve even with codebooks")
+    print("sliced from fixture rows; k-means-trained codebooks and IVF+PQ")
+    print("composition (prune cells, then ADC) are the production steps up.")
+    print("For NEAR-DUP (threshold, not")
     print("top-k) search the engine uses the banded 8x8 LSH")
     print("(`q_embedding_neardup_lsh`), which is exact-verified and not a")
     print("recall trade at all. A 100 TB tuner should start at ivf with")

@@ -66,7 +66,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # exemption permits). All rotated-out names keep valid driver rows at
 # their current, unchanged behavior.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the complete r7 backlog (r5 rows), oldest coverage in the repo
+    # (a) the r7 backlog (r5 rows), oldest coverage in the repo — complete
+    # except q_user_set_ops, displaced mid-round by q_ann_pq_topk (see (b))
     "q_ann_ivf_multiprobe",
     "q_ann_ivf_topk",
     "q_ann_lsh_multiprobe",
@@ -101,7 +102,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_tfidf_top_terms",
     "q_token_budget",
     "q_train_order",
-    "q_user_set_ops",
     "q_value_quantiles_struct",
     "q_winnow_fingerprints",
     "q_winnow_pairs",
@@ -118,6 +118,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_quality_classifier_refined",
     "q_bpe_train4",
     "q_ann_recall",
+    # PQ/ADC landed mid-r8: never checked, claims the slot q_user_set_ops
+    # held (r5 row — at the staleness bound this round, NOT past it; it
+    # MUST lead the r9 window, recorded in ROUND_BACKLOG below).
+    "q_ann_pq_topk",
     "q_curation_funnel",
     "q_dsir_resample",
     "q_cluster_safe_split",
@@ -131,6 +135,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # guard bound how long a deferral may stand (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
+    # displaced mid-r8 by q_ann_pq_topk; its row is r5, so the staleness
+    # guard makes an r9 slot MANDATORY (9 - 5 > 3), not merely backlog.
+    "q_user_set_ops",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

@@ -47,6 +47,9 @@ HEAVY_FAMILY = (
     "q_ann_lsh_multiprobe",
     "q_ann_ivf_topk",
     "q_ann_ivf_multiprobe",
+    # PQ/ADC: one codes scan x broadcast tables — time must stay ~linear
+    # while the index it would persist is 25x smaller than the vectors
+    "q_ann_pq_topk",
     "q_passage_dedup",
     "q_train_order",
     "q_winnow_pairs",

@@ -49,7 +49,13 @@ def test_recall_pinned_at_smoke_sf(spark):
     test to say which variant and by how much."""
     rows = _rows(spark)
     got = {v: r["recall_bp"] for v, r in rows.items()}
-    assert got == {"ivf_p1": 2250, "ivf_p2": 4750, "lsh_p1": 0, "lsh_p9": 1750}, got
+    assert got == {
+        "ivf_p1": 2250,
+        "ivf_p2": 4750,
+        "lsh_p1": 0,
+        "lsh_p9": 1750,
+        "pq_m32k32": 6250,
+    }, got
 
 
 def test_recall_oracle_embeds_registered_variant_sql():
