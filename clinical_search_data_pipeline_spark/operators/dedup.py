@@ -301,16 +301,43 @@ def _simhash_col_exprs(engine: str, bits: int = SIMHASH_BITS) -> str:
     return " + ".join(terms)
 
 
+def _simhash_doc_local_expr(bits: int = SIMHASH_BITS) -> str:
+    """SimHash as a single doc-local higher-order-function expression over
+    the pre-hashed distinct-token array `hs` (see simhash_fingerprints).
+
+    Same per-bit term family as _simhash_col_exprs, re-based on the identity
+    sum(bit_i*2 - 1) >= 0  <=>  2*sum(bit_i) >= n: each bit is an in-array
+    `aggregate` popcount compared against the token count — no exploded
+    relation, no shuffle. Equality with the exploded/grouped DuckDB oracle
+    (built from _simhash_col_exprs) is pinned by registry-wide parity
+    (tests/test_oracle_parity.py); the zero-exchange plan shape by
+    tests/test_plans.py."""
+    terms = [
+        f"(CASE WHEN 2 * aggregate(hs, 0L, (a, h) -> a + (h div {1 << i}) % 2)"
+        f" >= size(hs) THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash over its distinct token set (unit weights)."""
-    tok = (
-        fan_out(docs)
-        .select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
-        .distinct()
-        .select("doc_id", hash64(F.col("token")).alias("h"))
+    """Per-doc SimHash over its distinct token set (unit weights).
+
+    Zero-shuffle by construction: SimHash is embarrassingly doc-local, so
+    the fingerprint is computed per ROW — distinct tokens via
+    array_distinct, md5-hash each token inside a `transform` lambda, then
+    64 in-array popcount aggregates. The previous explode→distinct→groupBy
+    formulation shuffled a token relation ~10x the corpus size TWICE for a
+    computation that never needed to leave its input partition — at 100 TB
+    that shuffle, not the hashing, is the entire cost."""
+    hashed = fan_out(docs).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(textfns.tokens("text")), lambda t: hash64(t)
+        ).alias("hs"),
     )
-    return tok.groupBy("doc_id").agg(
-        F.expr(_simhash_col_exprs("spark", bits)).alias("simhash")
+    return hashed.select(
+        "doc_id", F.expr(_simhash_doc_local_expr(bits)).alias("simhash")
     )
 
 

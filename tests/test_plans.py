@@ -254,3 +254,16 @@ def test_session_analytics_no_global_stage(spark, name):
     the 4-row depth histogram."""
     plan = pl.physical_plan(build(spark, name), "simple")
     assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_simhash_fingerprints_zero_shuffle(spark):
+    """SimHash is doc-local — the fingerprint plan must carry NO keyed or
+    global exchange: distinct tokens + md5 hashing + 64 popcount
+    aggregates all run inside one narrow projection. (fan_out's
+    round-robin spread is the one allowed exchange; it carries no key.)
+    The explode->distinct->groupBy formulation this replaced shuffled a
+    token relation ~10x the corpus size twice."""
+    plan = pl.physical_plan(build(spark, "q_simhash_fingerprints"), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
