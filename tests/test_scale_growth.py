@@ -343,3 +343,30 @@ def test_admission_screens_sublinear_at_10x_corpus(spark, tmp_path):
             name,
             times,
         )
+
+
+def test_bm25_output_is_query_bounded_at_10x(spark, tmp_path):
+    """The filter-before-shuffle claim, pinned: BM25's output is
+    (n_queries x k)-bounded however large the corpus. The ciphered replicas
+    share no vocabulary with the base copy, so at 10x corpus the fixed
+    8-query set still retrieves exactly 8 x k rows — and every retrieved
+    doc is a base-copy doc (the postings the queries probe did not grow)."""
+    from clinical_search_data_pipeline_spark.operators.retrieval import (
+        BM25_N_QUERIES,
+        BM25_TOP_K,
+        bm25_topk,
+    )
+
+    docs_base = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    n_base = docs_base.count()
+    scaled_dir = make_scaled_corpus(spark, SF_MID, str(tmp_path / "scaledbm"), FACTOR)
+    docs_scaled = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+
+    out = bm25_topk(docs_scaled).collect()
+    release_caches()
+    assert len(out) == BM25_N_QUERIES * BM25_TOP_K
+    # postings are corpus-size-independent: no replica doc can match a
+    # base-copy query term, so nothing outside the base id range retrieves
+    assert all(r["doc_id"] < n_base for r in out), sorted(
+        {r["doc_id"] for r in out}
+    )[-5:]
