@@ -990,6 +990,104 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-stage retrieval: compressed candidate generation + exact refine
+# ---------------------------------------------------------------------------
+
+RERANK_POOL = 30  # stage-1 ADC pool per query; 6x the final k
+
+
+def ann_pq_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    pool: int = RERANK_POOL,
+) -> DataFrame:
+    """Two-stage ANN: PQ/ADC proposes `pool` candidates per query from the
+    compressed codes, then ONLY those pool rows are re-scored with the exact
+    cosine and cut to the final top-k — the FAISS IVF-PQ + refine serving
+    pattern (Jegou et al. TPAMI 2011 §V). The scan-side economics at 100 TB:
+    stage 1 touches codes (25x smaller than vectors), stage 2 touches
+    n_queries * pool raw vectors via a broadcast semi-join on vec_id —
+    the full-precision relation is never shuffled, and recall is provably
+    >= the PQ-alone top-k (the pool is a superset of PQ's own top-k, and
+    any global exact-top-k member present in the pool outranks every other
+    pool row under exact scoring).
+
+    Output matches cosine_topk's shape/discipline (order-pinned dot fold,
+    round-4 score) so the two are directly comparable in q_ann_recall.
+    """
+    cand = ann_pq_adc_topk(emb, n_queries, k=pool).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    base = vectors_with_norms(emb)
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    rescored = (
+        base.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "score",
+            F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_ann_rerank",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_CTE.lstrip()},
+pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {RERANK_POOL}
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+rescored AS (
+  SELECT p.query_id, p.vec_id AS neighbor_id,
+         {_duck_dot('n.v', 'q.qv')} / (n.norm * q.qnorm) AS raw
+  FROM pool p
+  JOIN n ON n.vec_id = p.vec_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY raw DESC, neighbor_id ASC) AS rank,
+       round(raw, 4) AS score
+FROM rescored QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "pq", "rerank"),
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC candidates refined by exact cosine — the two-stage serving
+    pattern; recall vs both the exact scan and PQ-alone is recorded in
+    q_ann_recall / ANN_RECALL.md."""
+    return ann_pq_rerank_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # ANN recall evidence: every approximate variant scored against the exact path
 # ---------------------------------------------------------------------------
 
@@ -1007,6 +1105,9 @@ ANN_RECALL_VARIANTS = (
     # PQ scans ALL codes (compression, not candidate pruning), so its
     # "probes" knob is the full codebook width per subspace.
     ("pq_m32k32", ann_pq_adc_topk, "q_ann_pq_topk", PQ_K),
+    # Two-stage refine: the tuner knob is the stage-1 pool width; recall is
+    # provably >= pq_m32k32's at equal final k (pool superset argument).
+    ("pq_rerank", ann_pq_rerank_topk, "q_ann_rerank", RERANK_POOL),
 )
 
 

@@ -55,7 +55,17 @@ def test_recall_pinned_at_smoke_sf(spark):
         "lsh_p1": 0,
         "lsh_p9": 1750,
         "pq_m32k32": 6250,
+        "pq_rerank": 10000,
     }, got
+
+
+def test_rerank_recall_dominates_pq_alone(spark):
+    """The pool-superset argument made measurable: exact refinement of the
+    ADC pool can only keep or raise recall vs the PQ-alone top-k (the pool
+    contains PQ's own top-k, and any global exact-top-k member in the pool
+    outranks every other pool row under exact scoring)."""
+    rows = _rows(spark)
+    assert rows["pq_rerank"]["hits"] >= rows["pq_m32k32"]["hits"], rows
 
 
 def test_recall_oracle_embeds_registered_variant_sql():
