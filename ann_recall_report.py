@@ -67,9 +67,14 @@ def main() -> None:
     print("hyperplane boundary noise loses. pq_m32k32 is a different trade:")
     print("it scans EVERY candidate (no pruning) but touches only 160-bit")
     print("codes (25x compression) — its recall cost is quantization error")
-    print("alone, and it leads this fixture's curve even with codebooks")
+    print("alone, and it leads the single-stage curve even with codebooks")
     print("sliced from fixture rows; k-means-trained codebooks and IVF+PQ")
     print("composition (prune cells, then ADC) are the production steps up.")
+    print("pq_rerank stacks the exact-refine stage on top (q_ann_rerank):")
+    print("the ADC pool (6x the final k) is re-scored at full precision —")
+    print("n_queries x pool extra exact scores, the raw-vector relation")
+    print("never shuffled — and recall jumps to 90-100% at every SF: the")
+    print("two-stage shape is what a 100 TB deployment should serve from.")
     print("For NEAR-DUP (threshold, not")
     print("top-k) search the engine uses the banded 8x8 LSH")
     print("(`q_embedding_neardup_lsh`), which is exact-verified and not a")
