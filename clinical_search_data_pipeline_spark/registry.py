@@ -80,7 +80,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_dedup_keys_xxhash_struct",
     "q_doc_exact_dedup",
     "q_doc_fingerprints",
-    "q_hash_sample",
     "q_hash_split",
     "q_kmeans_refine",
     "q_lang_id",
@@ -129,6 +128,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # Two-stage PQ->exact rerank, and its row in the recall evidence table:
     # claims q_embedding_norms' slot (r5 row, displaced to mandatory r9).
     "q_ann_rerank",
+    # Streaming semantic (embedding) admission gate — the eighth screen:
+    # claims q_hash_sample's slot (r5 row, displaced to mandatory r9).
+    "q_stream_embedding_gate",
     "q_curation_funnel",
     "q_dsir_resample",
     "q_cluster_safe_split",
@@ -149,6 +151,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_pivot_event_types",
     "q_sql_nation_revenue",
     "q_embedding_norms",
+    "q_hash_sample",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

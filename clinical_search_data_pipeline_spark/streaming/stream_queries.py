@@ -1290,3 +1290,163 @@ def q_stream_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_video",
         "csdp_vidgate_out_",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding-similarity (semantic) admission gate
+# ---------------------------------------------------------------------------
+
+
+def stage_embedding_batch_source(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Stage the increment side of the embeddings fixture (vec_id >=
+    EMB_SPLIT) as `n_files` parquet files so availableNow +
+    maxFilesPerTrigger=1 genuinely processes multiple micro-batches. Same
+    mtime+size fingerprint keying as stage_incremental_batch_source."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        EMB_SPLIT,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}_{n_files}"
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"csdp_stream_emb_{sf_dir.strip('/').replace('/', '_')}_{fingerprint}",
+    )
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .filter(F.col("vec_id") >= EMB_SPLIT)
+            .repartitionByRange(n_files, "vec_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    return staging
+
+
+def _stream_embedding_gate_oracle() -> str:
+    """The gate's batch twin in SQL: reproduce the deterministic md5-seeded
+    (GATE_BANDS x GATE_BITS) banding, restrict candidates to corpus x
+    increment across EMB_SPLIT, verify with the exact cosine, and emit one
+    verdict row per increment vector."""
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        DIM,
+        NEARDUP_THRESHOLD,
+        _DUCK_BASE_CTE,
+        _duck_dot,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        EMB_SPLIT,
+        GATE_BANDS,
+        GATE_BITS,
+    )
+
+    s = EMB_SPLIT
+    return f"""
+WITH {_DUCK_BASE_CTE},
+planes AS (
+  SELECT p, list_transform(range(0, {DIM}), d ->
+    ((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 2001) - 1000) / 1000.0) AS pw
+  FROM range(0, {GATE_BANDS * GATE_BITS}) t(p)
+),
+dots AS (
+  SELECT n.vec_id, pl.p,
+         list_reduce(list_transform(range(1, {DIM} + 1), i -> n.v[i] * pl.pw[i]),
+                     (a, b) -> a + b) AS dot
+  FROM n, planes pl
+),
+bk AS (
+  SELECT vec_id, p // {GATE_BITS} AS band,
+         sum(CASE WHEN dot >= 0 THEN (1 << (p % {GATE_BITS})) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < {s} AND b.vec_id >= {s}
+),
+hits AS (
+  SELECT c.vec_b, count(*) AS n
+  FROM cand c
+  JOIN n x ON x.vec_id = c.vec_a
+  JOIN n y ON y.vec_id = c.vec_b
+  WHERE {_duck_dot('x.v', 'y.v')} / (x.norm * y.norm) >= {NEARDUP_THRESHOLD}
+  GROUP BY 1
+)
+SELECT e.vec_id,
+       coalesce(h.n, 0) AS n_corpus_matches,
+       CASE WHEN coalesce(h.n, 0) > 0 THEN 'dup_embedding' ELSE 'admitted' END
+         AS status
+FROM n e LEFT JOIN hits h ON h.vec_b = e.vec_id
+WHERE e.vec_id >= {s}
+"""
+
+
+@register(
+    "q_stream_embedding_gate",
+    oracle=_stream_embedding_gate_oracle(),
+    tags=("streaming", "similarity", "dedup", "northstar"),
+)
+def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SEMANTIC near-dup gate — the eighth admission screen,
+    extending the gate matrix from surface forms (text/image/audio/video)
+    to the embedding space (the streaming face of SemDeDup): the standing
+    corpus's LSH band index and norm'd vectors are computed ONCE and
+    engine-cached (at 100 TB: the persisted index); each incoming
+    micro-batch of vectors is banded with the same deterministic planes
+    and probed via a (band, bucket) equi-join + exact-cosine verify —
+    never batch x corpus. The gate banding is recall-tuned (GATE_BANDS x
+    GATE_BITS = 16x6: catches every sf0.001 and 8/11 sf0.01 cross-split
+    true dups at the fixture's hard tau=0.45 regime, ~99.96% recall at a
+    production 0.9 threshold) and the whole verdict relation is
+    hash-oracled — micro-batch boundaries cannot change any row."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        EMB_SPLIT,
+        GATE_BANDS,
+        GATE_BITS,
+        banded_lsh_keys,
+        embedding_vs_corpus,
+        vectors_with_norms,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    apply_runtime_confs(spark)
+    corpus = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMB_SPLIT
+    )
+    corpus_keys = engine_cache(
+        banded_lsh_keys(corpus, GATE_BANDS, GATE_BITS).select(
+            "vec_id", "band", "bucket"
+        )
+    )
+    corpus_vecs = engine_cache(
+        vectors_with_norms(corpus).select("vec_id", "v", "norm")
+    )
+    # materialize the frozen index BEFORE the stream: the first micro-batch
+    # must not pay the corpus banding build (offline step in production)
+    corpus_keys.count()
+    corpus_vecs.count()
+
+    staging = stage_embedding_batch_source(spark, sf_dir)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out_dir = tempfile.mkdtemp(prefix="csdp_embgate_out_")
+
+    def screen(batch_df: DataFrame, _batch_id: int) -> None:
+        embedding_vs_corpus(corpus_keys, corpus_vecs, batch_df).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    run_foreach_batch(stream, screen, shuffle_partitions=8)
+    return spark.read.parquet(out_dir)

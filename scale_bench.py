@@ -318,6 +318,60 @@ def _timed_admission_gates(
             file=sys.stderr,
         )
 
+    # Embedding (semantic) gate — the eighth screen, measured on the
+    # embeddings table: frozen LSH band index + norm'd vectors vs a fixed
+    # batch. Unlike the 64-bit perceptual bands, the gate's banding is
+    # recall-tuned for the fixture's hard tau=0.45 regime (16x6 ≈ 22% of
+    # random pairs become candidates), so the verify-join input — and the
+    # honest screen ratio recorded here — grows with the corpus; at a
+    # production dup threshold (cosine ~0.9) the same machinery runs more
+    # bits per band and the probe becomes bucket-bounded like the others.
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        EMB_SPLIT,
+        GATE_BANDS,
+        GATE_BITS,
+        banded_lsh_keys,
+        embedding_vs_corpus,
+        vectors_with_norms,
+    )
+
+    emb_base = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb_scaled = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+    emb_batch = emb_base.filter(F.col("vec_id") >= EMB_SPLIT)
+    entry = {"batch": "src vec_id >= EMB_SPLIT (fixed across runs)"}
+    for tag, corpus in (("base", emb_base), ("scaled", emb_scaled)):
+        t0 = time.perf_counter()
+        keys = engine_cache(
+            banded_lsh_keys(corpus, GATE_BANDS, GATE_BITS).select(
+                "vec_id", "band", "bucket"
+            )
+        )
+        vecs = engine_cache(vectors_with_norms(corpus).select("vec_id", "v", "norm"))
+        n_idx = keys.count() + vecs.count()
+        entry[f"index_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        entry[f"index_{tag}_rows"] = n_idx
+        t0 = time.perf_counter()
+        embedding_vs_corpus(keys, vecs, emb_batch).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        entry[f"screen_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        release_caches()
+    entry["index_ratio"] = round(
+        entry["index_scaled_sec"] / max(entry["index_base_sec"], 1e-9), 2
+    )
+    entry["screen_ratio"] = round(
+        entry["screen_scaled_sec"] / max(entry["screen_base_sec"], 1e-9), 2
+    )
+    results["admission_embedding"] = entry
+    print(
+        f"# admission_embedding: index {entry['index_base_sec']:.2f}s -> "
+        f"{entry['index_scaled_sec']:.2f}s (x{entry['index_ratio']}); "
+        f"screen {entry['screen_base_sec']:.2f}s -> "
+        f"{entry['screen_scaled_sec']:.2f}s (x{entry['screen_ratio']}) "
+        f"at corpus x{factor}",
+        file=sys.stderr,
+    )
+
     # Bloom shrink evidence (VERDICT r07 #4): how much of the fixed
     # batch's gram relation the broadcast pre-filter removes BEFORE the
     # exact corpus-index join, vs the SCALED corpus (more corpus = more
