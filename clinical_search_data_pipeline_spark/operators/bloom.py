@@ -41,13 +41,33 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Default domain: 2^20 bits / 3 hashes. For the fixture-scale gram index
+# Floor domain: 2^20 bits / 3 hashes. For the fixture-scale gram index
 # (n ~ 5e4 distinct grams) the predicted false-positive rate is
-# (1 - e^{-kn/m})^k ~ 2.7e-3; at n = 2e5 it is still < 4%. At 100 TB you
-# size m from the observed n (m ~ 1.44 * k * n for the optimum); the
-# relation stays broadcastable up to m ~ 2^31 (~32 MB of words).
+# (1 - e^{-kn/m})^k ~ 2.7e-3. A FIXED m saturates as the corpus grows
+# (measured: the x10 scale corpus has 2.26M distinct grams — n/m > 2, fp
+# ~ 1, and the pre-filter stopped removing anything), so the build sizes m
+# from the observed n by default: BLOOM_BITS_PER_ITEM bits per element,
+# next power of two, clamped to [2^20, 2^27] (the 2^27 ceiling is 2M
+# packed words ~ 32 MB — still a broadcastable frozen side). At k = 3
+# and 16 bits/element the predicted fp is (1 - e^{-3/16})^3 ~ 0.5%.
 BLOOM_M_BITS = 1 << 20
+BLOOM_M_BITS_MAX = 1 << 27
 BLOOM_HASHES = 3
+BLOOM_BITS_PER_ITEM = 16
+
+
+def bloom_params_for(
+    n_items: int,
+    bits_per_item: int = BLOOM_BITS_PER_ITEM,
+    m_min: int = BLOOM_M_BITS,
+    m_max: int = BLOOM_M_BITS_MAX,
+) -> int:
+    """Power-of-two m sized to the observed element count, clamped to the
+    broadcastable range."""
+    m = m_min
+    while m < n_items * bits_per_item and m < m_max:
+        m <<= 1
+    return m
 
 
 def bloom_fp_rate(n_items: int, m_bits: int = BLOOM_M_BITS,
@@ -66,18 +86,29 @@ def _positions(col, m_bits: int, n_hashes: int) -> list:
 def bloom_build(
     values: DataFrame,
     col: str,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | None = None,
     n_hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """(word_idx, bits): the packed Bloom bitset of `values[col]`.
 
     Each value contributes `n_hashes` bit positions; positions pack into
     64-bit words via one `word_idx`-keyed bit_or aggregation. <= m/64
-    rows regardless of corpus size — the broadcastable frozen side."""
+    rows regardless of corpus size — the broadcastable frozen side.
+
+    When `m_bits` is None (the default) the build SELF-SIZES: one count of
+    `values` (a one-time action on a frozen-index build) picks the
+    smallest clamped power-of-two m with >= BLOOM_BITS_PER_ITEM bits per
+    element, so the false-positive rate stays ~0.5% instead of saturating
+    as the corpus grows. The chosen (m_bits, n_hashes) ride along in the
+    `bits` column metadata, so `bloom_probe` hashes into the same domain
+    without the caller threading parameters — metadata survives
+    select/cache/parquet round-trips."""
+    if m_bits is None:
+        m_bits = bloom_params_for(values.count())
     pos = (
         values.select(F.explode(F.array(*_positions(col, m_bits, n_hashes))).alias("pos"))
     )
-    return (
+    packed = (
         pos.select(
             F.expr("pos DIV 64").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
@@ -85,21 +116,36 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
     )
+    return packed.select(
+        "word_idx",
+        F.col("bits").alias(
+            "bits", metadata={"m_bits": m_bits, "n_hashes": n_hashes}
+        ),
+    )
 
 
 def bloom_probe(
     df: DataFrame,
     col: str,
     bloom: DataFrame,
-    m_bits: int = BLOOM_M_BITS,
-    n_hashes: int = BLOOM_HASHES,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Rows of `df` whose `col` value is POSSIBLY in the filtered set
     (definitely-absent rows removed; schema unchanged).
 
     `n_hashes` broadcast-hash left joins on word_idx, then one bitmask
     conjunction: a missing word row or an unset bit is a definite miss.
-    No shuffle of `df`; the helper columns are dropped on exit."""
+    No shuffle of `df`; the helper columns are dropped on exit.
+
+    `m_bits`/`n_hashes` default to the values `bloom_build` recorded in
+    the bloom relation's `bits` column metadata (falling back to the
+    module floor for a relation built by hand)."""
+    meta = dict(bloom.schema["bits"].metadata or {})
+    if m_bits is None:
+        m_bits = int(meta.get("m_bits", BLOOM_M_BITS))
+    if n_hashes is None:
+        n_hashes = int(meta.get("n_hashes", BLOOM_HASHES))
     out = df
     conds = []
     for i, pos in enumerate(_positions(col, m_bits, n_hashes)):

@@ -138,6 +138,106 @@ def bm25_topk(
     )
 
 
+def build_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The persisted-index form of the corpus side: (postings, stats).
+
+    postings = (word, doc_id, tf, dl) — the full inverted index, one keyed
+    shuffle on (doc_id, word) then (word)-clustered for probe locality;
+    stats = the 1-row (n_docs, avgdl). At 100 TB these are written once
+    (postings z-ordered or bucketed by word so a query's terms prune to
+    their posting-list files) and every BM25 query becomes a broadcast
+    probe of the index — `bm25_topk_from_postings` consumes exactly this
+    shape, and tests/test_retrieval_index.py pins it equal to the
+    on-the-fly `bm25_topk`."""
+    base = fan_out(docs).select("doc_id", textfns.tokens("text").alias("w"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    postings = (
+        base.select(
+            "doc_id", F.size("w").alias("dl"), F.explode("w").alias("word")
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    return postings, stats
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k over a PRE-BUILT index: `postings`/`stats` from
+    build_postings (or a lake read of their persisted form), `queries` =
+    (query_id, word). The probe is index-sided only — a broadcast
+    semi-join of the query terms against the postings (with the postings
+    bucketed/sorted by word, the scan prunes to the terms' posting lists),
+    df computed from the probed slice, and the same rank discipline as
+    `bm25_topk`. No document text is touched at query time."""
+    qterms = queries.select("word").distinct()
+    tf = engine_cache(postings.join(F.broadcast(qterms), "word"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(queries), "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def corpus_queries(
+    docs: DataFrame,
+    n_queries: int = BM25_N_QUERIES,
+    query_len: int = BM25_QUERY_LEN,
+) -> DataFrame:
+    """The deterministic fixture query set (query_id, word): first
+    `query_len` distinct tokens of each doc with doc_id < `n_queries`."""
+    return (
+        docs.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(textfns.tokens("text"), 1, query_len)
+            ).alias("word"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "q_bm25_topk",
     oracle=f"""

@@ -884,7 +884,10 @@ def pq_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def ann_pq_adc_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes (Jegou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011): each
@@ -899,9 +902,12 @@ def ann_pq_adc_topk(
     9dp and summed as DECIMAL, so `adist` is exact integer arithmetic in
     both engines — order-free, hash-stable. At production scale the same
     table drives a mapInPandas lookup kernel over code arrays; this
-    declarative form is the oracled semantics."""
+    declarative form is the oracled semantics.
+
+    `codebook` swaps in a trained (m, j, cw) relation (pq_train_codebooks)
+    for the default sliced one — encode/score plan shape identical."""
     subs = pq_subvectors(emb)
-    cb = pq_codebook(subs)
+    cb = codebook if codebook is not None else pq_codebook(subs)
     dt = (
         subs.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), "m", F.col("su").alias("qsu"))
@@ -1165,6 +1171,178 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_rerank_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+def pq_train_codebooks(
+    emb: DataFrame, rounds: int = 2, k: int = PQ_K
+) -> DataFrame:
+    """Per-subspace Lloyd k-means over the subvectors — the production
+    codebook trainer the sliced-fixture `pq_codebook` stands in for
+    (Jegou et al. TPAMI 2011 §III trains exactly this, independently per
+    subspace). One declarative update per round, ALL subspaces at once:
+    assignment is the same (vec_id, m)-keyed argmin `pq_codes` runs, the
+    centroid update is a (m, j)-keyed mean over PQ_SUB component columns —
+    the kmeans_train pattern (operators/clustering.py) with the subspace
+    index as an extra key, so the whole M x K codebook trains in ONE pass
+    per round, never M sequential jobs. Empty cells keep their previous
+    codeword (left join + coalesce). Total distortion is monotone
+    non-increasing per Lloyd; tests/test_pq_training.py pins that and the
+    recall gain over the sliced init."""
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    subs = engine_cache(pq_subvectors(emb))
+    cb = pq_codebook(subs)
+    comp_avgs = [
+        F.avg(F.expr(f"su[{i}]")).alias(f"_c{i}") for i in range(PQ_SUB)
+    ]
+    for _ in range(rounds):
+        assigned = pq_codes(subs, cb).withColumnRenamed("code", "j")
+        means = (
+            subs.join(assigned, ["vec_id", "m"])
+            .groupBy("m", "j")
+            .agg(*comp_avgs)
+            .withColumn(
+                "cw_new", F.array(*[F.col(f"_c{i}") for i in range(PQ_SUB)])
+            )
+            .select("m", "j", "cw_new")
+        )
+        cb = engine_cache(
+            cb.join(means, ["m", "j"], "left")
+            .select(
+                "m", "j", F.coalesce("cw_new", "cw").alias("cw")
+            )
+        )
+        cb.count()  # materialize the round (checkpointed-loop discipline)
+    return cb
+
+
+def pq_distortion(subs: DataFrame, cb: DataFrame) -> float:
+    """Mean squared quantization error of `subs` under codebook `cb` —
+    the Lloyd objective, for monotonicity evidence."""
+    codes = pq_codes(subs, cb).withColumnRenamed("code", "j")
+    return (
+        subs.join(codes, ["vec_id", "m"])
+        .join(cb, ["m", "j"])
+        .agg(F.avg(F.expr(_spark_l2sq("su", "cw"))).alias("d"))
+        .first()["d"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition: prune to the query's cell, score the cell by ADC
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """The full FAISS IVFADC composition (Jegou et al. TPAMI 2011 §V.A):
+    the coarse quantizer prunes the search to the query's IVF cell, and the
+    surviving candidates are scored by PQ asymmetric distance — the scan
+    touches cell-filtered CODES only, never raw vectors. At 100 TB this is
+    the memory-and-compute production shape: candidate count / n_centroids,
+    bytes / 25, and the only big-side operations are one cell equi-join and
+    one (m, code) broadcast-table lookup join. Recall compounds the two
+    stages' losses (see q_ann_recall: the fixture's decorrelated geometry
+    makes the coarse stage the binding loss) — raise nprobe / add the
+    exact-refine stage (ann_pq_rerank_topk) to buy it back.
+    """
+    assigned = ivf_assignments(emb).select("vec_id", "cell")
+    subs = pq_subvectors(emb)
+    cb = pq_codebook(subs)
+    dt = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("su").alias("qsu"))
+        .join(cb, "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("j").alias("code"),
+            F.round(F.expr(_spark_l2sq("qsu", "cw")), 9)
+            .cast("decimal(18,9)")
+            .alias("d"),
+        )
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    # cell prune FIRST: only the query-cell members' codes reach the ADC join
+    cand_codes = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "cell")
+        .join(pq_codes(subs, cb), "vec_id")
+    )
+    scored = (
+        cand_codes.join(
+            F.broadcast(dt),
+            (cand_codes["m"] == dt["m"])
+            & (cand_codes["code"] == dt["code"])
+            & (cand_codes["query_id"] == dt["query_id"]),
+        )
+        .drop(dt["query_id"])
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "rank",
+            F.round(F.col("adist").cast("double"), 6).alias("adist"),
+        )
+    )
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_CTE.lstrip()},
+cents AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < {N_QUERIES}),
+ivf_adc AS (
+  SELECT q.query_id, c.vec_id, c.cell, sum(t.d) AS adist
+  FROM cells c
+  JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+  JOIN codes s ON s.vec_id = c.vec_id
+  JOIN dt t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, vec_id AS neighbor_id, cell,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, vec_id ASC) AS rank,
+       round(CAST(adist AS DOUBLE), 6) AS adist
+FROM ivf_adc QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "northstar", "ivf", "pq"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning composed with PQ/ADC scoring — the production
+    IVFADC shape; its compounded recall loss is a recorded row in
+    q_ann_recall / ANN_RECALL.md."""
+    return ann_ivfpq_topk(read_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # ANN recall evidence: every approximate variant scored against the exact path
 # ---------------------------------------------------------------------------
@@ -1186,6 +1364,9 @@ ANN_RECALL_VARIANTS = (
     # Two-stage refine: the tuner knob is the stage-1 pool width; recall is
     # provably >= pq_m32k32's at equal final k (pool superset argument).
     ("pq_rerank", ann_pq_rerank_topk, "q_ann_rerank", RERANK_POOL),
+    # Full IVFADC composition: coarse prune x quantized scoring — the
+    # compounded-loss row a tuner reads against its single-stage parents.
+    ("ivfpq_p1", ann_ivfpq_topk, "q_ann_ivfpq_topk", 1),
 )
 
 

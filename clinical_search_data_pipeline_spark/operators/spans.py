@@ -304,7 +304,10 @@ def corpus_gram_index(corpus: DataFrame, k: int = SPAN_GRAM_K) -> DataFrame:
 def corpus_gram_bloom(gram_index: DataFrame) -> DataFrame:
     """(word_idx, bits): the broadcastable Bloom bitset of the corpus gram
     index — the approximate-membership screen probed BEFORE the exact gram
-    join. <= 2^20/64 rows regardless of corpus size (operators/bloom.py)."""
+    join. Self-sized to the index cardinality (~16 bits/gram, m clamped to
+    [2^20, 2^27] — at most ~2M packed-word rows, always broadcastable); the
+    chosen domain rides in the relation's column metadata so the probe
+    hashes into the same bits (operators/bloom.py)."""
     from clinical_search_data_pipeline_spark.operators.bloom import bloom_build
 
     return bloom_build(gram_index, "gram")

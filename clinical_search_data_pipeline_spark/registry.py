@@ -51,20 +51,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-8 window: (a) the FULL 38-name r7 backlog leads, exactly as the
-# hygiene guard demands — these are the oldest driver rows (r5) and
-# rotating them in brings every registered query's staleness within the
-# mechanical bound (test_no_query_row_older_than_max_staleness); (b) the
-# remaining 12 slots hold this round's NEW registrations (text
-# canonicalization + normalized near-dup, audio/video streaming admission
-# gates, the bloom-backed span-gate gram index, the logistic-refined
-# quality classifier, the n-merge declarative BPE trainer, and ANN recall
-# evidence) — never-checked queries must hold slots. Everything with an
-# r6 row is recorded in ROUND_BACKLOG below and must lead the r9 window
-# (50 names = a full window; r9 may split it across r9/r10 as long as the
-# leftover names hold r10 slots, which the staleness guard's in-window
-# exemption permits). All rotated-out names keep valid driver rows at
-# their current, unchanged behavior.
+# Round-8 window: (a) the r7 backlog (r5 rows) leads, exactly as the
+# hygiene guard demands — rotating them in brings every registered query's
+# staleness within the mechanical bound
+# (test_no_query_row_older_than_max_staleness); (b) the remaining slots
+# hold this round's NEW registrations (text canonicalization + normalized
+# near-dup, audio/video/embedding streaming admission gates, the
+# bloom-backed span-gate gram index, the logistic-refined quality
+# classifier, the n-merge declarative BPE trainer, ANN recall evidence,
+# PQ/ADC + IVFADC + two-stage rerank ANN, BM25 retrieval, and the z-order
+# layout key) — never-checked queries must hold slots, so each query that
+# landed after the initial rotation displaced one r5-row name into
+# ROUND_BACKLOG (those six are at the staleness bound this round, NOT past
+# it, and MUST lead the r9 window). Everything with an r6 row is also
+# recorded in ROUND_BACKLOG and must lead the r9 window (r9 may split the
+# backlog across r9/r10 as long as the leftover names hold r10 slots,
+# which the staleness guard's in-window exemption permits). All
+# rotated-out names keep valid driver rows at their current, unchanged
+# behavior.
 ROUND_PRIORITY: tuple[str, ...] = (
     # (a) the r7 backlog (r5 rows), oldest coverage in the repo — complete
     # except q_user_set_ops, displaced mid-round by q_ann_pq_topk (see (b))
@@ -79,7 +83,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
     "q_doc_exact_dedup",
-    "q_doc_fingerprints",
     "q_hash_split",
     "q_kmeans_refine",
     "q_lang_id",
@@ -131,6 +134,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # Streaming semantic (embedding) admission gate — the eighth screen:
     # claims q_hash_sample's slot (r5 row, displaced to mandatory r9).
     "q_stream_embedding_gate",
+    # Full IVFADC composition (coarse prune x ADC scoring) + its recall
+    # row: claims q_doc_fingerprints' slot (r5 row, displaced to
+    # mandatory r9).
+    "q_ann_ivfpq_topk",
     "q_curation_funnel",
     "q_dsir_resample",
     "q_cluster_safe_split",
@@ -152,6 +159,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_sql_nation_revenue",
     "q_embedding_norms",
     "q_hash_sample",
+    "q_doc_fingerprints",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

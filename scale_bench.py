@@ -372,6 +372,52 @@ def _timed_admission_gates(
         file=sys.stderr,
     )
 
+    # The same semantic gate at a PRODUCTION dup threshold (cosine 0.9,
+    # 8 bands x 16 bits): random-pair band collision ~ 0.5^16 per band, so
+    # candidates ~ |batch| * bands * (corpus / 2^16) — bucket-bounded, and
+    # the knob a 100 TB deployment turns (more bits per band) instead of
+    # the fixture's recall-tuned 16x6 tau=0.45 regime measured above. The
+    # screen_ratio here is the bucket-bounded evidence the comment in the
+    # entry above claims.
+    STRICT_BANDS, STRICT_BITS, STRICT_TAU = 8, 16, 0.9
+    entry = {
+        "batch": "src vec_id >= EMB_SPLIT (fixed across runs)",
+        "config": f"{STRICT_BANDS}x{STRICT_BITS} tau={STRICT_TAU}",
+    }
+    for tag, corpus in (("base", emb_base), ("scaled", emb_scaled)):
+        t0 = time.perf_counter()
+        keys = engine_cache(
+            banded_lsh_keys(corpus, STRICT_BANDS, STRICT_BITS).select(
+                "vec_id", "band", "bucket"
+            )
+        )
+        vecs = engine_cache(vectors_with_norms(corpus).select("vec_id", "v", "norm"))
+        n_idx = keys.count() + vecs.count()
+        entry[f"index_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        entry[f"index_{tag}_rows"] = n_idx
+        t0 = time.perf_counter()
+        embedding_vs_corpus(
+            keys, vecs, emb_batch, threshold=STRICT_TAU,
+            bands=STRICT_BANDS, bits=STRICT_BITS,
+        ).write.format("noop").mode("overwrite").save()
+        entry[f"screen_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        release_caches()
+    entry["index_ratio"] = round(
+        entry["index_scaled_sec"] / max(entry["index_base_sec"], 1e-9), 2
+    )
+    entry["screen_ratio"] = round(
+        entry["screen_scaled_sec"] / max(entry["screen_base_sec"], 1e-9), 2
+    )
+    results["admission_embedding_strict"] = entry
+    print(
+        f"# admission_embedding_strict: index {entry['index_base_sec']:.2f}s -> "
+        f"{entry['index_scaled_sec']:.2f}s (x{entry['index_ratio']}); "
+        f"screen {entry['screen_base_sec']:.2f}s -> "
+        f"{entry['screen_scaled_sec']:.2f}s (x{entry['screen_ratio']}) "
+        f"at corpus x{factor}",
+        file=sys.stderr,
+    )
+
     # Bloom shrink evidence (VERDICT r07 #4): how much of the fixed
     # batch's gram relation the broadcast pre-filter removes BEFORE the
     # exact corpus-index join, vs the SCALED corpus (more corpus = more

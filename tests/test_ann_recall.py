@@ -52,6 +52,9 @@ def test_recall_pinned_at_smoke_sf(spark):
     assert got == {
         "ivf_p1": 2250,
         "ivf_p2": 4750,
+        # IVFADC == IVF at p1 on this fixture: the coarse prune is the
+        # binding loss; ADC quantization costs nothing further here.
+        "ivfpq_p1": 2250,
         "lsh_p1": 0,
         "lsh_p9": 1750,
         "pq_m32k32": 6250,

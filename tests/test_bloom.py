@@ -13,6 +13,7 @@ from clinical_search_data_pipeline_spark.operators.bloom import (
     BLOOM_M_BITS,
     bloom_build,
     bloom_fp_rate,
+    bloom_params_for,
     bloom_probe,
 )
 from clinical_search_data_pipeline_spark.operators.spans import (
@@ -56,6 +57,21 @@ def test_bloom_relation_bounded_and_broadcastable(spark):
     bloom = bloom_build(_strings(spark, members), "gram")
     assert bloom.count() <= BLOOM_M_BITS // 64
     assert bloom.schema.simpleString() == "struct<word_idx:bigint,bits:bigint>"
+
+
+def test_bloom_self_sizes_past_floor_capacity(spark):
+    # a corpus whose distinct-gram count would saturate the 2^20 floor
+    # (n * 16 bits > 2^20) must get a bigger domain automatically — the
+    # x10-scale saturation regression (fp -> 1, pre-filter useless).
+    n = 90_000  # 90k * 16 = 1.44M bits > 2^20
+    members = [f"corpus gram {i}" for i in range(n)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    meta = dict(bloom.schema["bits"].metadata)
+    assert meta["m_bits"] == bloom_params_for(n)
+    assert meta["m_bits"] > BLOOM_M_BITS
+    absent = [f"novel gram {i}" for i in range(5000)]
+    fp = bloom_probe(_strings(spark, absent), "gram", bloom).count() / 5000
+    assert fp <= 0.05, fp  # analytic ~0.5% at 16 bits/item; wide slack
 
 
 def _gate_fixture(spark):

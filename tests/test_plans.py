@@ -121,6 +121,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_ann_recall",                # inherits exact/IVF broadcast query sets
     "q_bm25_topk",                 # broadcast 1-row (N, avgdl) corpus stats
     "q_zorder_keys",               # broadcast 1-row per-dimension bounds
+    "q_ann_ivfpq_topk",            # broadcast K centroids (coarse assignment)
 }
 
 
