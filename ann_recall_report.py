@@ -68,8 +68,15 @@ def main() -> None:
     print("it scans EVERY candidate (no pruning) but touches only 160-bit")
     print("codes (25x compression) — its recall cost is quantization error")
     print("alone, and it leads the single-stage curve even with codebooks")
-    print("sliced from fixture rows; k-means-trained codebooks and IVF+PQ")
-    print("composition (prune cells, then ADC) are the production steps up.")
+    print("sliced from fixture rows. pq_trained measures the k-means step")
+    print("up: ONE pinned Lloyd round over that init buys +250 to +2000 bp")
+    print("at the same bit budget (and the training round itself is")
+    print("hash-oracled — q_ann_pq_trained_topk). ivfpq_p1/p2 measure the")
+    print("full IVFADC composition (prune cells, then ADC): recall")
+    print("compounds the coarse stage's loss with quantization's — p1")
+    print("tracks ivf_p1, and the first nprobe step buys most of it back")
+    print("at ~500 bp under the full-precision ivf_p2, the memory trade a")
+    print("tuner weighs (codes are 25x smaller than vectors).")
     print("pq_rerank stacks the exact-refine stage on top (q_ann_rerank):")
     print("the ADC pool (6x the final k) is re-scored at full precision —")
     print("n_queries x pool extra exact scores, the raw-vector relation")

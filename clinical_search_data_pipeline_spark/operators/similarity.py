@@ -1172,7 +1172,7 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_train_codebooks(
-    emb: DataFrame, rounds: int = 2, k: int = PQ_K
+    emb: DataFrame, rounds: int = 2, k: int = PQ_K, pinned: bool = False
 ) -> DataFrame:
     """Per-subspace Lloyd k-means over the subvectors — the production
     codebook trainer the sliced-fixture `pq_codebook` stands in for
@@ -1185,7 +1185,16 @@ def pq_train_codebooks(
     per round, never M sequential jobs. Empty cells keep their previous
     codeword (left join + coalesce). Total distortion is monotone
     non-increasing per Lloyd; tests/test_pq_training.py pins that and the
-    recall gain over the sliced init."""
+    recall gain over the sliced init.
+
+    `pinned=True` swaps the native `avg` for the order-pinned left fold
+    (the clustering.updated_centroids discipline: members sorted by
+    vec_id, folded from an explicit 0.0 seed, per (m, j, component) key)
+    so the trained codewords are bit-identical to a DuckDB replay —
+    q_ann_pq_trained_topk's hash oracle rides this. The pinned update is
+    one (m, j, ci)-keyed shuffle — M x K x PQ_SUB uniform groups, the
+    same skew-free shape as the avg path; a float-tolerant production
+    run keeps the default."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
     subs = engine_cache(pq_subvectors(emb))
@@ -1195,15 +1204,35 @@ def pq_train_codebooks(
     ]
     for _ in range(rounds):
         assigned = pq_codes(subs, cb).withColumnRenamed("code", "j")
-        means = (
-            subs.join(assigned, ["vec_id", "m"])
-            .groupBy("m", "j")
-            .agg(*comp_avgs)
-            .withColumn(
-                "cw_new", F.array(*[F.col(f"_c{i}") for i in range(PQ_SUB)])
+        joined = subs.join(assigned, ["vec_id", "m"])
+        if pinned:
+            comp = joined.select(
+                "m", "j", "vec_id", F.posexplode("su").alias("ci", "x")
             )
-            .select("m", "j", "cw_new")
-        )
+            pinned_mu = F.expr(
+                "aggregate(array_sort(collect_list(struct(vec_id, x))), "
+                "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.x)"
+            ) / F.count("*")
+            means = (
+                comp.groupBy("m", "j", "ci")
+                .agg(pinned_mu.alias("mu"))
+                .groupBy("m", "j")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(ci, mu))), "
+                        "s -> s.mu)"
+                    ).alias("cw_new")
+                )
+            )
+        else:
+            means = (
+                joined.groupBy("m", "j")
+                .agg(*comp_avgs)
+                .withColumn(
+                    "cw_new", F.array(*[F.col(f"_c{i}") for i in range(PQ_SUB)])
+                )
+                .select("m", "j", "cw_new")
+            )
         cb = engine_cache(
             cb.join(means, ["m", "j"], "left")
             .select(
@@ -1226,24 +1255,120 @@ def pq_distortion(subs: DataFrame, cb: DataFrame) -> float:
     )
 
 
+# Oracle for the TRAINED-codebook ADC query: one pinned Lloyd round over
+# the subvectors (cb0 = sliced init -> codes0 assignment -> per
+# (m, j, component) order-pinned mean -> cb1, empty cells keeping their
+# init codeword), then the identical encode/distance-table/ADC pipeline as
+# q_ann_pq_topk but against cb1. The pinned fold mirrors
+# clustering._DUCK_KMEANS_CTE's dims CTE, keyed by subspace.
+_DUCK_PQ_TRAINED_CTE = f"""
+u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM n),
+subs AS (
+  SELECT vec_id, m, list_slice(u, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS su
+  FROM u, unnest(range(0, {PQ_M})) AS t(m)
+),
+cb0 AS (
+  SELECT vec_id - {PQ_CODEBOOK_BASE} AS j, m, su AS cw FROM subs
+  WHERE vec_id >= {PQ_CODEBOOK_BASE} AND vec_id < {PQ_CODEBOOK_BASE + PQ_K}
+),
+codes0 AS (
+  SELECT vec_id, m, j FROM (
+    SELECT s.vec_id, s.m, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_duck_l2sq('s.su', 'c.cw')} ASC, c.j ASC
+           ) AS rn
+    FROM subs s JOIN cb0 c ON s.m = c.m
+  ) WHERE rn = 1
+),
+pcomp AS (
+  SELECT s.m, c.j, s.vec_id, unnest(s.su) AS x,
+         generate_subscripts(s.su, 1) AS ci
+  FROM subs s JOIN codes0 c ON s.vec_id = c.vec_id AND s.m = c.m
+),
+pmu AS (
+  SELECT m, j, ci,
+         list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)),
+                     (acc, e) -> acc + e) / count(*) AS mu
+  FROM pcomp GROUP BY m, j, ci
+),
+cwnew AS (SELECT m, j, list(mu ORDER BY ci) AS cw_new FROM pmu GROUP BY m, j),
+cb1 AS (
+  SELECT c.m, c.j, coalesce(w.cw_new, c.cw) AS cw
+  FROM cb0 c LEFT JOIN cwnew w ON c.m = w.m AND c.j = w.j
+),
+codes1 AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT s.vec_id, s.m, c.j,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_duck_l2sq('s.su', 'c.cw')} ASC, c.j ASC
+           ) AS rn
+    FROM subs s JOIN cb1 c ON s.m = c.m
+  ) WHERE rn = 1
+),
+dt1 AS (
+  SELECT q.vec_id AS query_id, q.m, c.j AS code,
+         CAST(round({_duck_l2sq('q.su', 'c.cw')}, 9) AS DECIMAL(18,9)) AS d
+  FROM subs q JOIN cb1 c ON q.m = c.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc1 AS (
+  SELECT t.query_id, s.vec_id, sum(t.d) AS adist
+  FROM codes1 s JOIN dt1 t ON s.m = t.m AND s.code = t.code
+  WHERE s.vec_id <> t.query_id
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "q_ann_pq_trained_topk",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_TRAINED_CTE.lstrip()}
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, vec_id ASC) AS rank,
+       round(CAST(adist AS DOUBLE), 6) AS adist
+FROM adc1 QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "pq", "northstar"),
+)
+def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k under a TRAINED codebook: one order-pinned Lloyd round
+    (pq_train_codebooks(pinned=True)) over the sliced init, then the same
+    broadcast-lookup ADC scoring as q_ann_pq_topk — the whole training
+    round is replayed bit-exactly by the DuckDB oracle, so codebook
+    learning itself is hash-verified, not just pytest-pinned. Recall vs
+    exact is the pq_trained row in q_ann_recall / ANN_RECALL.md."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_pq_adc_topk(
+        emb, codebook=pq_train_codebooks(emb, rounds=1, pinned=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF + PQ composition: prune to the query's cell, score the cell by ADC
 # ---------------------------------------------------------------------------
 
 
 def ann_ivfpq_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
+    nprobe: int = 1,
 ) -> DataFrame:
     """The full FAISS IVFADC composition (Jegou et al. TPAMI 2011 §V.A):
-    the coarse quantizer prunes the search to the query's IVF cell, and the
-    surviving candidates are scored by PQ asymmetric distance — the scan
-    touches cell-filtered CODES only, never raw vectors. At 100 TB this is
-    the memory-and-compute production shape: candidate count / n_centroids,
-    bytes / 25, and the only big-side operations are one cell equi-join and
-    one (m, code) broadcast-table lookup join. Recall compounds the two
-    stages' losses (see q_ann_recall: the fixture's decorrelated geometry
-    makes the coarse stage the binding loss) — raise nprobe / add the
-    exact-refine stage (ann_pq_rerank_topk) to buy it back.
+    the coarse quantizer prunes the search to the query's `nprobe` best
+    IVF cells, and the surviving candidates are scored by PQ asymmetric
+    distance — the scan touches cell-filtered CODES only, never raw
+    vectors. At 100 TB this is the memory-and-compute production shape:
+    candidate count ~ nprobe / n_centroids, bytes / 25, and the only
+    big-side operations are one cell equi-join and one (m, code)
+    broadcast-table lookup join. Recall compounds the two stages' losses
+    (see q_ann_recall: the fixture's decorrelated geometry makes the
+    coarse stage the binding loss) — nprobe>1 widens the probe set on the
+    BROADCAST side only (no duplicate candidates: each vector lives in
+    exactly one cell), and the exact-refine stage (ann_pq_rerank_topk)
+    buys back the quantization loss.
     """
     assigned = ivf_assignments(emb).select("vec_id", "cell")
     subs = pq_subvectors(emb)
@@ -1261,9 +1386,42 @@ def ann_ivfpq_topk(
             .alias("d"),
         )
     )
-    queries = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
-    )
+    if nprobe == 1:
+        queries = assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+        )
+    else:
+        # the ann_ivf_multiprobe_topk probe relation: rank ALL centroids
+        # per query by cosine, keep the nprobe best — n_queries x nprobe
+        # rows, still broadcast-sized.
+        base = vectors_with_norms(emb)
+        cents = base.filter(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + N_CENTROIDS)
+        ).select(
+            (F.col("vec_id") - CENTROID_BASE).alias("pcell"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_cscore").desc(), F.col("pcell").asc()
+        )
+        queries = (
+            base.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qnorm"),
+            )
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "_cscore",
+                F.expr(_spark_dot("qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+            )
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", F.col("pcell").alias("qcell"))
+        )
     # cell prune FIRST: only the query-cell members' codes reach the ADC join
     cand_codes = (
         assigned.join(
@@ -1343,6 +1501,54 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "q_ann_ivfpq_multiprobe",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_CTE.lstrip()},
+cents AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, cell AS qcell
+  FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+ivf_adc AS (
+  SELECT q.query_id, c.vec_id, c.cell, sum(t.d) AS adist
+  FROM cells c
+  JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+  JOIN codes s ON s.vec_id = c.vec_id
+  JOIN dt t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, vec_id AS neighbor_id, cell,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, vec_id ASC) AS rank,
+       round(CAST(adist AS DOUBLE), 6) AS adist
+FROM ivf_adc QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "ivf", "pq"),
+)
+def q_ann_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with nprobe=2: the coarse stage probes the
+    query's two best cells (the recall knob FAISS tunes first), ADC scores
+    the widened candidate set — the `ivfpq_p2` recall row quantifies what
+    one extra probe buys back of the compounded loss."""
+    return ann_ivfpq_topk(
+        read_table(spark, sf_dir, "embeddings"), nprobe=IVF_NPROBE
+    )
+
+
 # ---------------------------------------------------------------------------
 # ANN recall evidence: every approximate variant scored against the exact path
 # ---------------------------------------------------------------------------
@@ -1365,8 +1571,26 @@ ANN_RECALL_VARIANTS = (
     # provably >= pq_m32k32's at equal final k (pool superset argument).
     ("pq_rerank", ann_pq_rerank_topk, "q_ann_rerank", RERANK_POOL),
     # Full IVFADC composition: coarse prune x quantized scoring — the
-    # compounded-loss row a tuner reads against its single-stage parents.
+    # compounded-loss row a tuner reads against its single-stage parents,
+    # plus the first knob FAISS turns (nprobe=2) to buy the loss back.
     ("ivfpq_p1", ann_ivfpq_topk, "q_ann_ivfpq_topk", 1),
+    (
+        "ivfpq_p2",
+        lambda emb: ann_ivfpq_topk(emb, nprobe=IVF_NPROBE),
+        "q_ann_ivfpq_multiprobe",
+        IVF_NPROBE,
+    ),
+    # Trained codebook (one pinned Lloyd round over the sliced init): the
+    # quantization-quality payoff of pq_train_codebooks, at pq_m32k32's
+    # exact scan shape and bit budget.
+    (
+        "pq_trained",
+        lambda emb: ann_pq_adc_topk(
+            emb, codebook=pq_train_codebooks(emb, rounds=1, pinned=True)
+        ),
+        "q_ann_pq_trained_topk",
+        PQ_K,
+    ),
 )
 
 

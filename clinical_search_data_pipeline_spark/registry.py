@@ -59,7 +59,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # near-dup, audio/video/embedding streaming admission gates, the
 # bloom-backed span-gate gram index, the logistic-refined quality
 # classifier, the n-merge declarative BPE trainer, ANN recall evidence,
-# PQ/ADC + IVFADC + two-stage rerank ANN, BM25 retrieval, and the z-order
+# PQ/ADC + IVFADC (p1 and nprobe=2) + trained-codebook + two-stage rerank
+# ANN, BM25 retrieval, and the z-order
 # layout key) — never-checked queries must hold slots, so each query that
 # landed after the initial rotation displaced one r5-row name into
 # ROUND_BACKLOG (those six are at the staleness bound this round, NOT past
@@ -138,8 +139,14 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # row: claims q_doc_fingerprints' slot (r5 row, displaced to
     # mandatory r9).
     "q_ann_ivfpq_topk",
-    "q_curation_funnel",
-    "q_dsir_resample",
+    # Trained-codebook ADC (one pinned Lloyd round, hash-oracled end to
+    # end) + its pq_trained recall row: claims the r7-fresh filler slot
+    # q_curation_funnel held (row age 1 — no staleness debt created).
+    "q_ann_pq_trained_topk",
+    # IVFADC at nprobe=2 (the first FAISS recall knob) + its ivfpq_p2
+    # recall row: claims the r7-fresh filler slot q_dsir_resample held
+    # (row age 1 — no staleness debt created).
+    "q_ann_ivfpq_multiprobe",
     "q_cluster_safe_split",
 )
 

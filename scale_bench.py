@@ -418,31 +418,47 @@ def _timed_admission_gates(
         file=sys.stderr,
     )
 
-    # Bloom shrink evidence (VERDICT r07 #4): how much of the fixed
-    # batch's gram relation the broadcast pre-filter removes BEFORE the
-    # exact corpus-index join, vs the SCALED corpus (more corpus = more
-    # bits set = the hardest case for the filter).
+    # Bloom shrink evidence (VERDICT r07 #4): the admission case the
+    # filter exists for — a mostly-NOVEL batch vs a DISJOINT standing
+    # corpus. (The earlier measurement indexed a corpus that CONTAINED the
+    # batch, so 100% of batch grams were true members and there was —
+    # correctly — nothing to remove; it measured membership, not pruning.)
+    # Disjoint corpus = copy 0's sub-split docs plus every ciphered
+    # replica; true-member fraction ~1%, so the broadcast pre-filter
+    # should cut ~99% of the exact join's input at EITHER corpus scale
+    # (the self-sized m keeps fp flat as the index grows).
     from clinical_search_data_pipeline_spark.operators.bloom import bloom_probe
 
-    idx = engine_cache(corpus_gram_index(docs_scaled))
-    blm = engine_cache(corpus_gram_bloom(idx))
-    grams = word_grams(batch)
+    corpus_disjoint = {
+        "base": docs_base.filter(F.col("doc_id") < INCREMENT_SPLIT),
+        "scaled": docs_scaled.filter(
+            (F.col("doc_id") < INCREMENT_SPLIT)
+            | (F.col("doc_id") >= 10_000_000)
+        ),
+    }
+    grams = engine_cache(word_grams(batch))
     total = grams.count()
-    after = bloom_probe(grams, "gram", blm).count()
+    entry = results["admission_span_bloom"]
+    entry["grams_batch_total"] = total
+    for tag, corpus in corpus_disjoint.items():
+        idx = engine_cache(corpus_gram_index(corpus))
+        blm = engine_cache(corpus_gram_bloom(idx))
+        members = grams.join(idx, "gram").count()
+        after = bloom_probe(grams, "gram", blm).count()
+        entry[f"disjoint_{tag}_index_grams"] = idx.count()
+        entry[f"disjoint_{tag}_true_member_grams"] = members
+        entry[f"disjoint_{tag}_grams_after_bloom"] = after
+        entry[f"disjoint_{tag}_join_input_frac"] = round(
+            after / max(total, 1), 4
+        )
+        print(
+            f"# admission_span_bloom[{tag}]: exact-join input {total} -> "
+            f"{after} grams ({after / max(total, 1):.1%} survive; "
+            f"{members} true members) vs a disjoint "
+            f"{entry[f'disjoint_{tag}_index_grams']}-gram corpus index",
+            file=sys.stderr,
+        )
     release_caches()
-    results["admission_span_bloom"].update(
-        {
-            "grams_batch_total": total,
-            "grams_after_bloom": after,
-            "bloom_join_input_frac": round(after / max(total, 1), 4),
-        }
-    )
-    print(
-        f"# admission_span_bloom: exact-join input {total} -> {after} grams "
-        f"({results['admission_span_bloom']['bloom_join_input_frac']:.1%} "
-        f"survive the broadcast pre-filter vs the x{factor} corpus)",
-        file=sys.stderr,
-    )
 
 
 def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):

@@ -41,6 +41,12 @@ def test_recall_monotone_in_probes(spark):
     rows = _rows(spark)
     assert rows["ivf_p2"]["hits"] > rows["ivf_p1"]["hits"]
     assert rows["lsh_p9"]["hits"] > rows["lsh_p1"]["hits"]
+    assert rows["ivfpq_p2"]["hits"] > rows["ivfpq_p1"]["hits"]
+    # on this fixture quantized scoring never beats full-precision scoring
+    # of the same candidate set (not a theorem — a deterministic pin; a
+    # move here means the codebook or ADC arithmetic changed)
+    assert rows["ivfpq_p2"]["hits"] <= rows["ivf_p2"]["hits"]
+    assert rows["ivfpq_p1"]["hits"] <= rows["ivf_p1"]["hits"]
 
 
 def test_recall_pinned_at_smoke_sf(spark):
@@ -55,10 +61,16 @@ def test_recall_pinned_at_smoke_sf(spark):
         # IVFADC == IVF at p1 on this fixture: the coarse prune is the
         # binding loss; ADC quantization costs nothing further here.
         "ivfpq_p1": 2250,
+        # one extra probe buys +2000 bp; quantization costs 500 bp vs the
+        # full-precision ivf_p2 — the compounding a tuner trades against.
+        "ivfpq_p2": 4250,
         "lsh_p1": 0,
         "lsh_p9": 1750,
         "pq_m32k32": 6250,
         "pq_rerank": 10000,
+        # one pinned Lloyd round over the sliced init buys 250 bp at the
+        # same bit budget — the pq_train_codebooks payoff, hash-oracled.
+        "pq_trained": 6500,
     }, got
 
 

@@ -74,6 +74,20 @@ def test_bloom_self_sizes_past_floor_capacity(spark):
     assert fp <= 0.05, fp  # analytic ~0.5% at 16 bits/item; wide slack
 
 
+def test_bloom_params_survive_lake_round_trip(spark, tmp_path):
+    # the production shape persists the bloom relation next to the gram
+    # index; the self-sized (m, k) must ride the parquet schema so a later
+    # session probes into the same bit domain.
+    members = [f"corpus gram {i}" for i in range(90_000)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    path = str(tmp_path / "bloom")
+    bloom.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.schema["bits"].metadata) == dict(bloom.schema["bits"].metadata)
+    # no false negatives through the round-tripped relation
+    assert bloom_probe(_strings(spark, members[:500]), "gram", back).count() == 500
+
+
 def _gate_fixture(spark):
     corpus = spark.createDataFrame(
         [

@@ -122,6 +122,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_bm25_topk",                 # broadcast 1-row (N, avgdl) corpus stats
     "q_zorder_keys",               # broadcast 1-row per-dimension bounds
     "q_ann_ivfpq_topk",            # broadcast K centroids (coarse assignment)
+    "q_ann_ivfpq_multiprobe",      # broadcast K centroids (probe ranking)
 }
 
 
