@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.functions import timeops
 from clinical_search_data_pipeline_spark.registry import register
-from clinical_search_data_pipeline_spark.sources.readers import load_events
+from clinical_search_data_pipeline_spark.sources.readers import load_events, read_table
 
 ZORDER_BITS = 8  # per-dimension bucket lattice width; z fits in 2*bits
 
@@ -159,4 +159,69 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DAY_SPARK).alias("day_idx"),
         "user_id",
         F.col("__z").alias("zval"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: co-located joins with ZERO exchanges
+# (write path: sources/bucketed.py — the OTHER write-once layout
+# investment next to write_zorder: z-order buys multiplicative file
+# PRUNING for box predicates, bucketing buys exchange-free JOINS)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_REVENUE_ORACLE = """
+SELECT o.o_orderstatus AS orderstatus,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register(
+    "q_bucketed_join",
+    oracle=_BUCKETED_REVENUE_ORACLE,
+    tags=("layout", "sql", "northstar"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order status computed over orders and lineitem AFTER
+    both are persisted as co-bucketed tables on orderkey and joined
+    exchange-free — the write is part of the query (idempotent overwrite
+    under /tmp; table names keyed by sf_dir so scale factors never
+    collide), and the values must equal the plain-parquet oracle: the
+    layout is invisible to readers except through the planner.
+    tests/test_bucketed.py pins the zero-exchange join plan itself."""
+    import hashlib
+
+    from clinical_search_data_pipeline_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderstatus")
+    )
+    items = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    t_o = write_bucketed(
+        orders, f"csdp_bkt_orders_{suffix}", "orderkey",
+        path_root="/tmp/csdp_bucketed",
+    )
+    t_l = write_bucketed(
+        items, f"csdp_bkt_lineitem_{suffix}", "orderkey",
+        path_root="/tmp/csdp_bucketed",
+    )
+    return (
+        read_bucketed(spark, t_l)
+        .join(read_bucketed(spark, t_o), "orderkey")
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
     )

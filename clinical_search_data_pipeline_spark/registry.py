@@ -147,7 +147,11 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # recall row: claims the r7-fresh filler slot q_dsir_resample held
     # (row age 1 — no staleness debt created).
     "q_ann_ivfpq_multiprobe",
-    "q_cluster_safe_split",
+    # Bucketed-table co-located join (write_bucketed: zero-exchange
+    # orderkey join, plan pinned in tests/test_bucketed.py): claims the
+    # r7-fresh filler slot q_cluster_safe_split held (row age 1 — no
+    # staleness debt created).
+    "q_bucketed_join",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8

@@ -1,11 +1,19 @@
-"""Bucketed co-located join: both sides bucketed by the join key on the
-same count -> SortMergeJoin with NO shuffle exchange (the 100 TB fact-fact
-join strategy, sources/bucketed.py)."""
+"""Bucketed-table co-located joins (sources/bucketed.py write_bucketed /
+read_bucketed): the zero-exchange join plan, one-file-per-bucket layout,
+and value transparency vs the plain-parquet join. The 100 TB claim under
+test: a lake that pays ONE bucketed write per fact table never shuffles
+either side again on that join key.
+"""
 
 from __future__ import annotations
 
-from clinical_search_data_pipeline_spark.plans.introspect import physical_plan
+import glob
+
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.plans import introspect as pl
 from clinical_search_data_pipeline_spark.sources.bucketed import (
+    N_JOIN_BUCKETS,
     read_bucketed,
     write_bucketed,
 )
@@ -13,28 +21,67 @@ from clinical_search_data_pipeline_spark.sources.readers import read_table
 from tests.conftest import SF_SMOKE
 
 
-def test_bucketed_join_is_shuffle_free(spark):
-    orders = read_table(spark, SF_SMOKE, "orders")
-    lineitem = read_table(spark, SF_SMOKE, "lineitem")
-    write_bucketed(orders, "b_orders", "o_orderkey", 4, sort_col="o_orderkey")
-    write_bucketed(lineitem, "b_lineitem", "l_orderkey", 4, sort_col="l_orderkey")
+def _bucketed_pair(spark, tmp_path):
+    orders = read_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    items = read_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    root = str(tmp_path / "bkt")
+    t_o = write_bucketed(orders, "t_bkt_orders", "orderkey", path_root=root)
+    t_l = write_bucketed(items, "t_bkt_lineitem", "orderkey", path_root=root)
+    return t_o, t_l, root, orders, items
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, tmp_path):
+    # force the sort-merge path (both sides are tiny at the smoke SF, so
+    # the planner would otherwise broadcast and hide the property under
+    # test), then: co-bucketed scan -> SortMergeJoin with NO exchange on
+    # either side, vs TWO hash exchanges for the identical plain join.
+    t_o, t_l, _root, orders, items = _bucketed_pair(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        with_buckets = read_bucketed(spark, "b_orders").join(
-            read_bucketed(spark, "b_lineitem"),
-            read_bucketed(spark, "b_orders")["o_orderkey"]
-            == read_bucketed(spark, "b_lineitem")["l_orderkey"],
+        bucketed = read_bucketed(spark, t_l).join(
+            read_bucketed(spark, t_o), "orderkey"
         )
-        # force the sort-merge path (broadcast would hide the exchange question)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = physical_plan(with_buckets, mode="simple")
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, plan
-        # the same join on plain parquet DOES shuffle
-        plain = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        assert "Exchange" in physical_plan(plain, mode="simple")
-        # and results agree
-        assert with_buckets.count() == plain.count()
+        plan = pl.physical_plan(bucketed, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "Bucketed: true" in pl.physical_plan(bucketed, "formatted")
+
+        plain = items.join(orders, "orderkey")
+        plain_plan = pl.physical_plan(plain, "simple")
+        assert plain_plan.count("Exchange hashpartitioning") == 2, plain_plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_layout_one_file_per_bucket(spark, tmp_path):
+    # the pre-write repartition uses the same Murmur3-pmod hash as the
+    # bucket spec, so every bucket's rows land in one task -> <= n_buckets
+    # data files, keeping the sorted-scan property intact.
+    _t_o, _t_l, root, _orders, _items = _bucketed_pair(spark, tmp_path)
+    for name in ("t_bkt_orders", "t_bkt_lineitem"):
+        files = glob.glob(f"{root}/{name}/part-*.parquet")
+        assert 0 < len(files) <= N_JOIN_BUCKETS, (name, files)
+
+
+def test_bucketed_join_values_match_plain_join(spark, tmp_path):
+    # the layout must be invisible to readers: identical rows either way.
+    t_o, t_l, _root, orders, items = _bucketed_pair(spark, tmp_path)
+    agg = lambda df: sorted(
+        map(
+            tuple,
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+            .collect(),
+        )
+    )
+    assert agg(
+        read_bucketed(spark, t_l).join(read_bucketed(spark, t_o), "orderkey")
+    ) == agg(items.join(orders, "orderkey"))
