@@ -279,3 +279,66 @@ FROM scored QUALIFY rank <= {BM25_TOP_K}
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_bm25_index_topk",
+    oracle=f"""
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM base),
+postings AS (
+  SELECT word, doc_id, count(*) AS tf, min(dl) AS dl
+  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS word FROM base)
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT DISTINCT query_id, word FROM (
+    SELECT doc_id AS query_id, unnest(w[1:{BM25_QUERY_LEN}]) AS word
+    FROM base WHERE doc_id < {BM25_N_QUERIES}
+  )
+),
+qterms AS (SELECT DISTINCT word FROM q),
+probed AS (SELECT p.* FROM postings p JOIN qterms USING (word)),
+dfreq AS (SELECT word, count(*) AS df FROM probed GROUP BY 1),
+scored AS (
+  SELECT q.query_id, probed.doc_id,
+         round(sum(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * probed.tf * ({BM25_K1} + 1)
+           / (probed.tf + {BM25_K1}
+              * ((1 - {BM25_B}) + {BM25_B} * probed.dl / stats.avgdl))
+         ), 6) AS score
+  FROM probed JOIN q USING (word) JOIN dfreq ON probed.word = dfreq.word
+  CROSS JOIN stats
+  WHERE probed.doc_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank,
+       score
+FROM scored QUALIFY rank <= {BM25_TOP_K}
+""",
+    tags=("text", "retrieval", "northstar"),
+)
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index: build_postings' output is
+    written to the lake and read back before scoring
+    (bm25_topk_from_postings probes only the query terms' posting lists —
+    no document text is touched at query time). The oracle mirrors the
+    index pipeline itself (full postings built, THEN probed), so both the
+    index construction and the probe-side scoring are hash-verified; the
+    values must equal the on-the-fly q_bm25_topk's."""
+    import hashlib
+
+    docs = read_table(spark, sf_dir, "documents")
+    postings, stats = build_postings(docs)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/csdp_bm25_index/{suffix}"
+    postings.write.mode("overwrite").parquet(f"{root}/postings")
+    stats.write.mode("overwrite").parquet(f"{root}/stats")
+    return bm25_topk_from_postings(
+        spark.read.parquet(f"{root}/postings"),
+        spark.read.parquet(f"{root}/stats"),
+        corpus_queries(docs),
+    )

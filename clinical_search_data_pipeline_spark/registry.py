@@ -84,7 +84,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
     "q_doc_exact_dedup",
-    "q_hash_split",
     "q_kmeans_refine",
     "q_lang_id",
     "q_media_decode",
@@ -152,6 +151,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # r7-fresh filler slot q_cluster_safe_split held (row age 1 — no
     # staleness debt created).
     "q_bucketed_join",
+    # BM25 over the persisted inverted index (index built AND probed in
+    # the oracle): claims q_hash_split's slot (r5 row, displaced to
+    # mandatory r9, recorded in ROUND_BACKLOG below).
+    "q_bm25_index_topk",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8
@@ -162,15 +165,17 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # guard bound how long a deferral may stand (see
 # tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
 ROUND_BACKLOG: tuple[str, ...] = (
-    # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys; their
-    # rows are r5, so the staleness guard makes r9 slots MANDATORY
-    # (9 - 5 > 3), not merely backlog.
+    # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
+    # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
+    # q_bm25_index_topk; their rows are r5, so the staleness guard makes
+    # r9 slots MANDATORY (9 - 5 > 3), not merely backlog.
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
     "q_embedding_norms",
     "q_hash_sample",
     "q_doc_fingerprints",
+    "q_hash_split",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

@@ -120,6 +120,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_bpe_train4",                # n broadcast 1-row argmaxes, one per round
     "q_ann_recall",                # inherits exact/IVF broadcast query sets
     "q_bm25_topk",                 # broadcast 1-row (N, avgdl) corpus stats
+    "q_bm25_index_topk",           # same 1-row stats, read from the index
     "q_zorder_keys",               # broadcast 1-row per-dimension bounds
     "q_ann_ivfpq_topk",            # broadcast K centroids (coarse assignment)
     "q_ann_ivfpq_multiprobe",      # broadcast K centroids (probe ranking)
