@@ -483,3 +483,194 @@ FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 )
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(read_table(spark, sf_dir, "documents"))
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall evidence (the text-dedup twin of q_ann_recall)
+# ---------------------------------------------------------------------------
+
+# (bands, rows_per_band) settings a tuner sweeps; each partitions the SAME
+# NUM_HASHES-signature, so one signature aggregation feeds every row and the
+# configs nest: an r-row band agreeing implies every contained band of any
+# finer config agrees, hence candidates(8x1) >= candidates(4x2) >=
+# candidates(2x4) — pinned in tests/test_dedup.py.
+MINHASH_RECALL_CONFIGS: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4))
+
+
+def minhash_recall(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Candidate-recall evidence for banded MinHash-LSH vs the exact
+    prefix-filtered Jaccard pairs — the curve a 100 TB tuner reads before
+    picking (bands, rows_per_band), exactly as q_ann_recall serves the ANN
+    family.
+
+    One row per config: `candidates` (cost proxy — pairs entering exact
+    verification), `hits` (= |candidates ∩ exact pairs|; verification keeps
+    only true pairs, so this IS the surviving-pair count), `possible`
+    (= |exact pairs|), `recall_bp` = floor(hits*10000/possible) — integer
+    basis points, so the value hash can never drift on float rounding.
+
+    Plan: ONE signature aggregation (8 mins over the cached shingle-set
+    relation) feeds all three band projections; candidates meet in a single
+    (config, band, bkey) equi-join; the exact side is the registered
+    q_jaccard_pairs pipeline (its cached shingle subplan is plan-matched by
+    the CacheManager, so the corpus is shingled once). The `possible` scalar
+    rides a broadcast equi-join on a constant key — no BroadcastNestedLoop.
+    """
+    spark = docs.sparkSession
+    sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
+    sh = sets.select("doc_id", F.explode("sset").alias("shingle"))
+    mins = [
+        F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    frames = []
+    for b_cnt, rows in MINHASH_RECALL_CONFIGS:
+        for b in range(b_cnt):
+            frames.append(
+                sig.select(
+                    F.lit(b_cnt).cast("int").alias("bands"),
+                    F.lit(rows).cast("int").alias("rows_per_band"),
+                    "doc_id",
+                    F.lit(b).cast("int").alias("band"),
+                    F.concat_ws(
+                        ",", *[f"mh{b * rows + r}" for r in range(rows)]
+                    ).alias("bkey"),
+                )
+            )
+    banded = frames[0]
+    for fdf in frames[1:]:
+        banded = banded.unionByName(fdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = engine_cache(
+        jaccard_pairs(docs, threshold, k).select("doc_a", "doc_b")
+    )
+    cnt = cand.groupBy("bands", "rows_per_band").agg(
+        F.count("*").alias("candidates")
+    )
+    hits = (
+        cand.join(F.broadcast(exact), ["doc_a", "doc_b"])
+        .groupBy("bands", "rows_per_band")
+        .agg(F.count("*").alias("hits"))
+    )
+    possible = exact.agg(F.count("*").alias("possible")).withColumn(
+        "jkey", F.lit(1)
+    )
+    dim = spark.createDataFrame(
+        list(MINHASH_RECALL_CONFIGS), "bands int, rows_per_band int"
+    ).withColumn("jkey", F.lit(1))
+    return (
+        dim.join(cnt, ["bands", "rows_per_band"], "left")
+        .join(hits, ["bands", "rows_per_band"], "left")
+        .join(F.broadcast(possible), "jkey")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("candidates"), F.lit(0)).cast("long").alias("candidates"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.col("possible").cast("long").alias("possible"),
+            F.expr("div(coalesce(hits, 0) * 10000, possible)").alias("recall_bp"),
+        )
+        .orderBy("bands")
+    )
+
+
+def _minhash_recall_oracle() -> str:
+    """Composed FROM the registered q_jaccard_pairs oracle (registry.oracle_of)
+    so the exact side can never drift from the SQL the driver verifies."""
+    from clinical_search_data_pipeline_spark.registry import oracle_of
+
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT CAST({bc} AS INTEGER) AS bands,"
+        " CAST({rw} AS INTEGER) AS rows_per_band,"
+        " doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            bc=b_cnt,
+            rw=rows,
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b_cnt, rows in MINHASH_RECALL_CONFIGS
+        for b in range(b_cnt)
+    )
+    values = ", ".join(
+        f"(CAST({b_cnt} AS INTEGER), CAST({rows} AS INTEGER))"
+        for b_cnt, rows in MINHASH_RECALL_CONFIGS
+    )
+    return f"""
+WITH {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.bands, a.rows_per_band,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+   AND a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b FROM (
+{oracle_of("q_jaccard_pairs")}
+  )
+),
+cnt AS (
+  SELECT bands, rows_per_band, count(*) AS candidates
+  FROM cand GROUP BY 1, 2
+),
+h AS (
+  SELECT c.bands, c.rows_per_band, count(*) AS hits
+  FROM cand c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+  GROUP BY 1, 2
+),
+p AS (SELECT count(*) AS possible FROM exact)
+SELECT v.bands, v.rows_per_band,
+       COALESCE(cnt.candidates, 0) AS candidates,
+       COALESCE(h.hits, 0) AS hits,
+       p.possible AS possible,
+       COALESCE(h.hits, 0) * 10000 // p.possible AS recall_bp
+FROM (VALUES {values}) v(bands, rows_per_band)
+CROSS JOIN p
+LEFT JOIN cnt ON cnt.bands = v.bands AND cnt.rows_per_band = v.rows_per_band
+LEFT JOIN h ON h.bands = v.bands AND h.rows_per_band = v.rows_per_band
+ORDER BY v.bands
+"""
+
+
+@register(
+    "q_minhash_recall",
+    oracle=_minhash_recall_oracle(),
+    tags=("dedup", "lsh", "evidence"),
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost evidence table for banded MinHash-LSH vs exact Jaccard
+    pairs: one row per (bands, rows_per_band) over the shared 8-hash
+    signature. The dedup-family twin of q_ann_recall."""
+    return minhash_recall(read_table(spark, sf_dir, "documents"))

@@ -134,6 +134,77 @@ def value_quantiles_struct(
     return agg.select(*out_cols)
 
 
+CMS_DEPTH = 4  # independent hash rows; P[all rows overcount] decays per row
+CMS_WIDTH = 256  # buckets per row; E[overcount per row] <= N / width
+CMS_HEAVY_DEN = 64  # heavy-hitter threshold: est >= total / 64 (integer form)
+
+
+def cms_user_counts(
+    events: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count–Min Sketch (Cormode & Muthukrishnan 2005) point estimates for
+    per-user event counts, against the exact counts as evidence.
+
+    Unlike HLL++/t-digest above, a CMS built from DETERMINISTIC hash rows
+    (md5-derived, functions/hashing.hash64 — the same oracle-checkable
+    family the dedup keys use) is bit-reproducible in any engine, so this
+    is the sketch family's first FULL value-hash oracle: `est` itself is
+    value-checked, not fenced behind a tolerance boolean.
+
+    Scale shape: the sketch build explodes each event to `depth` (row,
+    bucket) cells and aggregates — map-side combine caps every partition's
+    shuffle contribution at depth*width rows (4*256 here), INDEPENDENT of
+    key cardinality; that fixed-size state is the entire point of CMS at
+    100 TB. Point queries join the (tiny, broadcast) sketch on (d, bucket)
+    and take the min across rows. The exact side (one user_id-keyed agg)
+    exists as evidence for the oracle and the overcount columns — a 100 TB
+    deployment keeps only the sketch.
+
+    Output per user: exact, est (>= exact always — CMS never undercounts),
+    overcount, and `is_heavy` := est * CMS_HEAVY_DEN >= total(events) —
+    the phi=1/64 heavy-hitter test in exact integer arithmetic (CMS
+    guarantees no false negatives under this test)."""
+    ds = F.array(*[F.lit(d) for d in range(depth)])
+
+    def bucket(key: F.Column) -> F.Column:
+        from clinical_search_data_pipeline_spark.functions.hashing import hash64
+
+        return hash64(
+            F.concat(F.col("d").cast("string"), F.lit(":"), key)
+        ) % width
+
+    ins = events.select(F.col("user_id").cast("string").alias("key")).select(
+        "key", F.explode(ds).alias("d")
+    )
+    sketch = ins.select("d", bucket(F.col("key")).alias("bucket")).groupBy(
+        "d", "bucket"
+    ).agg(F.count("*").alias("c"))
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(ds).alias("d"),
+    ).withColumn("bucket", bucket(F.col("user_id").cast("string")))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    total = events.agg(F.count("*").alias("total")).withColumn("jkey", F.lit(1))
+    return (
+        est.withColumn("jkey", F.lit(1))
+        .join(F.broadcast(total), "jkey")
+        .select(
+            "user_id",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            (F.col("est") * CMS_HEAVY_DEN >= F.col("total")).alias("is_heavy"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _E_SKETCH = f"""
 WITH e AS (
   SELECT user_id, event_type, value, {duck_event_date('ts')} AS event_date
@@ -167,6 +238,49 @@ FROM e GROUP BY 1
 )
 def q_approx_daily_traffic_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_daily_traffic_struct(load_events(spark, sf_dir))
+
+
+def _cms_oracle() -> str:
+    from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64
+
+    h = duck_hash64("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    ds = ", ".join(f"({d})" for d in range(CMS_DEPTH))
+    return f"""
+WITH ds(d) AS (VALUES {ds}),
+ins AS (
+  SELECT d, {h} % {CMS_WIDTH} AS bucket
+  FROM events CROSS JOIN ds
+),
+sketch AS (SELECT d, bucket, count(*) AS c FROM ins GROUP BY 1, 2),
+ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+probes AS (
+  SELECT user_id, exact, d, {h} % {CMS_WIDTH} AS bucket
+  FROM ex CROSS JOIN ds
+),
+est AS (
+  SELECT p.user_id, p.exact, min(s.c) AS est
+  FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY 1, 2
+),
+t AS (SELECT count(*) AS total FROM events)
+SELECT user_id, exact, est, est - exact AS overcount,
+       est * {CMS_HEAVY_DEN} >= total AS is_heavy
+FROM est CROSS JOIN t
+ORDER BY user_id
+"""
+
+
+@register(
+    "q_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("sketch", "northstar", "evidence"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min Sketch per-user count estimates + phi=1/64 heavy-hitter
+    flags, value-hash-oracled end to end (deterministic md5-derived hash
+    rows make the estimates themselves engine-reproducible — unlike the
+    HLL/t-digest queries above, no tolerance boolean is needed)."""
+    return cms_user_counts(load_events(spark, sf_dir))
 
 
 @register(

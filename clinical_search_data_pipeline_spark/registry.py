@@ -79,7 +79,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_ann_lsh_topk",
     "q_approx_daily_traffic_struct",
     "q_bpe_merge_step",
-    "q_bpe_token_counts",
     "q_cosine_topk_vectorized",
     "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
@@ -87,7 +86,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_kmeans_refine",
     "q_lang_id",
     "q_media_decode",
-    "q_mixture_sample",
     "q_mixture_weights",
     "q_neardup_clusters",
     "q_passage_dup_stats",
@@ -155,6 +153,15 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # the oracle): claims q_hash_split's slot (r5 row, displaced to
     # mandatory r9, recorded in ROUND_BACKLOG below).
     "q_bm25_index_topk",
+    # MinHash-LSH recall/cost evidence table (the dedup twin of
+    # q_ann_recall): claims q_bpe_token_counts' slot (r5 row, displaced to
+    # mandatory r9, recorded in ROUND_BACKLOG below).
+    "q_minhash_recall",
+    # Count-Min-Sketch heavy hitters — the sketch family's first FULL
+    # value-hash oracle (deterministic md5-derived hash rows): claims
+    # q_mixture_sample's slot (r5 row, displaced to mandatory r9,
+    # recorded in ROUND_BACKLOG below).
+    "q_cms_heavy_hitters",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8
@@ -167,8 +174,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
 ROUND_BACKLOG: tuple[str, ...] = (
     # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
     # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
-    # q_bm25_index_topk; their rows are r5, so the staleness guard makes
-    # r9 slots MANDATORY (9 - 5 > 3), not merely backlog.
+    # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters; their
+    # rows are r5, so the staleness guard makes r9 slots MANDATORY
+    # (9 - 5 > 3), not merely backlog.
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
@@ -176,6 +184,8 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_hash_sample",
     "q_doc_fingerprints",
     "q_hash_split",
+    "q_bpe_token_counts",
+    "q_mixture_sample",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

@@ -107,6 +107,11 @@ HEAVY_FAMILY = (
     # posting lists (and output) are corpus-size-INDEPENDENT — time should
     # track the one token scan, evidencing the filter-before-shuffle claim.
     "q_bm25_topk",
+    # MinHash-LSH recall evidence: output is CONSTANT (one row per band
+    # config) at any corpus size; time must track the underlying
+    # jaccard/minhash entries above since the evidence table is exactly
+    # their pipelines plus config-keyed counting.
+    "q_minhash_recall",
 )
 
 # Per-user-WINDOW family, measured on a corpus where EVENTS are replicated
@@ -123,6 +128,12 @@ SESSION_FAMILY = (
     # output exactly event-linear, time the scan; any keyed exchange
     # appearing here would be a plan regression.
     "q_zorder_keys",
+    # Count-Min Sketch: output rows = distinct users (exactly factor-linear
+    # on the disjoint-population corpus) while the sketch build's shuffle
+    # stays depth*width-bounded per partition — the fixed-size-state claim
+    # measured. 10x keys into a fixed 256-bucket row also grows overcounts;
+    # est >= exact still holds by construction.
+    "q_cms_heavy_hitters",
 )
 # Deliberately excluded: q_embedding_neardup (exact all-pairs — quadratic in
 # corpus size BY CONTRACT) and q_semdedup (its quadratic term is bounded per

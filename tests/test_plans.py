@@ -124,6 +124,8 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_zorder_keys",               # broadcast 1-row per-dimension bounds
     "q_ann_ivfpq_topk",            # broadcast K centroids (coarse assignment)
     "q_ann_ivfpq_multiprobe",      # broadcast K centroids (probe ranking)
+    "q_minhash_recall",            # broadcast 1-row |exact pairs| scalar
+    "q_cms_heavy_hitters",         # broadcast 1-row corpus event total
 }
 
 

@@ -53,3 +53,43 @@ def test_quantiles_bracket_exact(spark):
         assert e.e45 <= row.p50 <= e.e55
         assert e.e97 <= row.p99 <= e.hi
         assert row.p50 <= row.p95 <= row.p99 <= e.hi
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The two CMS guarantees on the fixture: est >= exact for EVERY key
+    (min of rows that each counted the key plus non-negative collisions),
+    and — the depth-4 min at work — max overcount within the classic
+    e*N/width Markov bound, which P[exceed] <= e^-depth makes effectively
+    deterministic on a fixed fixture."""
+    import math
+
+    from clinical_search_data_pipeline_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_user_counts,
+    )
+
+    events = load_events(spark, SF_SMOKE)
+    rows = cms_user_counts(events).collect()
+    n = events.count()
+    assert len(rows) == events.select("user_id").distinct().count()
+    assert all(r.est >= r.exact for r in rows)
+    assert all(r.overcount == r.est - r.exact for r in rows)
+    assert max(r.overcount for r in rows) <= math.ceil(math.e * n / CMS_WIDTH)
+
+
+def test_cms_heavy_flag_is_exact_integer_threshold(spark):
+    """is_heavy := est * 64 >= total(events), in integer arithmetic. At
+    sf0.001 every user clears the 1/64 bar (15 uniform users), so the flag
+    is exercised TRUE here and FALSE at the driver's sf0.01 (150 users) —
+    non-vacuous in both directions across the suite."""
+    from clinical_search_data_pipeline_spark.operators.sketches import (
+        CMS_HEAVY_DEN,
+        cms_user_counts,
+    )
+
+    events = load_events(spark, SF_SMOKE)
+    rows = cms_user_counts(events).collect()
+    total = events.count()
+    for r in rows:
+        assert r.is_heavy == (r.est * CMS_HEAVY_DEN >= total)
+    assert all(r.is_heavy for r in rows)  # 15 users, ~1/15 share each
