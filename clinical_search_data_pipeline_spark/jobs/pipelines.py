@@ -256,6 +256,7 @@ def ingest_admission_job(
     sf_dir: str,
     out_dir: str,
     corpus_split: int | None = None,
+    snapshot_table: str | None = None,
 ) -> Mapping[str, int]:
     """Ingest-time admission over a document stream: ALL SEVEN gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
@@ -271,6 +272,14 @@ def ingest_admission_job(
     `out_dir` must not already exist: verdicts are appended per micro-batch
     and the summary is computed by reading the sink back, so replaying into
     a populated directory would silently double-count every document.
+
+    `snapshot_table` (optional) additionally publishes each micro-batch's
+    ADMITTED documents to a manifest-committed snapshot table
+    (sinks/manifest.write_snapshot, mode="append"): a concurrent reader of
+    the curated lake sees only whole micro-batches — never the raw
+    in-progress parquet appends — and can pin any earlier version (time
+    travel) while the stream keeps admitting. Empty batches publish no
+    version (F5 short-circuit).
 
     This is the composition the seven registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
@@ -318,6 +327,7 @@ def ingest_admission_job(
         attach_neardup_video,
         video_fingerprints,
     )
+    from clinical_search_data_pipeline_spark.sinks import manifest as manifest_sink
     from clinical_search_data_pipeline_spark.sources.readers import read_table
     from clinical_search_data_pipeline_spark.streaming.stream_queries import (
         stage_incremental_batch_source,
@@ -414,7 +424,23 @@ def ingest_admission_job(
                 & (F.col("video_status") == "admitted"),
             )
         )
-        verdicts.write.mode("append").parquet(out_dir)
+        if snapshot_table is None:
+            verdicts.write.mode("append").parquet(out_dir)
+            return
+        # publishing path: the verdict relation feeds both sinks, so pin it
+        # once instead of recomputing the seven-gate join chain
+        verdicts = verdicts.persist()
+        try:
+            verdicts.write.mode("append").parquet(out_dir)
+            admitted = batch_df.join(
+                verdicts.filter("admitted").select("doc_id"), "doc_id"
+            ).select(*(f.name for f in schema.fields))
+            if admitted.limit(1).count() > 0:
+                manifest_sink.write_snapshot(
+                    admitted, snapshot_table, mode="append"
+                )
+        finally:
+            verdicts.unpersist()
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     if not pathlib.Path(out_dir).exists():
@@ -424,4 +450,13 @@ def ingest_admission_job(
     out = spark.read.parquet(out_dir)
     n = out.count()
     n_adm = out.filter("admitted").count()
-    return {"docs_screened": n, "docs_admitted": n_adm}
+    summary = {"docs_screened": n, "docs_admitted": n_adm}
+    if snapshot_table is not None:
+        versions = manifest_sink.snapshots(snapshot_table)
+        summary["snapshot_versions"] = len(versions)
+        summary["snapshot_rows"] = (
+            manifest_sink.read_snapshot(spark, snapshot_table).count()
+            if versions
+            else 0
+        )
+    return summary

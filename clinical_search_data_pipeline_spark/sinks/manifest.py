@@ -107,7 +107,16 @@ def write_snapshot(
         version = (parent or 0) + 1
         files = list(new_files)
         if mode == "append" and parent is not None:
-            files = _read_manifest(table, parent)["files"] + files
+            pm = _read_manifest(table, parent)
+            if pm["schema"] != schema_json:
+                # mixing schemas under one manifest would make the reader
+                # null-fill silently (explicit-schema parquet scan) — fail
+                # loudly; widen via an overwrite snapshot instead
+                raise ValueError(
+                    f"append schema differs from snapshot v{parent} at "
+                    f"{table}; publish mode='overwrite' to change schema"
+                )
+            files = pm["files"] + files
         manifest = {
             "version": version,
             "parent": parent,
@@ -131,6 +140,37 @@ def write_snapshot(
     raise RuntimeError(
         f"snapshot commit lost {max_retries} races on {table}; giving up"
     )
+
+
+def merge_snapshot(
+    df: DataFrame, table: str, keys: list[str] | tuple[str, ...]
+) -> int:
+    """Keyed upsert into the snapshot table — the lake twin of
+    `sinks/jdbc.upsert_to_jdbc`: rows of the latest snapshot whose key
+    matches an incoming row are replaced, everything else is carried
+    forward, and the result publishes atomically as ONE new overwrite
+    snapshot (readers see the pre-merge or post-merge table, never a mix).
+
+    Replay-idempotent by construction: merging the same `df` twice yields
+    the same table. The anti-join + union is a key-partitioned shuffle of
+    the current snapshot — at 100 TB, partition the table so the merge
+    prunes to affected partitions (the same discipline the JDBC staged
+    merge documents)."""
+    spark = df.sparkSession
+    if not _versions(table):
+        return write_snapshot(df, table, mode="overwrite")
+    current = read_snapshot(spark, table)
+    # compare name+type only: a parquet read is always nullable, while an
+    # in-memory frame may carry non-null fields for the same data
+    shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+    if shape(current.schema) != shape(df.schema):
+        raise ValueError(
+            f"merge schema differs from the latest snapshot at {table}"
+        )
+    merged = current.join(
+        df.select(*keys).distinct(), list(keys), "left_anti"
+    ).unionByName(df)
+    return write_snapshot(merged, table, mode="overwrite")
 
 
 def read_snapshot(

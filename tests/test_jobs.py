@@ -539,3 +539,41 @@ def test_every_admission_gate_is_total_over_degenerate_docs(spark):
     for name, df in gates.items():
         got = {r.doc_id for r in df.select("doc_id").collect()}
         assert got == ids, (name, got)
+
+
+def test_ingest_admission_job_snapshot_publish(spark, tmp_path):
+    """Opt-in manifest publish: each non-empty micro-batch's admitted
+    documents land as ONE append snapshot — the latest snapshot equals the
+    admitted set in the verdict sink, every intermediate version is a
+    prefix of the next (append never rewrites parent files), and a reader
+    pinned to version 1 still resolves after the stream finishes."""
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+    from tests.conftest import SF_SMOKE
+
+    out_dir = str(tmp_path / "admission")
+    table = str(tmp_path / "curated")
+    summary = ingest_admission_job(spark, SF_SMOKE, out_dir, snapshot_table=table)
+    assert summary["snapshot_rows"] == summary["docs_admitted"] > 0
+    assert summary["snapshot_versions"] >= 1
+
+    verdicts = spark.read.parquet(out_dir)
+    admitted_ids = {r.doc_id for r in verdicts.filter("admitted").collect()}
+    latest_ids = {r.doc_id for r in m.read_snapshot(spark, table).collect()}
+    assert latest_ids == admitted_ids
+
+    log = m.snapshots(table)
+    assert [s["version"] for s in log] == list(range(1, len(log) + 1))
+    prev: set = set()
+    for s in log:
+        ids = {
+            r.doc_id
+            for r in m.read_snapshot(spark, table, version=s["version"]).collect()
+        }
+        assert prev < ids  # strictly growing, prefix-preserving
+        prev = ids
+    # a reader pinned to the first publish is unaffected by later commits
+    v1 = m.read_snapshot(spark, table, version=1)
+    assert 0 < v1.count() <= summary["docs_admitted"]

@@ -101,3 +101,44 @@ def test_read_empty_table_and_bad_mode(spark, tmp_path):
         m.read_snapshot(spark, str(tmp_path / "missing"))
     with pytest.raises(ValueError):
         m.write_snapshot(_df(spark, 0, 1), str(tmp_path / "t"), mode="merge")
+
+
+def test_append_schema_drift_fails_loudly(spark, tmp_path):
+    """Mixing schemas under one manifest would silently null-fill on read
+    (explicit-schema parquet scan) — append must refuse instead."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    widened = _df(spark, 5, 7).selectExpr("id", "v", "v + 1 AS extra")
+    with pytest.raises(ValueError, match="schema"):
+        m.write_snapshot(widened, table, mode="append")
+    # schema CHANGE ships as an overwrite snapshot — and the narrow v1
+    # stays time-travel readable with ITS schema
+    m.write_snapshot(widened, table)
+    assert m.read_snapshot(spark, table).columns == ["id", "v", "extra"]
+    assert m.read_snapshot(spark, table, version=1).columns == ["id", "v"]
+
+
+def test_merge_snapshot_upsert_and_idempotent_replay(spark, tmp_path):
+    """Keyed upsert: matched keys replaced, others carried forward, result
+    one atomic snapshot; replaying the same merge changes nothing."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)  # ids 0..3, v = 2*id
+    patch = spark.range(2, 6).selectExpr("id", "id * 100 AS v")  # upd 2,3; ins 4,5
+    v = m.merge_snapshot(patch, table, keys=["id"])
+    got = {r.id: r.v for r in m.read_snapshot(spark, table).collect()}
+    assert got == {0: 0, 1: 2, 2: 200, 3: 300, 4: 400, 5: 500}
+    v2 = m.merge_snapshot(patch, table, keys=["id"])  # replay
+    assert v2 == v + 1
+    got2 = {r.id: r.v for r in m.read_snapshot(spark, table).collect()}
+    assert got2 == got
+    # pre-merge table still pinned at version 1 (time travel)
+    assert {r.id for r in m.read_snapshot(spark, table, version=1).collect()} == {0, 1, 2, 3}
+
+
+def test_merge_snapshot_bootstrap_and_schema_guard(spark, tmp_path):
+    table = str(tmp_path / "t")
+    assert m.merge_snapshot(_df(spark, 0, 2), table, keys=["id"]) == 1
+    with pytest.raises(ValueError, match="schema"):
+        m.merge_snapshot(
+            _df(spark, 0, 1).selectExpr("id"), table, keys=["id"]
+        )
