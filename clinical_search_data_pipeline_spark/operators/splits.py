@@ -467,3 +467,115 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs).select("doc_a", "doc_b")
     return cluster_safe_split(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# PPS (probability-proportional-to-size) systematic sampling
+# ---------------------------------------------------------------------------
+
+PPS_SAMPLES = 64  # target sample size k; stride S = floor(total_weight / k)
+PPS_SEED = "pps-v1"
+_PPS_BUCKET_SHIFT = 54  # 60-bit hash >> 54 -> 64 uniform buckets
+
+
+def pps_sample(
+    docs: DataFrame, k: int = PPS_SAMPLES, seed: str = PPS_SEED
+) -> DataFrame:
+    """Systematic PPS sample (Madow): ~k documents drawn with probability
+    proportional to size (weight = n_chars), in EXACT integer arithmetic.
+
+    Mixture recipes weight shards by bytes/tokens, not document counts;
+    uniform hash sampling (q_hash_sample) under-represents long documents
+    by exactly the factor PPS corrects. Classic weighted reservoirs
+    (Efraimidis–Spirakis) rank by u^(1/w) — float pow whose last-ulp
+    behavior is engine-specific, so it can never be value-hash-oracled.
+    Systematic PPS needs only integer sums and floor-division: order docs
+    by a seeded hash (the random phase), take the running weight sum, and
+    pick each doc with multiplicity
+        picks = floor((cum_before + w) / S) - floor(cum_before / S),
+    S = floor(W / k). The per-doc picks telescope to EXACTLY floor(W / S)
+    total (pytest-pinned), any doc with w >= S is picked with certainty,
+    and every figure is bit-identical in any engine.
+
+    Distributed shape (the token_budget/train_order scheme): the seeded
+    hash's top 6 bits form 64 uniform buckets; per-bucket weight totals (a
+    64-row metadata relation — its prefix-sum window is the ONLY
+    single-partition step) yield broadcast bucket offsets, and the
+    within-bucket running sum rides a bucket-keyed window. Bucket-major +
+    within-bucket order IS the total (shuffle_key, doc_id) order, so the
+    result equals the naive global window. The 1-row grand total rides a
+    broadcast constant-key join (bounded-scalar allowlist).
+    """
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("w"),
+        hash64(F.concat_ws(":", F.lit(seed), F.col("doc_id"))).alias("shuffle_key"),
+    ).withColumn("bucket", F.shiftright("shuffle_key", _PPS_BUCKET_SHIFT))
+    totals = keyed.groupBy("bucket").agg(F.sum("w").alias("t"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("offset"),
+    )
+    # integer div throughout: `/` on longs is DOUBLE division in Spark,
+    # exact only below 2^53 — a 100 TB weight total is past that
+    grand = totals.agg(F.sum("t").alias("tot")).select(
+        F.greatest(F.expr(f"div(tot, {k})"), F.lit(1).cast("long")).alias("stride"),
+        F.lit(1).alias("jkey"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    cum = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("offset") + F.coalesce(
+                F.sum("w").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("jkey", F.lit(1))
+        .join(F.broadcast(grand), "jkey")
+    )
+    picks = F.expr("div(cum_before + w, stride) - div(cum_before, stride)")
+    return (
+        cum.withColumn("picks", picks.cast("long"))
+        .filter(F.col("picks") >= 1)
+        .select("doc_id", "lang", "w", "cum_before", "stride", "picks")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_pps_sample",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, n_chars::BIGINT AS w,
+         {duck_hash64(f"'{PPS_SEED}' || ':' || CAST(doc_id AS VARCHAR)")}
+           AS shuffle_key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, w,
+         COALESCE(sum(w) OVER (
+           ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS cum_before
+  FROM k
+),
+t AS (
+  SELECT GREATEST(sum(w) // {PPS_SAMPLES}, 1)::BIGINT AS stride FROM k
+)
+SELECT doc_id, lang, w, cum_before, stride,
+       ((cum_before + w) // stride - cum_before // stride)::BIGINT AS picks
+FROM c CROSS JOIN t
+WHERE (cum_before + w) // stride - cum_before // stride >= 1
+ORDER BY doc_id
+""",
+    tags=("sampling", "northstar"),
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample over documents, weight = n_chars: ~64 docs
+    drawn proportional-to-size in exact integer arithmetic (see
+    pps_sample). Certainty items (w >= stride) carry picks > 1."""
+    return pps_sample(read_table(spark, sf_dir, "documents"))

@@ -94,7 +94,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_sequence_pack",
     "q_simhash_buckets",
     "q_simhash_fingerprints",
-    "q_stratified_sample",
     "q_stream_corpus_filter",
     "q_tfidf_top_terms",
     "q_token_budget",
@@ -162,6 +161,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # q_mixture_sample's slot (r5 row, displaced to mandatory r9,
     # recorded in ROUND_BACKLOG below).
     "q_cms_heavy_hitters",
+    # Systematic PPS sampling (exact-integer weighted sampling over the
+    # bucket-offset distributed prefix sum): claims q_stratified_sample's
+    # slot (r5 row, displaced to mandatory r9, recorded below).
+    "q_pps_sample",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8
@@ -174,9 +177,9 @@ ROUND_PRIORITY: tuple[str, ...] = (
 ROUND_BACKLOG: tuple[str, ...] = (
     # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
     # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
-    # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters; their
-    # rows are r5, so the staleness guard makes r9 slots MANDATORY
-    # (9 - 5 > 3), not merely backlog.
+    # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters /
+    # q_pps_sample; their rows are r5, so the staleness guard makes r9
+    # slots MANDATORY (9 - 5 > 3), not merely backlog.
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
@@ -186,6 +189,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_hash_split",
     "q_bpe_token_counts",
     "q_mixture_sample",
+    "q_stratified_sample",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",

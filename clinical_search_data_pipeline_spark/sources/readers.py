@@ -149,6 +149,27 @@ def read_csv_log(
     )
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — the fourth bronze wire format (Hive-ecosystem exports
+    commonly arrive as ORC; Spark bundles the reader natively).
+
+    Columnar like parquet, so predicate pushdown and column pruning apply
+    unchanged; an explicit schema skips footer inference and pins types
+    across runs (the read_json_log/read_csv_log determinism rule)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC writer (round-trip partner of read_orc); fully parallel, same
+    small-file discipline as the parquet sink — no coalesce(1)."""
+    df.write.mode(mode).orc(path)
+
+
 def with_lineage(df: DataFrame, ingestion_type: str, as_of=None) -> DataFrame:
     """Bronze lineage columns (reference batch_to_archive_raw.py:156-161).
 

@@ -112,6 +112,11 @@ HEAVY_FAMILY = (
     # jaccard/minhash entries above since the evidence table is exactly
     # their pipelines plus config-keyed counting.
     "q_minhash_recall",
+    # Systematic PPS sample: output ~k rows CONSTANT at any corpus size
+    # (stride scales with the weight total); the only non-scan work is
+    # the 64-row bucket-offset prefix sum + bucket-keyed cumsum window —
+    # time must track the scan.
+    "q_pps_sample",
 )
 
 # Per-user-WINDOW family, measured on a corpus where EVENTS are replicated

@@ -18,6 +18,9 @@ FLOAT_FOLD_QUERIES = [
     "q_dsir_weights",
     "q_word_entropy",
     "q_ewma_user_values",
+    # integer, not float — but its distributed prefix sum rides bucket
+    # windows whose equality with the global order is the whole claim
+    "q_pps_sample",
 ]
 
 
