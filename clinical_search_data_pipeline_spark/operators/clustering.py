@@ -250,3 +250,156 @@ def q_semdedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         read_table(spark, sf_dir, "embeddings"), assignments_fn=kmeans_refined_cells
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the cosine-similarity graph
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS_SIM = 0.38  # edge iff cosine >= this (the eps-neighborhood,
+#                        stated as similarity; 0.45 = the near-dup gate
+#                        yields a pure disjoint-pair graph on the fixture —
+#                        0.38 exposes all three DBSCAN roles)
+DBSCAN_MINPTS = 2  # neighbors (excluding self) required for a core point
+
+
+def dbscan_clusters(
+    emb: DataFrame,
+    eps_sim: float = DBSCAN_EPS_SIM,
+    min_pts: int = DBSCAN_MINPTS,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    embedding corpus with the eps-neighborhood stated as cosine >= eps_sim:
+    (vec_id, role in {core, border, noise}, cluster; -1 for noise).
+
+    k-means (above) forces every vector into a cell; curation wants the
+    opposite for noise filtering — keep dense semantic regions, name the
+    stragglers. DBSCAN is deterministic here (no seeds): core = a vector
+    with >= min_pts neighbors, clusters = connected components of the
+    CORE-core subgraph (min-id labels via the two-phase O(log^2 n)
+    machinery), border = a non-core vector adjacent to >= 1 core (joins
+    its MINIMUM core neighbor's cluster — the deterministic tie-break for
+    the classic 'border reachable from two clusters' ambiguity), noise =
+    everything else.
+
+    Plan shape: the eps-graph comes from the block-pair equi-join
+    (embedding_neardup_pairs — never a CartesianProduct), cached once and
+    reused for degrees, the core-core subgraph, and border attachment;
+    cores/components are bounded relations and broadcast into the
+    attachment joins. Output covers EVERY corpus vector (one narrow left
+    join from the vector scan).
+    """
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        vectors_with_norms,
+    )
+
+    pairs = engine_cache(
+        embedding_neardup_pairs(emb, eps_sim).select("vec_a", "vec_b")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    deg = sym.groupBy("vec_a").agg(F.count("*").alias("degree"))
+    cores = deg.filter(F.col("degree") >= min_pts).select(
+        F.col("vec_a").alias("node")
+    )
+    core_edges = (
+        pairs.join(F.broadcast(cores), pairs.vec_a == cores.node)
+        .drop("node")
+        .join(F.broadcast(cores), pairs.vec_b == cores.node)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(core_edges)
+    core_clusters = (
+        cores.join(F.broadcast(comp), "node", "left")
+        .select(
+            "node",
+            # a core with no core neighbor is its own (singleton) cluster
+            F.coalesce(F.col("component"), F.col("node")).alias("cluster"),
+        )
+    )
+    border = (
+        sym.join(
+            F.broadcast(core_clusters),
+            sym.vec_b == core_clusters.node,
+        )
+        .join(F.broadcast(cores.select(F.col("node").alias("_c"))),
+              sym.vec_a == F.col("_c"), "left_anti")
+        .groupBy(F.col("vec_a").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_clusters.select(
+        "node", F.lit("core").alias("role"), "cluster"
+    ).unionByName(border.select("node", F.lit("border").alias("role"), "cluster"))
+    return (
+        vectors_with_norms(emb)
+        .select("vec_id")
+        .join(F.broadcast(labeled), F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.coalesce(F.col("cluster"), F.lit(-1)).cast("long").alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_dbscan_clusters",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {_duck_dot('a.v', 'b.v')} / (a.norm * b.norm) >= {DBSCAN_EPS_SIM}
+),
+sym AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+deg AS (SELECT s AS node, count(*) AS degree FROM sym GROUP BY 1),
+cores AS (SELECT node FROM deg WHERE degree >= {DBSCAN_MINPTS}),
+cedges AS (
+  SELECT p.vec_a AS a, p.vec_b AS b
+  FROM pairs p
+  JOIN cores c1 ON c1.node = p.vec_a
+  JOIN cores c2 ON c2.node = p.vec_b
+),
+cboth AS (SELECT a, b FROM cedges UNION ALL SELECT b, a FROM cedges),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT node, node FROM cores
+    UNION
+    SELECT e.a, r.label FROM r JOIN cboth e ON e.b = r.node
+  )
+  SELECT node, min(label) AS cluster FROM r GROUP BY 1
+),
+border AS (
+  SELECT s.s AS node, min(rc.cluster) AS cluster
+  FROM sym s
+  JOIN reach rc ON rc.node = s.d
+  WHERE s.s NOT IN (SELECT node FROM cores)
+  GROUP BY 1
+)
+SELECT n.vec_id,
+       CASE WHEN r.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(r.cluster, b.cluster, -1) AS cluster
+FROM n
+LEFT JOIN reach r ON r.node = n.vec_id
+LEFT JOIN border b ON b.node = n.vec_id
+ORDER BY n.vec_id
+""",
+    tags=("clustering", "northstar"),
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the cosine eps-graph: every corpus vector labeled
+    core/border/noise with a deterministic min-id cluster (see
+    dbscan_clusters)."""
+    return dbscan_clusters(read_table(spark, sf_dir, "embeddings"))

@@ -99,7 +99,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_token_budget",
     "q_train_order",
     "q_value_quantiles_struct",
-    "q_winnow_fingerprints",
     "q_winnow_pairs",
     # (b) new this round — never driver-checked, must hold slots.
     # (Names below are swapped in one commit at a time as each new query
@@ -165,6 +164,11 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # bucket-offset distributed prefix sum): claims q_stratified_sample's
     # slot (r5 row, displaced to mandatory r9, recorded below).
     "q_pps_sample",
+    # DBSCAN over the cosine eps-graph (core/border/noise + min-id
+    # clusters via the two-phase components machinery): claims
+    # q_winnow_fingerprints' slot (r5 row, displaced to mandatory r9,
+    # recorded below; its sibling q_winnow_pairs keeps its slot).
+    "q_dbscan_clusters",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8
@@ -178,8 +182,9 @@ ROUND_BACKLOG: tuple[str, ...] = (
     # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
     # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
     # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters /
-    # q_pps_sample; their rows are r5, so the staleness guard makes r9
-    # slots MANDATORY (9 - 5 > 3), not merely backlog.
+    # q_pps_sample / q_dbscan_clusters; their rows are r5, so the
+    # staleness guard makes r9 slots MANDATORY (9 - 5 > 3), not merely
+    # backlog.
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
@@ -190,6 +195,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_bpe_token_counts",
     "q_mixture_sample",
     "q_stratified_sample",
+    "q_winnow_fingerprints",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",
