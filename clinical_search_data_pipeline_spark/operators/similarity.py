@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.caching import engine_cache
+from clinical_search_data_pipeline_spark.functions.hashing import duck_hash64, hash64
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_table
 
@@ -1695,3 +1696,138 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (variant, probes, hits, possible, recall_bp) vs exact
     q_cosine_topk. ANN_RECALL.md records the measured curve per SF."""
     return ann_recall(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (DPR-style positives / hard / random negs)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_SEED = "cntr-v1"
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    seed: str = CONTRASTIVE_SEED,
+) -> DataFrame:
+    """Training pairs for a retrieval model (Karpukhin et al. 2020, DPR):
+    per query — `positive` = exact top-k, `hard_negative` = ranks
+    (k, 2k] (the mining band that carries most of the contrastive
+    gradient), `random_negative` = k hash-ranked picks from OUTSIDE the
+    top-2k (reproducible across engines and epochs via the seed; swap the
+    seed to re-draw).
+
+    Plan: ONE broadcast-queries scan + rank window (exactly cosine_topk's
+    shape); the random tier adds a second window over the rank>2k subset
+    ordered by the seeded hash — both windows partition by query_id (the
+    bounded query set, same documented hazard class as cosine_topk). No
+    new shuffle classes, no second corpus scan.
+    """
+    base = vectors_with_norms(emb)
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w_rank))
+    pos = ranked.filter(F.col("rank") <= k).withColumn(
+        "tier", F.lit("positive")
+    )
+    hard = ranked.filter(
+        (F.col("rank") > k) & (F.col("rank") <= 2 * k)
+    ).withColumn("tier", F.lit("hard_negative"))
+    w_hash = Window.partitionBy("query_id").orderBy(
+        hash64(
+            F.concat_ws(
+                ":", F.lit(seed), F.col("query_id"), F.col("neighbor_id")
+            )
+        ).asc(),
+        F.col("neighbor_id").asc(),
+    )
+    rand = (
+        ranked.filter(F.col("rank") > 2 * k)
+        .withColumn("hrank", F.row_number().over(w_hash))
+        .filter(F.col("hrank") <= k)
+        .drop("hrank")
+        .withColumn("tier", F.lit("random_negative"))
+    )
+    out_cols = [
+        "query_id",
+        "neighbor_id",
+        "tier",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score"),
+    ]
+    return (
+        pos.select(*out_cols)
+        .unionByName(hard.select(*out_cols))
+        .unionByName(rand.select(*out_cols))
+        .orderBy("query_id", "tier", "rank")
+    )
+
+
+@register(
+    "q_contrastive_pairs",
+    oracle=f"""
+WITH {_DUCK_BASE_CTE},
+q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         {_duck_dot('n.v', 'q.qv')} / (n.norm * q.qnorm) AS raw_score
+  FROM n, q WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+rand AS (
+  SELECT query_id, neighbor_id, raw_score, rank,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {duck_hash64(
+               f"'{CONTRASTIVE_SEED}:' || CAST(query_id AS VARCHAR)"
+               " || ':' || CAST(neighbor_id AS VARCHAR)")} ASC,
+                    neighbor_id ASC
+         ) AS hrank
+  FROM ranked WHERE rank > 2 * {TOP_K}
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, 'positive' AS tier,
+         rank::BIGINT AS rank, round(raw_score, 4) AS score
+  FROM ranked WHERE rank <= {TOP_K}
+  UNION ALL
+  SELECT query_id, neighbor_id, 'hard_negative', rank::BIGINT,
+         round(raw_score, 4)
+  FROM ranked WHERE rank > {TOP_K} AND rank <= 2 * {TOP_K}
+  UNION ALL
+  SELECT query_id, neighbor_id, 'random_negative', rank::BIGINT,
+         round(raw_score, 4)
+  FROM rand WHERE hrank <= {TOP_K}
+)
+ORDER BY query_id, tier, rank
+""",
+    tags=("similarity", "training", "northstar"),
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style contrastive training pairs per fixed query: exact top-k
+    positives, the (k, 2k] hard-negative band, and k seeded-hash random
+    negatives from outside it (see contrastive_pairs)."""
+    return contrastive_pairs(read_table(spark, sf_dir, "embeddings"))

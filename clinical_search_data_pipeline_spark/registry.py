@@ -80,7 +80,6 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_approx_daily_traffic_struct",
     "q_bpe_merge_step",
     "q_cosine_topk_vectorized",
-    "q_decontaminate",
     "q_dedup_keys_xxhash_struct",
     "q_doc_exact_dedup",
     "q_kmeans_refine",
@@ -169,6 +168,10 @@ ROUND_PRIORITY: tuple[str, ...] = (
     # q_winnow_fingerprints' slot (r5 row, displaced to mandatory r9,
     # recorded below; its sibling q_winnow_pairs keeps its slot).
     "q_dbscan_clusters",
+    # DPR-style contrastive pair mining (positives / hard band / seeded
+    # random negatives): claims q_decontaminate's slot (r5 row, displaced
+    # to mandatory r9, recorded below).
+    "q_contrastive_pairs",
 )
 
 # Queries whose latest driver row is r6 and which did NOT fit the round-8
@@ -182,9 +185,12 @@ ROUND_BACKLOG: tuple[str, ...] = (
     # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
     # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
     # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters /
-    # q_pps_sample / q_dbscan_clusters; their rows are r5, so the
-    # staleness guard makes r9 slots MANDATORY (9 - 5 > 3), not merely
-    # backlog.
+    # q_pps_sample / q_dbscan_clusters / q_contrastive_pairs; their rows
+    # are r5, so the staleness guard makes r9 slots MANDATORY (9 - 5 > 3),
+    # not merely backlog. (13 mandatory + the 49-name r6 cohort = 62
+    # claims on r9's 50 slots — the spill holds r10 slots under the
+    # in-window exemption, exactly as the split-permission note above
+    # records.)
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
@@ -196,6 +202,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_mixture_sample",
     "q_stratified_sample",
     "q_winnow_fingerprints",
+    "q_decontaminate",
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",
