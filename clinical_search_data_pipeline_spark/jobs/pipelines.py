@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clinical_search_data_pipeline_spark.operators import ingest, marts
+from clinical_search_data_pipeline_spark.sinks import manifest as manifest_sink
 from clinical_search_data_pipeline_spark.sinks import parquet as pq_sink
 from clinical_search_data_pipeline_spark.streaming.dedup import (
     silver_writer,
@@ -88,18 +89,27 @@ def mart_etl_job(
     out_dir: str,
     builders: Mapping[str, Callable[[DataFrame], DataFrame]] = COLD_MART_BUILDERS,
     partition_col: str | None = "event_date",
+    snapshot: bool = False,
 ) -> dict[str, int]:
     """Silver -> four cold marts, overwrite (reference
     etl_to_analytics_mart.py:57-207). The input is cached across the four
     pipelines instead of the reference's four re-scans + post-write
-    re-counts; counts come from the write-side frames."""
+    re-counts; counts come from the write-side frames.
+
+    ``snapshot=True`` publishes each mart through the manifest-committed
+    sink instead of an in-place overwrite: a dashboard racing the nightly
+    rebuild reads the previous complete version until the commit lands,
+    and any earlier version stays pinnable (sinks/manifest.py).
+    `mart_load_job(..., snapshot=True)` is the matching reader."""
     events = events.cache()
     written: dict[str, int] = {}
     try:
         for name, build in builders.items():
             mart = build(events)
             path = f"{out_dir}/{name}"
-            if partition_col and partition_col in mart.columns:
+            if snapshot:
+                manifest_sink.write_snapshot(mart, path, mode="overwrite")
+            elif partition_col and partition_col in mart.columns:
                 pq_sink.write_partitioned(mart, path, partition_col, mode="overwrite")
             else:
                 mart.write.mode("overwrite").parquet(path)
@@ -147,14 +157,21 @@ def mart_load_job(
     marts_dir: str,
     tables: tuple[str, ...],
     sink: Sink,
+    snapshot: bool = False,
 ) -> dict[str, int]:
     """Gold parquet -> serving DB (reference load_to_postgres.py:78-127).
     `sink(df, table)` is the JDBC overwrite in production
     (sinks/jdbc.write_jdbc with truncate=True keeps serving-side DDL) and a
-    recorder in tests."""
+    recorder in tests. ``snapshot=True`` resolves each table through its
+    committed manifest (latest version) instead of a raw directory scan —
+    the load can never ship a half-written rebuild."""
     loaded: dict[str, int] = {}
     for table in tables:
-        df = spark.read.parquet(f"{marts_dir}/{table}")
+        path = f"{marts_dir}/{table}"
+        if snapshot:
+            df = manifest_sink.read_snapshot(spark, path)
+        else:
+            df = spark.read.parquet(path)
         sink(df, table)
         loaded[table] = df.count()
     return loaded
@@ -327,7 +344,6 @@ def ingest_admission_job(
         attach_neardup_video,
         video_fingerprints,
     )
-    from clinical_search_data_pipeline_spark.sinks import manifest as manifest_sink
     from clinical_search_data_pipeline_spark.sources.readers import read_table
     from clinical_search_data_pipeline_spark.streaming.stream_queries import (
         stage_incremental_batch_source,

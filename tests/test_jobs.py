@@ -577,3 +577,33 @@ def test_ingest_admission_job_snapshot_publish(spark, tmp_path):
     # a reader pinned to the first publish is unaffected by later commits
     v1 = m.read_snapshot(spark, table, version=1)
     assert 0 < v1.count() <= summary["docs_admitted"]
+
+
+def test_mart_etl_snapshot_publish_and_load(spark, tmp_path):
+    """snapshot=True publishes each mart atomically through the manifest
+    sink: a rebuild creates version 2 per mart while a reader pinned to
+    version 1 still resolves; mart_load_job(snapshot=True) ships the
+    latest committed version."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    written = pipelines.mart_etl_job(events, out, snapshot=True)
+    assert set(written) == set(pipelines.COLD_MART_BUILDERS)
+    rewritten = pipelines.mart_etl_job(events, out, snapshot=True)
+    assert rewritten == written
+    for table, n in written.items():
+        log = m.snapshots(f"{out}/{table}")
+        assert [s["version"] for s in log] == [1, 2]
+        # v1 (pre-rebuild) stays pinnable and identical for this input
+        assert m.read_snapshot(spark, f"{out}/{table}", version=1).count() == n
+
+    recorded: dict[str, int] = {}
+    loaded = pipelines.mart_load_job(
+        spark,
+        out,
+        tuple(written),
+        sink=lambda df, table: recorded.__setitem__(table, df.count()),
+        snapshot=True,
+    )
+    assert loaded == written == recorded
