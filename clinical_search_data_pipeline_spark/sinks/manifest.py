@@ -192,6 +192,23 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def compact_snapshot(
+    spark: SparkSession, table: str, target_files: int = 4
+) -> int:
+    """OPTIMIZE for snapshot tables: rewrite the LATEST version's data into
+    `target_files` files and publish the result as a new overwrite
+    snapshot — readers of the old (many-small-files) version are
+    untouched until vacuum reclaims it, and the swap is atomic like every
+    other commit here. The streaming admission path appends one
+    micro-batch's files per version, so periodic compaction is what keeps
+    scan-side file counts bounded (the parquet sink's `compact()` twin,
+    without the in-place rewrite)."""
+    current = read_snapshot(spark, table)
+    return write_snapshot(
+        current.repartition(target_files), table, mode="overwrite"
+    )
+
+
 def snapshots(table: str) -> list[dict]:
     """The commit log, oldest first: version, parent, mode, num_files."""
     out = []

@@ -142,3 +142,29 @@ def test_merge_snapshot_bootstrap_and_schema_guard(spark, tmp_path):
         m.merge_snapshot(
             _df(spark, 0, 1).selectExpr("id"), table, keys=["id"]
         )
+
+
+def test_compact_snapshot_bounds_files_and_preserves_data(spark, tmp_path):
+    """OPTIMIZE: many append-era small files rewrite into target_files in
+    ONE new version; the data is unchanged, the pre-compaction version
+    stays readable until vacuumed, and vacuum then reclaims the small
+    files without touching the compacted ones."""
+    table = str(tmp_path / "t")
+    # simulate the streaming shape: many tiny appended versions
+    for lo in range(0, 50, 10):
+        m.write_snapshot(
+            _df(spark, lo, lo + 10).repartition(4),
+            table,
+            mode="append" if lo else "overwrite",
+        )
+    before = m.snapshots(table)[-1]
+    assert before["num_files"] >= 15
+    v = m.compact_snapshot(spark, table, target_files=3)
+    after = m._read_manifest(table, v)
+    assert after["num_files"] <= 3
+    assert _ids(m.read_snapshot(spark, table)) == list(range(50))
+    # pre-compaction version still readable...
+    assert _ids(m.read_snapshot(spark, table, version=v - 1)) == list(range(50))
+    # ...until vacuum, which must keep the compacted version intact
+    m.vacuum(table, keep_last=1)
+    assert _ids(m.read_snapshot(spark, table)) == list(range(50))
