@@ -216,6 +216,7 @@ def training_export_job(
     lake_dir: str,
     token_budget: int | None = None,
     seed: str = "epoch0",
+    snapshot: bool = False,
 ) -> Mapping[str, int]:
     """End-to-end training-corpus export: the LLM-curation counterpart to
     the reference's mart ETLs. Admission funnel -> per-language token
@@ -227,6 +228,11 @@ def training_export_job(
     semi-joins against the corpus — the text column is scanned once at the
     final write, never reshuffled through the selection logic. Deterministic
     end to end: same corpus + budget + seed => byte-identical lake.
+
+    ``snapshot=True`` publishes the export through the manifest-committed
+    sink (one atomic version per run): a trainer's dataloader enumerating
+    the lake mid-re-export reads the previous complete epoch, never a mix
+    of two, and any earlier epoch stays pinnable by version.
     """
     from clinical_search_data_pipeline_spark.operators.curation import (
         TOKEN_BUDGET,
@@ -256,13 +262,18 @@ def training_export_job(
         .join(F.broadcast(picked), "doc_id")
         .join(F.broadcast(ordered), "doc_id")
     )
-    pq_sink.write_partitioned(
-        export,
-        lake_dir,
-        partition_col="lang",
-        mode="overwrite",
-        target_files_per_partition=2,
-    )
+    if snapshot:
+        manifest_sink.write_snapshot(
+            export.repartition(2, "lang"), lake_dir, mode="overwrite"
+        )
+    else:
+        pq_sink.write_partitioned(
+            export,
+            lake_dir,
+            partition_col="lang",
+            mode="overwrite",
+            target_files_per_partition=2,
+        )
     n = export.count()
     toks = export.agg(F.sum("n_tokens")).collect()[0][0] or 0
     return {"docs_exported": n, "tokens_exported": int(toks)}
