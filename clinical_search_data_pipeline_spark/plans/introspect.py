@@ -62,3 +62,56 @@ def assert_pushed_filters(df: DataFrame) -> None:
         if "PushedFilters:" in line
     ]
     assert any(p != "[]" for p in pushed), f"no pushed filters:\n{plan}"
+
+
+def scale_lint(df: DataFrame) -> list[str]:
+    """Pre-flight scale diagnostics for a USER plan: the same hazards the
+    repo's plan tests pin for registered queries, surfaced as warnings a
+    notebook user can act on before submitting a 100 TB run. Returns one
+    human-readable string per finding (empty list = no findings).
+
+    Heuristics, not proofs — a BroadcastNestedLoopJoin over a bounded
+    scalar side is a designed plan in several registered queries (see
+    tests/test_plans.py BOUNDED_BROADCAST_NLJ_OK), so findings name the
+    hazard and the usual fix rather than failing."""
+    findings: list[str] = []
+    plan = physical_plan(df, "simple")
+    if "CartesianProduct" in plan:
+        findings.append(
+            "CartesianProduct: all-pairs shuffle join — rewrite candidate "
+            "generation as an equi-join on a bucket/band/block key"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            "BroadcastNestedLoopJoin: every row meets the whole broadcast "
+            "side — fine for a bounded scalar/query set, a scale bug "
+            "otherwise; add an equi-join key if the side grows with data"
+        )
+    if "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan:
+        findings.append(
+            "SortMergeJoin with no broadcast anywhere: if one side is a "
+            "small dim, hint broadcast() to drop its shuffle+sort"
+        )
+    # a global (un-partitioned) window or global sort serializes the data
+    # through one task
+    if "Exchange SinglePartition" in plan:
+        findings.append(
+            "Exchange SinglePartition: a global window/limit/sort funnels "
+            "everything through one task — partition the window by a key "
+            "or use the bucket-offset prefix-sum pattern "
+            "(operators/curation.token_budget_sample)"
+        )
+    detailed = physical_plan(df)
+    pushed = [
+        line.split("PushedFilters:", 1)[1].strip()
+        for line in detailed.splitlines()
+        if "PushedFilters:" in line
+    ]
+    if pushed and all(p == "[]" for p in pushed) and "Filter" in plan:
+        findings.append(
+            "Filter present but no PushedFilters on any scan: the "
+            "predicate runs after a full read — filter on source columns "
+            "before derived ones, or check the column isn't wrapped in an "
+            "expression at the scan"
+        )
+    return findings
