@@ -51,146 +51,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-8 window: (a) the r7 backlog (r5 rows) leads, exactly as the
-# hygiene guard demands — rotating them in brings every registered query's
-# staleness within the mechanical bound
-# (test_no_query_row_older_than_max_staleness); (b) the remaining slots
-# hold this round's NEW registrations (text canonicalization + normalized
-# near-dup, audio/video/embedding streaming admission gates, the
-# bloom-backed span-gate gram index, the logistic-refined quality
-# classifier, the n-merge declarative BPE trainer, ANN recall evidence,
-# PQ/ADC + IVFADC (p1 and nprobe=2) + trained-codebook + two-stage rerank
-# ANN, BM25 retrieval, and the z-order
-# layout key) — never-checked queries must hold slots, so each query that
-# landed after the initial rotation displaced one r5-row name into
-# ROUND_BACKLOG (those six are at the staleness bound this round, NOT past
-# it, and MUST lead the r9 window). Everything with an r6 row is also
-# recorded in ROUND_BACKLOG and must lead the r9 window (r9 may split the
-# backlog across r9/r10 as long as the leftover names hold r10 slots,
-# which the staleness guard's in-window exemption permits). All
-# rotated-out names keep valid driver rows at their current, unchanged
-# behavior.
+# Round-9 window: the backlog arithmetic left essentially no free slots —
+# 12 names displaced during r8 carry r5 driver rows (the K=3 staleness
+# guard binds at 9-5, so their slots are MANDATORY), and the 50-name r6
+# cohort was recorded in r8's ROUND_BACKLOG. 12 + 50 = 62 claims on 50
+# slots, so the window is filled with the 12 mandatory names plus 38 of
+# the cohort; the 12 leftover cohort names are deferred to r10 under the
+# staleness guard's in-window exemption (they hold r10 slots — recorded
+# in ROUND_BACKLOG below with ROUND_BACKLOG_DEFERRED_IN = 9, which the
+# backlog-neglect test turns into a hard failure if r10 forgets). Any NEW
+# query registered this round must itself claim a slot (never-checked
+# guard), displacing one more cohort name into the deferred set. All
+# rotated-out r8/r7-row names keep valid driver rows at their current,
+# unchanged behavior (ages 1-2, no staleness debt).
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the r7 backlog (r5 rows), oldest coverage in the repo — complete
-    # except q_user_set_ops, displaced mid-round by q_ann_pq_topk (see (b))
-    "q_ann_ivf_multiprobe",
-    "q_ann_ivf_topk",
-    "q_ann_lsh_multiprobe",
-    "q_ann_lsh_topk",
-    "q_approx_daily_traffic_struct",
-    "q_bpe_merge_step",
-    "q_cosine_topk_vectorized",
-    "q_dedup_keys_xxhash_struct",
-    "q_doc_exact_dedup",
-    "q_kmeans_refine",
-    "q_lang_id",
-    "q_media_decode",
-    "q_mixture_weights",
-    "q_neardup_clusters",
-    "q_passage_dup_stats",
-    "q_repetition_quality",
-    "q_semdedup_refined",
-    "q_sequence_pack",
-    "q_simhash_buckets",
-    "q_simhash_fingerprints",
-    "q_stream_corpus_filter",
-    "q_tfidf_top_terms",
-    "q_token_budget",
-    "q_train_order",
-    "q_value_quantiles_struct",
-    "q_winnow_pairs",
-    # (b) new this round — never driver-checked, must hold slots.
-    # (Names below are swapped in one commit at a time as each new query
-    # lands; interim fillers are r7-fresh rows so the window is always 50
-    # valid names.)
-    "q_normalize_text",
-    "q_jaccard_pairs_normalized",
-    "q_minhash_lsh_normalized",
-    "q_stream_audio_gate",
-    "q_stream_video_gate",
-    "q_span_gate_bloom",
-    "q_quality_classifier_refined",
-    "q_bpe_train4",
-    "q_ann_recall",
-    # PQ/ADC landed mid-r8: never checked, claims the slot q_user_set_ops
-    # held (r5 row — at the staleness bound this round, NOT past it; it
-    # MUST lead the r9 window, recorded in ROUND_BACKLOG below).
-    "q_ann_pq_topk",
-    # BM25 retrieval and the normalized z-order layout key landed late-r8:
-    # never checked, each claims the slot of an r5-row name displaced into
-    # ROUND_BACKLOG (q_pivot_event_types, q_sql_nation_revenue — at the
-    # staleness bound this round, NOT past it; both MUST lead the r9
-    # window, recorded below).
-    "q_bm25_topk",
-    "q_zorder_keys",
-    # Two-stage PQ->exact rerank, and its row in the recall evidence table:
-    # claims q_embedding_norms' slot (r5 row, displaced to mandatory r9).
-    "q_ann_rerank",
-    # Streaming semantic (embedding) admission gate — the eighth screen:
-    # claims q_hash_sample's slot (r5 row, displaced to mandatory r9).
-    "q_stream_embedding_gate",
-    # Full IVFADC composition (coarse prune x ADC scoring) + its recall
-    # row: claims q_doc_fingerprints' slot (r5 row, displaced to
-    # mandatory r9).
-    "q_ann_ivfpq_topk",
-    # Trained-codebook ADC (one pinned Lloyd round, hash-oracled end to
-    # end) + its pq_trained recall row: claims the r7-fresh filler slot
-    # q_curation_funnel held (row age 1 — no staleness debt created).
-    "q_ann_pq_trained_topk",
-    # IVFADC at nprobe=2 (the first FAISS recall knob) + its ivfpq_p2
-    # recall row: claims the r7-fresh filler slot q_dsir_resample held
-    # (row age 1 — no staleness debt created).
-    "q_ann_ivfpq_multiprobe",
-    # Bucketed-table co-located join (write_bucketed: zero-exchange
-    # orderkey join, plan pinned in tests/test_bucketed.py): claims the
-    # r7-fresh filler slot q_cluster_safe_split held (row age 1 — no
-    # staleness debt created).
-    "q_bucketed_join",
-    # BM25 over the persisted inverted index (index built AND probed in
-    # the oracle): claims q_hash_split's slot (r5 row, displaced to
-    # mandatory r9, recorded in ROUND_BACKLOG below).
-    "q_bm25_index_topk",
-    # MinHash-LSH recall/cost evidence table (the dedup twin of
-    # q_ann_recall): claims q_bpe_token_counts' slot (r5 row, displaced to
-    # mandatory r9, recorded in ROUND_BACKLOG below).
-    "q_minhash_recall",
-    # Count-Min-Sketch heavy hitters — the sketch family's first FULL
-    # value-hash oracle (deterministic md5-derived hash rows): claims
-    # q_mixture_sample's slot (r5 row, displaced to mandatory r9,
-    # recorded in ROUND_BACKLOG below).
-    "q_cms_heavy_hitters",
-    # Systematic PPS sampling (exact-integer weighted sampling over the
-    # bucket-offset distributed prefix sum): claims q_stratified_sample's
-    # slot (r5 row, displaced to mandatory r9, recorded below).
-    "q_pps_sample",
-    # DBSCAN over the cosine eps-graph (core/border/noise + min-id
-    # clusters via the two-phase components machinery): claims
-    # q_winnow_fingerprints' slot (r5 row, displaced to mandatory r9,
-    # recorded below; its sibling q_winnow_pairs keeps its slot).
-    "q_dbscan_clusters",
-    # DPR-style contrastive pair mining (positives / hard band / seeded
-    # random negatives): claims q_decontaminate's slot (r5 row, displaced
-    # to mandatory r9, recorded below).
-    "q_contrastive_pairs",
-)
-
-# Queries whose latest driver row is r6 and which did NOT fit the round-8
-# window (the full 50-name r6 cohort — r8's window is consumed by the 38
-# r5-row names plus the round's new registrations). They MUST lead the
-# round-9 window; with them checked at r9, no registered query's row will
-# be older than 3 rounds. `ROUND_BACKLOG_DEFERRED_IN` lets the hygiene
-# guard bound how long a deferral may stand (see
-# tests/test_registry_hygiene.py::test_round_backlog_not_neglected).
-ROUND_BACKLOG: tuple[str, ...] = (
-    # displaced mid-r8 by q_ann_pq_topk / q_bm25_topk / q_zorder_keys /
-    # q_stream_embedding_gate / q_ann_rerank / q_ann_ivfpq_topk /
-    # q_bm25_index_topk / q_minhash_recall / q_cms_heavy_hitters /
-    # q_pps_sample / q_dbscan_clusters / q_contrastive_pairs; their rows
-    # are r5, so the staleness guard makes r9 slots MANDATORY (9 - 5 > 3),
-    # not merely backlog. (13 mandatory + the 49-name r6 cohort = 62
-    # claims on r9's 50 slots — the spill holds r10 slots under the
-    # in-window exemption, exactly as the split-permission note above
-    # records.)
+    # (a) the 12 MANDATORY names: displaced mid-r8, latest driver row r5,
+    # at the staleness bound exactly this round.
     "q_user_set_ops",
     "q_pivot_event_types",
     "q_sql_nation_revenue",
@@ -203,6 +79,8 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_stratified_sample",
     "q_winnow_fingerprints",
     "q_decontaminate",
+    # (b) 38 of the 50-name r6 cohort (rows r6, age 3 — refreshed here so
+    # they never cross the bound).
     "q_anomaly_sessions",
     "q_bigram_nll",
     "q_bpe_tokenize2",
@@ -240,11 +118,20 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_source_overlap",
     "q_stream_anomaly",
     "q_stream_dedup_keys",
+    "q_strip_dup_spans",
+)
+
+# The 12 r6-cohort names deferred to r10 (rows r6 — age 4 at r10, so the
+# staleness guard makes their r10 slots MANDATORY; the backlog-neglect
+# test below enforces the same thing one round after DEFERRED_IN). The
+# split was chosen to move the four slowest streaming twins plus eight
+# cheap batch tails out of the r9 driver budget; all 12 are unchanged
+# code with green r6 rows.
+ROUND_BACKLOG: tuple[str, ...] = (
     "q_stream_dsir_gate",
     "q_stream_incremental_dedup",
     "q_stream_span_gate",
     "q_stream_traffic_minute",
-    "q_strip_dup_spans",
     "q_text_quality",
     "q_time_remap",
     "q_top_revenue_orders",
@@ -254,7 +141,7 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_word_entropy",
     "q_zipf_profile",
 )
-ROUND_BACKLOG_DEFERRED_IN = 8  # the round whose window displaced them
+ROUND_BACKLOG_DEFERRED_IN = 9  # the round whose window displaced them
 
 
 def _load_modules() -> None:
