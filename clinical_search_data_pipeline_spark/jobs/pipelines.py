@@ -108,7 +108,18 @@ def mart_etl_job(
             mart = build(events)
             path = f"{out_dir}/{name}"
             if snapshot:
-                manifest_sink.write_snapshot(mart, path, mode="overwrite")
+                # partitioned marts publish the reference's date-layout
+                # THROUGH the commit log: per-file partition values land in
+                # the manifest, so mart_load_job(..., snapshot=True) readers
+                # partition-prune without listing the whole table
+                pb = (
+                    [partition_col]
+                    if partition_col and partition_col in mart.columns
+                    else None
+                )
+                manifest_sink.write_snapshot(
+                    mart, path, mode="overwrite", partition_by=pb
+                )
             elif partition_col and partition_col in mart.columns:
                 pq_sink.write_partitioned(mart, path, partition_col, mode="overwrite")
             else:
@@ -264,7 +275,10 @@ def training_export_job(
     )
     if snapshot:
         manifest_sink.write_snapshot(
-            export.repartition(2, "lang"), lake_dir, mode="overwrite"
+            export.repartition(2, "lang"),
+            lake_dir,
+            mode="overwrite",
+            partition_by=["lang"],
         )
     else:
         pq_sink.write_partitioned(

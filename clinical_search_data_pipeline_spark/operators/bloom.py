@@ -139,13 +139,31 @@ def bloom_probe(
     No shuffle of `df`; the helper columns are dropped on exit.
 
     `m_bits`/`n_hashes` default to the values `bloom_build` recorded in
-    the bloom relation's `bits` column metadata (falling back to the
-    module floor for a relation built by hand)."""
+    the bloom relation's `bits` column metadata. If the metadata is gone
+    (a transform stripped it, or the relation was rebuilt by hand) and the
+    parameters were not passed explicitly, this RAISES instead of guessing:
+    probing a self-sized filter (m up to 2^27) under the wrong m hashes
+    into the wrong domain and reports true members definitely-absent —
+    false negatives that silently corrupt every admission pre-filter built
+    on top (ADVICE r8). Pass m_bits/n_hashes explicitly for hand-built
+    relations."""
     meta = dict(bloom.schema["bits"].metadata or {})
     if m_bits is None:
-        m_bits = int(meta.get("m_bits", BLOOM_M_BITS))
+        if "m_bits" not in meta:
+            raise ValueError(
+                "bloom relation carries no m_bits metadata (stripped or "
+                "hand-built); pass m_bits= explicitly — guessing the bit "
+                "domain would produce false NEGATIVES"
+            )
+        m_bits = int(meta["m_bits"])
     if n_hashes is None:
-        n_hashes = int(meta.get("n_hashes", BLOOM_HASHES))
+        if "n_hashes" not in meta:
+            raise ValueError(
+                "bloom relation carries no n_hashes metadata (stripped or "
+                "hand-built); pass n_hashes= explicitly — guessing the "
+                "hash count would produce false NEGATIVES"
+            )
+        n_hashes = int(meta["n_hashes"])
     out = df
     conds = []
     for i, pos in enumerate(_positions(col, m_bits, n_hashes)):

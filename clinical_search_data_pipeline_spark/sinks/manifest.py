@@ -1,4 +1,5 @@
-"""Snapshot-committed parquet sink: atomic publish, time travel, vacuum.
+"""Snapshot-committed parquet sink: atomic publish, time travel, partition
+pruning, file skipping, and vacuum.
 
 The reference publishes marts by rewriting directories in place (the K2/K4
 overwrite + compaction path, streaming_to_curated_stream.py:186-214): a
@@ -17,6 +18,13 @@ without importing a lakehouse:
 * readers resolve a manifest FIRST and read only the files it names
   (``spark.read.parquet(*files)``), so a reader can never observe a partial
   snapshot, and every retained older version stays readable (time travel);
+* ``partition_by=`` writes hive-layout data files and records each file's
+  partition values AND its parquet footer min/max column stats in the
+  manifest, so ``read_snapshot(where=...)`` can prune partitions and skip
+  files without opening them — the property that makes a date-partitioned
+  100 TB silver table scan-bounded (the reference's layout,
+  batch_to_archive_raw.py:170-176). Pruning is an optimization only:
+  the residual predicate is always re-applied to the returned frame;
 * ``mode="append"`` commits a manifest that references the parent
   snapshot's files PLUS the new directory — an incremental publish reuses
   already-written data files, the property that makes per-batch publishing
@@ -24,29 +32,53 @@ without importing a lakehouse:
 * losers of a concurrent commit race get EEXIST, re-read the log, and
   retry with the next version (optimistic concurrency, single winner per
   version — the same contract as Delta/Iceberg's commit point);
-* ``vacuum`` deletes data directories no retained manifest references —
-  readers of retained versions are never broken.
+  read-modify-write publishers (merge, compact) additionally pin
+  ``expected_parent`` so a concurrent commit between their read and their
+  write raises `SnapshotConflict` instead of silently dropping it
+  (lost-update protection — Delta's "serializable commit" check);
+* ``vacuum`` deletes data directories no retained manifest references,
+  but never a stage directory younger than ``retention`` seconds — an
+  in-flight writer's staged-but-uncommitted data is not garbage (the same
+  reasoning as Delta VACUUM's retention window). ``write_snapshot``
+  additionally re-verifies its staged files exist immediately before the
+  commit link and aborts if a rogue vacuum removed them, so a manifest can
+  never name deleted files.
 
 Layout:
     table/
-      files/v00000001/part-*.parquet     (immutable once committed)
-      files/v00000002/part-*.parquet
+      files/v00000001/part-*.parquet                 (unpartitioned)
+      files/v00000002/event_date=2017-01-01/part-*.parquet
       _manifests/v00000001.json          (the ordered commit log)
       _manifests/v00000002.json
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _FILES_DIR = "files"
+_UNSET = object()  # sentinel: expected_parent not supplied (no CAS check)
+
+# Stage directories younger than this are presumed in-flight and are never
+# vacuumed, even though no manifest references them yet (Delta VACUUM's
+# retention-window reasoning). Tests pass retention=0 to reclaim eagerly.
+DEFAULT_RETENTION_SECONDS = 24 * 3600
+
+
+class SnapshotConflict(RuntimeError):
+    """A commit found a different parent version than the caller pinned
+    with ``expected_parent`` — the table moved between the caller's read
+    and its write. Re-run the read-modify-write loop."""
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -69,18 +101,108 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _entries(manifest: dict) -> list[dict]:
+    """File entries, tolerating the pre-partition manifest format where
+    ``files`` was a list of relative path strings."""
+    out = []
+    for e in manifest["files"]:
+        if isinstance(e, str):
+            e = {"path": e, "partition": {}, "stats": {}}
+        out.append(e)
+    return out
+
+
 def _list_part_files(data_dir: str) -> list[str]:
-    """Relative paths of the committed parquet parts (Spark's _SUCCESS /
-    .crc bookkeeping excluded)."""
+    """Relative paths of the committed parquet parts, recursing through
+    hive partition directories (Spark's _SUCCESS / .crc bookkeeping
+    excluded)."""
     rel = []
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet") and not name.startswith("."):
-            rel.append(name)
+    for root, dirs, names in os.walk(data_dir):
+        dirs.sort()
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith("."):
+                rel.append(
+                    os.path.relpath(os.path.join(root, name), data_dir)
+                )
     return rel
 
 
+def _partition_of(rel_path: str) -> dict[str, str]:
+    """Hive partition values parsed from a relative file path
+    (``event_date=2017-01-01/part-0.parquet`` -> {"event_date": ...}).
+    Values are the hive directory strings; the reader recovers typed
+    columns via Spark's basePath partition discovery."""
+    from urllib.parse import unquote
+
+    part: dict[str, str] = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            part[unquote(k)] = unquote(v)
+    return part
+
+
+def _json_scalar(v):
+    """Footer stat value -> JSON-serializable, or None if not storable.
+    Dates/timestamps keep their sort order as ISO-8601 strings."""
+    if isinstance(v, bool) or v is None:
+        return None  # boolean min/max is useless for skipping
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _footer_stats(abs_path: str) -> tuple[int, dict[str, list]]:
+    """(num_rows, {column: [min, max]}) from the parquet footer. Only
+    top-level scalar columns with complete min/max across every row group
+    are kept — a column missing from the map simply isn't skippable.
+    Footers are KBs; this runs once per NEWLY-STAGED file at commit time
+    (append never re-reads parent files), so the cost is proportional to
+    the increment, not the table."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    complete: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                continue
+            lo, hi = _json_scalar(st.min), _json_scalar(st.max)
+            if lo is None or hi is None:
+                complete[name] = False
+                continue
+            if name not in stats:
+                stats[name] = [lo, hi]
+                complete.setdefault(name, True)
+            else:
+                try:
+                    stats[name][0] = min(stats[name][0], lo)
+                    stats[name][1] = max(stats[name][1], hi)
+                except TypeError:
+                    complete[name] = False
+    return md.num_rows, {
+        k: v for k, v in stats.items() if complete.get(k, False)
+    }
+
+
 def write_snapshot(
-    df: DataFrame, table: str, mode: str = "overwrite", max_retries: int = 10
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    max_retries: int = 10,
+    partition_by: list[str] | tuple[str, ...] | None = None,
+    expected_parent: int | None = _UNSET,  # type: ignore[assignment]
+    collect_stats: bool = True,
 ) -> int:
     """Publish `df` as a new snapshot of `table`; returns the version.
 
@@ -88,40 +210,106 @@ def write_snapshot(
     snapshot is the parent snapshot's files plus `df`'s — the parent data
     is NOT rewritten. Either way nothing is visible until the manifest
     link lands, and a crash before it leaves only an orphan data directory
-    (invisible to readers, reclaimed by vacuum)."""
+    (invisible to readers, reclaimed by vacuum after its retention window).
+
+    ``partition_by`` writes hive-layout files and records each file's
+    partition values (plus footer min/max stats when ``collect_stats``) in
+    the manifest for `read_snapshot(where=...)` pruning. An append must
+    use the parent's partitioning.
+
+    ``expected_parent`` (optional) pins the parent version this commit
+    must land on: if the table's latest version differs at commit time,
+    raises `SnapshotConflict` instead of publishing — the lost-update
+    guard for read-modify-write publishers (merge, compact). ``None``
+    means "expect an empty table"."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported snapshot mode: {mode}")
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in dataframe")
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     # Stage data under a writer-unique name first: the snapshot version is
     # only decided at commit time, so two racing writers never write into
     # the same directory.
     stage = f"stage-{uuid.uuid4().hex}"
     stage_dir = os.path.join(table, _FILES_DIR, stage)
-    df.write.mode("error").parquet(stage_dir)
-    new_files = [f"{stage}/{p}" for p in _list_part_files(stage_dir)]
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
+    new_entries = []
+    for rel in _list_part_files(stage_dir):
+        rows, stats = (
+            _footer_stats(os.path.join(stage_dir, rel))
+            if collect_stats
+            else (None, {})
+        )
+        new_entries.append(
+            {
+                "path": f"{stage}/{rel}",
+                "partition": _partition_of(rel),
+                "rows": rows,
+                "stats": stats,
+            }
+        )
     schema_json = df.schema.json()
+
+    def _abort(exc: Exception):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise exc
 
     for _ in range(max_retries):
         existing = _versions(table)
         parent = existing[-1] if existing else None
+        if expected_parent is not _UNSET and parent != expected_parent:
+            _abort(
+                SnapshotConflict(
+                    f"{table}: expected parent {expected_parent}, "
+                    f"found {parent}"
+                )
+            )
         version = (parent or 0) + 1
-        files = list(new_files)
+        files = list(new_entries)
         if mode == "append" and parent is not None:
             pm = _read_manifest(table, parent)
             if pm["schema"] != schema_json:
                 # mixing schemas under one manifest would make the reader
                 # null-fill silently (explicit-schema parquet scan) — fail
                 # loudly; widen via an overwrite snapshot instead
-                raise ValueError(
-                    f"append schema differs from snapshot v{parent} at "
-                    f"{table}; publish mode='overwrite' to change schema"
+                _abort(
+                    ValueError(
+                        f"append schema differs from snapshot v{parent} at "
+                        f"{table}; publish mode='overwrite' to change schema"
+                    )
                 )
-            files = pm["files"] + files
+            if pm.get("partition_by", []) != partition_by:
+                _abort(
+                    ValueError(
+                        f"append partitioning {partition_by} differs from "
+                        f"snapshot v{parent} at {table} "
+                        f"({pm.get('partition_by', [])})"
+                    )
+                )
+            files = _entries(pm) + files
+        # A rogue/misconfigured vacuum may have reclaimed the stage while
+        # we raced: never link a manifest naming files that are not there.
+        gone = [
+            e["path"]
+            for e in new_entries
+            if not os.path.exists(os.path.join(table, _FILES_DIR, e["path"]))
+        ]
+        if gone:
+            raise RuntimeError(
+                f"staged files vanished before commit at {table} "
+                f"(vacuumed?): {gone[:3]}{'...' if len(gone) > 3 else ''}"
+            )
         manifest = {
             "version": version,
             "parent": parent,
             "mode": mode,
             "schema": schema_json,
+            "partition_by": partition_by,
             "files": files,
             "num_files": len(files),
         }
@@ -143,7 +331,10 @@ def write_snapshot(
 
 
 def merge_snapshot(
-    df: DataFrame, table: str, keys: list[str] | tuple[str, ...]
+    df: DataFrame,
+    table: str,
+    keys: list[str] | tuple[str, ...],
+    max_conflict_retries: int = 5,
 ) -> int:
     """Keyed upsert into the snapshot table — the lake twin of
     `sinks/jdbc.upsert_to_jdbc`: rows of the latest snapshot whose key
@@ -152,33 +343,119 @@ def merge_snapshot(
     snapshot (readers see the pre-merge or post-merge table, never a mix).
 
     Replay-idempotent by construction: merging the same `df` twice yields
-    the same table. The anti-join + union is a key-partitioned shuffle of
-    the current snapshot — at 100 TB, partition the table so the merge
-    prunes to affected partitions (the same discipline the JDBC staged
-    merge documents)."""
+    the same table. Lost-update safe: the base version is pinned via
+    ``expected_parent`` — if a concurrent writer (e.g. the
+    ingest_admission_job micro-batch append) commits between this merge's
+    read and its write, the commit raises `SnapshotConflict` and the WHOLE
+    read-merge-write re-runs against the new latest version, so the
+    concurrent rows are merged, never dropped. The anti-join + union is a
+    key-partitioned shuffle of the current snapshot — at 100 TB, partition
+    the table so the merge prunes to affected partitions (the same
+    discipline the JDBC staged merge documents)."""
     spark = df.sparkSession
-    if not _versions(table):
-        return write_snapshot(df, table, mode="overwrite")
-    current = read_snapshot(spark, table)
-    # compare name+type only: a parquet read is always nullable, while an
-    # in-memory frame may carry non-null fields for the same data
-    shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
-    if shape(current.schema) != shape(df.schema):
-        raise ValueError(
-            f"merge schema differs from the latest snapshot at {table}"
-        )
-    merged = current.join(
-        df.select(*keys).distinct(), list(keys), "left_anti"
-    ).unionByName(df)
-    return write_snapshot(merged, table, mode="overwrite")
+    last_exc: Exception | None = None
+    for _ in range(max_conflict_retries):
+        versions = _versions(table)
+        if not versions:
+            try:
+                return write_snapshot(
+                    df, table, mode="overwrite", expected_parent=None
+                )
+            except SnapshotConflict as exc:  # rival bootstrapped the table
+                last_exc = exc
+                continue
+        base = versions[-1]
+        pb = _read_manifest(table, base).get("partition_by", [])
+        current = read_snapshot(spark, table, version=base)
+        # compare name+type only: a parquet read is always nullable, while
+        # an in-memory frame may carry non-null fields for the same data
+        shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+        if shape(current.schema) != shape(df.schema):
+            raise ValueError(
+                f"merge schema differs from the latest snapshot at {table}"
+            )
+        merged = current.join(
+            df.select(*keys).distinct(), list(keys), "left_anti"
+        ).unionByName(df)
+        try:
+            return write_snapshot(
+                merged,
+                table,
+                mode="overwrite",
+                partition_by=pb,
+                expected_parent=base,
+            )
+        except SnapshotConflict as exc:
+            last_exc = exc  # table moved under us — recompute from new tip
+    raise RuntimeError(
+        f"merge lost {max_conflict_retries} concurrent commits on {table}"
+    ) from last_exc
+
+
+def _cmp_key(v):
+    """Order-preserving comparison key across JSON stat types and hive
+    partition strings: numbers compare numerically when both sides parse,
+    everything else lexically. Returns (tag, value) so mixed types never
+    raise."""
+    if isinstance(v, bool):
+        return (1, str(v))
+    if isinstance(v, (int, float)):
+        return (0, float(v))
+    if isinstance(v, str):
+        try:
+            return (0, float(v))
+        except ValueError:
+            return (1, v)
+    return (1, str(v))
+
+
+def _overlaps(lo, hi, want_lo, want_hi) -> bool:
+    """May [lo, hi] intersect [want_lo, want_hi]? Incomparable -> True
+    (never prune on uncertainty)."""
+    klo, khi = _cmp_key(lo), _cmp_key(hi)
+    wlo, whi = _cmp_key(want_lo), _cmp_key(want_hi)
+    if klo[0] != wlo[0] or khi[0] != whi[0]:
+        return True
+    return khi >= wlo and klo <= whi
+
+
+def _bounds(pred) -> tuple:
+    """Normalize a `where` predicate to an inclusive [lo, hi]."""
+    if isinstance(pred, tuple) and len(pred) == 2:
+        return pred
+    return (pred, pred)
+
+
+def _keep_entry(entry: dict, where: dict, partition_by: list[str]) -> bool:
+    for col, pred in where.items():
+        lo, hi = _bounds(pred)
+        if col in entry.get("partition", {}):
+            pv = entry["partition"][col]
+            if not _overlaps(pv, pv, lo, hi):
+                return False
+        elif col in entry.get("stats", {}):
+            slo, shi = entry["stats"][col]
+            if not _overlaps(slo, shi, lo, hi):
+                return False
+    return True
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (latest, or a pinned `version` for time
     travel). Resolves the manifest first and scans ONLY the files it names,
-    so concurrent writers/vacuums of other versions are invisible."""
+    so concurrent writers/vacuums of other versions are invisible.
+
+    ``where`` maps column -> value (equality) or (lo, hi) inclusive range.
+    Files are pruned with the manifest's partition values and footer
+    min/max stats BEFORE Spark ever lists them — a one-partition read of a
+    date-partitioned table opens that partition's files only. Pruning is
+    conservative (incomparable stats keep the file) and the predicate is
+    re-applied to the returned frame, so the result is exact either way."""
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots at {table}")
@@ -187,26 +464,114 @@ def read_snapshot(
     elif version not in versions:
         raise FileNotFoundError(f"snapshot v{version} not found at {table}")
     manifest = _read_manifest(table, version)
-    paths = [os.path.join(table, _FILES_DIR, f) for f in manifest["files"]]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    return spark.read.schema(schema).parquet(*paths)
+    partition_by = manifest.get("partition_by", [])
+    where = where or {}
+    unknown = [c for c in where if c not in schema.fieldNames()]
+    if unknown:
+        raise KeyError(f"where columns not in snapshot schema: {unknown}")
+    entries = [
+        e
+        for e in _entries(manifest)
+        if _keep_entry(e, where, partition_by)
+    ]
+
+    if not entries:
+        df = spark.createDataFrame([], schema)
+    elif not partition_by:
+        paths = [
+            os.path.join(table, _FILES_DIR, e["path"]) for e in entries
+        ]
+        df = spark.read.schema(schema).parquet(*paths)
+    else:
+        # Partitioned: partition columns live in directory names, not the
+        # files. basePath-anchored reads recover them; one scan per stage
+        # directory (bounded by versions-since-compaction), unioned.
+        by_stage: dict[str, list[str]] = {}
+        for e in entries:
+            stage = e["path"].split("/", 1)[0]
+            by_stage.setdefault(stage, []).append(
+                os.path.join(table, _FILES_DIR, e["path"])
+            )
+        parts = [
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(table, _FILES_DIR, stage))
+            .parquet(*paths)
+            .select(*schema.fieldNames())
+            for stage, paths in sorted(by_stage.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    for col, pred in where.items():
+        lo, hi = _bounds(pred)
+        df = (
+            df.filter(F.col(col) == F.lit(lo))
+            if lo is hi or lo == hi
+            else df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        )
+    return df
 
 
 def compact_snapshot(
-    spark: SparkSession, table: str, target_files: int = 4
+    spark: SparkSession,
+    table: str,
+    target_files: int = 4,
+    max_conflict_retries: int = 5,
 ) -> int:
-    """OPTIMIZE for snapshot tables: rewrite the LATEST version's data into
-    `target_files` files and publish the result as a new overwrite
-    snapshot — readers of the old (many-small-files) version are
-    untouched until vacuum reclaims it, and the swap is atomic like every
-    other commit here. The streaming admission path appends one
-    micro-batch's files per version, so periodic compaction is what keeps
-    scan-side file counts bounded (the parquet sink's `compact()` twin,
-    without the in-place rewrite)."""
-    current = read_snapshot(spark, table)
-    return write_snapshot(
-        current.repartition(target_files), table, mode="overwrite"
-    )
+    """OPTIMIZE for snapshot tables: rewrite the LATEST version's data and
+    publish the result as a new overwrite snapshot — readers of the old
+    (many-small-files) version are untouched until vacuum reclaims it, and
+    the swap is atomic like every other commit here.
+
+    Unpartitioned tables rewrite into `target_files` files total.
+    Partitioned tables compact PER PARTITION — each hive partition ends up
+    with at most `target_files` files (a deterministic bucket column
+    spreads each partition's rows over at most that many writer tasks), so
+    the streaming append path stays scan-bounded per partition instead of
+    globally coalescing a 100 TB table through `target_files` tasks.
+
+    Lost-update safe like merge_snapshot: the base version is pinned via
+    ``expected_parent``; a concurrent commit re-runs the compaction
+    against the new tip rather than silently discarding it."""
+    last_exc: Exception | None = None
+    for _ in range(max_conflict_retries):
+        versions = _versions(table)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots at {table}")
+        base = versions[-1]
+        pb = _read_manifest(table, base).get("partition_by", [])
+        current = read_snapshot(spark, table, version=base)
+        if pb:
+            data_cols = [c for c in current.columns if c not in pb]
+            bucket = (
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in data_cols]),
+                    F.lit(target_files),
+                )
+                if data_cols
+                else F.lit(0)
+            )
+            compacted = (
+                current.withColumn("__compact_bucket", bucket)
+                .repartition(*[F.col(c) for c in pb], F.col("__compact_bucket"))
+                .drop("__compact_bucket")
+            )
+        else:
+            compacted = current.repartition(target_files)
+        try:
+            return write_snapshot(
+                compacted,
+                table,
+                mode="overwrite",
+                partition_by=pb,
+                expected_parent=base,
+            )
+        except SnapshotConflict as exc:
+            last_exc = exc
+    raise RuntimeError(
+        f"compact lost {max_conflict_retries} concurrent commits on {table}"
+    ) from last_exc
 
 
 def snapshots(table: str) -> list[dict]:
@@ -220,10 +585,18 @@ def snapshots(table: str) -> list[dict]:
     return out
 
 
-def vacuum(table: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    table: str,
+    keep_last: int = 2,
+    retention_seconds: float = DEFAULT_RETENTION_SECONDS,
+) -> list[str]:
     """Drop manifests beyond the newest `keep_last` and delete every data
-    directory (including crash orphans) that no RETAINED manifest
-    references. Returns the deleted directory names. Retained versions
+    directory that no RETAINED manifest references — EXCEPT directories
+    modified within `retention_seconds`, which may belong to an in-flight
+    writer that has staged data but not yet linked its manifest (deleting
+    those would make the writer publish a manifest naming dead files; the
+    commit-side existence recheck in write_snapshot is the second half of
+    this defense). Returns the deleted directory names. Retained versions
     remain fully readable — referenced directories are never touched."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -231,15 +604,24 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
     keep = versions[-keep_last:]
     referenced: set[str] = set()
     for v in keep:
-        for f in _read_manifest(table, v)["files"]:
-            referenced.add(f.split("/", 1)[0])
+        for e in _entries(_read_manifest(table, v)):
+            referenced.add(e["path"].split("/", 1)[0])
     for v in versions[:-keep_last]:
         os.unlink(_manifest_path(table, v))
     deleted = []
+    now = time.time()
     files_root = os.path.join(table, _FILES_DIR)
     if os.path.isdir(files_root):
         for name in sorted(os.listdir(files_root)):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(files_root, name))
-                deleted.append(name)
+            if name in referenced:
+                continue
+            full = os.path.join(files_root, name)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # raced with its own writer's cleanup
+            if age < retention_seconds:
+                continue  # possibly in-flight: not garbage yet
+            shutil.rmtree(full)
+            deleted.append(name)
     return deleted

@@ -88,6 +88,29 @@ def test_bloom_params_survive_lake_round_trip(spark, tmp_path):
     assert bloom_probe(_strings(spark, members[:500]), "gram", back).count() == 500
 
 
+def test_probe_refuses_to_guess_domain_when_metadata_stripped(spark):
+    """ADVICE r8: probing a self-sized filter under a guessed (m, k)
+    yields false NEGATIVES — the probe must raise when the bits column
+    metadata is gone and no explicit parameters were passed, and accept
+    explicit parameters as the override for hand-built relations."""
+    import pytest
+
+    members = [f"corpus gram {i}" for i in range(1000)]
+    bloom = bloom_build(_strings(spark, members), "gram")
+    meta = dict(bloom.schema["bits"].metadata)
+    # re-select without the alias metadata: a metadata-stripping transform
+    stripped = bloom.selectExpr("word_idx", "bits + 0 AS bits")
+    assert not dict(stripped.schema["bits"].metadata or {})
+    with pytest.raises(ValueError, match="false NEGATIVES"):
+        bloom_probe(_strings(spark, members), "gram", stripped)
+    # explicit parameters restore the exact domain: zero false negatives
+    kept = bloom_probe(
+        _strings(spark, members), "gram", stripped,
+        m_bits=meta["m_bits"], n_hashes=meta["n_hashes"],
+    )
+    assert kept.count() == len(members)
+
+
 def _gate_fixture(spark):
     corpus = spark.createDataFrame(
         [

@@ -39,23 +39,72 @@ def test_append_reuses_parent_files(spark, tmp_path):
     assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 10, 11]
     # parent's files are REFERENCED, not rewritten: v2's manifest is a
     # strict superset of v1's
-    v1_files = set(m._read_manifest(table, 1)["files"])
-    v2_files = set(m._read_manifest(table, 2)["files"])
+    v1_files = {e["path"] for e in m._entries(m._read_manifest(table, 1))}
+    v2_files = {e["path"] for e in m._entries(m._read_manifest(table, 2))}
     assert v1_files < v2_files
 
 
 def test_crash_orphan_is_invisible_and_vacuumed(spark, tmp_path):
     """A writer that dies after the data write but before the manifest
     link leaves only an orphan directory: readers never see it, and
-    vacuum reclaims it without touching any retained snapshot."""
+    vacuum reclaims it once it is older than the retention window,
+    without touching any retained snapshot."""
     table = str(tmp_path / "t")
     m.write_snapshot(_df(spark, 0, 3), table)
     # simulate the crash: stage data exactly as write_snapshot does, no commit
     orphan = os.path.join(table, "files", "stage-deadbeef")
     _df(spark, 900, 905).write.parquet(orphan)
     assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2]
-    deleted = m.vacuum(table, keep_last=1)
+    deleted = m.vacuum(table, keep_last=1, retention_seconds=0)
     assert deleted == ["stage-deadbeef"]
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2]
+
+
+def test_vacuum_never_reclaims_inflight_stage(spark, tmp_path):
+    """A stage directory younger than the retention window may belong to a
+    writer between its data write and its manifest link: vacuum must leave
+    it alone (the lost-data race: vacuum deletes the stage, the writer then
+    commits a manifest naming dead files). Aging the directory past the
+    window makes it reclaimable."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    inflight = os.path.join(table, "files", "stage-inflight")
+    _df(spark, 900, 905).write.parquet(inflight)
+    assert m.vacuum(table, keep_last=1) == []  # default 24 h retention
+    assert os.path.isdir(inflight)
+    # age it past the window -> now it is a crash orphan, reclaimable
+    old = os.path.getmtime(inflight) - 48 * 3600
+    os.utime(inflight, (old, old))
+    assert m.vacuum(table, keep_last=1) == ["stage-inflight"]
+
+
+def test_commit_aborts_if_stage_vacuumed_under_writer(spark, tmp_path, monkeypatch):
+    """Second half of the vacuum defense: if a rogue vacuum (retention
+    misconfigured to 0) reclaims the staged files after the write but
+    before the manifest link, the commit must abort — a manifest naming
+    deleted files would poison the latest version for every reader."""
+    import shutil as _sh
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    real_versions = m._versions
+
+    def vacuum_midway(t):
+        # runs inside write_snapshot's commit loop, after staging
+        for name in os.listdir(os.path.join(t, "files")):
+            d = os.path.join(t, "files", name)
+            if not any(
+                e["path"].startswith(name + "/")
+                for e in m._entries(m._read_manifest(t, 1))
+            ):
+                _sh.rmtree(d)
+        return real_versions(t)
+
+    monkeypatch.setattr(m, "_versions", vacuum_midway)
+    with pytest.raises(RuntimeError, match="vanished"):
+        m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    monkeypatch.undo()
+    # table is undamaged: latest version still the intact v1
     assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2]
 
 
@@ -168,3 +217,168 @@ def test_compact_snapshot_bounds_files_and_preserves_data(spark, tmp_path):
     # ...until vacuum, which must keep the compacted version intact
     m.vacuum(table, keep_last=1)
     assert _ids(m.read_snapshot(spark, table)) == list(range(50))
+
+
+def _pdf(spark, rows):
+    """(day, id, v) rows for partition tests."""
+    return spark.createDataFrame(rows, "day string, id bigint, v bigint")
+
+
+def test_partitioned_snapshot_roundtrip_and_partition_prune(spark, tmp_path):
+    """A date-partitioned snapshot records per-file partition values in
+    the manifest, and a one-partition read OPENS ONLY that partition's
+    files (pinned via inputFiles on the returned frame — this is the scan
+    bound that makes the snapshot path usable for a 100 TB partitioned
+    silver table, not just small marts)."""
+    table = str(tmp_path / "t")
+    rows = [(f"2017-01-0{d}", d * 10 + i, d) for d in (1, 2, 3) for i in range(3)]
+    m.write_snapshot(_pdf(spark, rows), table, partition_by=["day"])
+    full = m.read_snapshot(spark, table)
+    assert full.columns == ["day", "id", "v"]
+    assert full.count() == 9
+    one = m.read_snapshot(spark, table, where={"day": "2017-01-02"})
+    assert sorted(r.id for r in one.collect()) == [20, 21, 22]
+    # the pruning pin: only day=2017-01-02 files were handed to the scan
+    opened = one.inputFiles()
+    assert opened and all("day=2017-01-02" in f for f in opened)
+    all_files = full.inputFiles()
+    assert len(opened) < len(all_files)
+
+
+def test_partitioned_append_and_range_prune(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(
+        _pdf(spark, [("2017-01-01", 1, 1), ("2017-01-02", 2, 2)]),
+        table,
+        partition_by=["day"],
+    )
+    m.write_snapshot(
+        _pdf(spark, [("2017-01-02", 3, 3), ("2017-01-03", 4, 4)]),
+        table,
+        mode="append",
+        partition_by=["day"],
+    )
+    got = m.read_snapshot(
+        spark, table, where={"day": ("2017-01-02", "2017-01-03")}
+    )
+    assert sorted(r.id for r in got.collect()) == [2, 3, 4]
+    assert all(
+        "day=2017-01-02" in f or "day=2017-01-03" in f
+        for f in got.inputFiles()
+    )
+    # appending with different partitioning must refuse
+    with pytest.raises(ValueError, match="partitioning"):
+        m.write_snapshot(
+            _pdf(spark, [("x", 9, 9)]), table, mode="append"
+        )
+
+
+def test_stats_file_skipping_on_data_column(spark, tmp_path):
+    """Footer min/max stats recorded at commit time let a `where` on a
+    NON-partition column skip files whose range can't match — pinned via
+    inputFiles, with the residual filter keeping the result exact."""
+    table = str(tmp_path / "t")
+    low = spark.range(0, 1000).selectExpr("id", "id AS v").coalesce(1)
+    high = spark.range(100000, 101000).selectExpr("id", "id AS v").coalesce(1)
+    m.write_snapshot(low, table)
+    m.write_snapshot(high, table, mode="append")
+    entry_stats = [
+        e["stats"]["v"]
+        for e in m._entries(m._read_manifest(table, 2))
+    ]
+    assert [0, 999] in entry_stats and [100000, 100999] in entry_stats
+    hit = m.read_snapshot(spark, table, where={"v": (100500, 100510)})
+    assert hit.count() == 11
+    assert len(hit.inputFiles()) == 1  # the low file was never listed
+    miss = m.read_snapshot(spark, table, where={"v": (2000, 3000)})
+    assert miss.count() == 0
+    with pytest.raises(KeyError, match="where"):
+        m.read_snapshot(spark, table, where={"nope": 1})
+
+
+def test_expected_parent_conflict_guard(spark, tmp_path):
+    """The CAS pin: a commit expecting parent v1 must raise (and publish
+    nothing) once a concurrent writer has moved the table to v2."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")  # v2
+    with pytest.raises(m.SnapshotConflict):
+        m.write_snapshot(_df(spark, 50, 52), table, expected_parent=1)
+    assert [s["version"] for s in m.snapshots(table)] == [1, 2]
+    # the aborted commit's stage directory is cleaned up, not orphaned
+    stages = os.listdir(os.path.join(table, "files"))
+    referenced = {
+        e["path"].split("/", 1)[0]
+        for e in m._entries(m._read_manifest(table, 2))
+    }
+    assert set(stages) == referenced
+
+
+def test_merge_reruns_on_concurrent_commit_no_lost_update(
+    spark, tmp_path, monkeypatch
+):
+    """The lost-update race ADVICE r8 flagged: a concurrent append lands
+    between merge_snapshot's read and its write. The expected_parent pin
+    makes the stale commit fail, and the merge re-runs against the new
+    tip — the concurrent rows survive."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)  # ids 0..3
+    real_read = m.read_snapshot
+    fired = {"n": 0}
+
+    def racy_read(spark_, table_, version=None, where=None):
+        out = real_read(spark_, table_, version=version, where=where)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # concurrent append commits AFTER the merge captured its base
+            m.write_snapshot(
+                _df(spark, 100, 101), table_, mode="append"
+            )
+        return out
+
+    monkeypatch.setattr(m, "read_snapshot", racy_read)
+    patch = spark.range(2, 6).selectExpr("id", "id * 100 AS v")
+    m.merge_snapshot(patch, table, keys=["id"])
+    monkeypatch.undo()
+    got = {r.id: r.v for r in m.read_snapshot(spark, table).collect()}
+    # the concurrently-appended id=100 row is PRESENT, the patch applied
+    assert got == {0: 0, 1: 2, 2: 200, 3: 300, 4: 400, 5: 500, 100: 200}
+
+
+def test_compact_partitioned_bounds_files_per_partition(spark, tmp_path):
+    """Partitioned OPTIMIZE: each hive partition compacts to at most
+    target_files files (not target_files TOTAL — a global coalesce would
+    funnel a 100 TB table through that many tasks), and the result is
+    still partition-prunable."""
+    table = str(tmp_path / "t")
+    for batch in range(4):  # streaming shape: 4 appends x 2 days x 2 files
+        rows = [
+            (day, batch * 100 + int(day[-1]) * 10 + i, batch)
+            for day in ("2017-01-01", "2017-01-02")
+            for i in range(4)
+        ]
+        m.write_snapshot(
+            _pdf(spark, rows).repartition(2),
+            table,
+            mode="append" if batch else "overwrite",
+            partition_by=["day"],
+        )
+    per_part_before = {}
+    for e in m._entries(m._read_manifest(table, 4)):
+        per_part_before[e["partition"]["day"]] = (
+            per_part_before.get(e["partition"]["day"], 0) + 1
+        )
+    assert all(n >= 8 for n in per_part_before.values())
+    v = m.compact_snapshot(spark, table, target_files=2)
+    per_part = {}
+    for e in m._entries(m._read_manifest(table, v)):
+        per_part[e["partition"]["day"]] = (
+            per_part.get(e["partition"]["day"], 0) + 1
+        )
+    assert set(per_part) == {"2017-01-01", "2017-01-02"}
+    assert all(n <= 2 for n in per_part.values())
+    before = {(r.day, r.id, r.v) for r in m.read_snapshot(spark, table, version=4).collect()}
+    after = {(r.day, r.id, r.v) for r in m.read_snapshot(spark, table).collect()}
+    assert before == after
+    pruned = m.read_snapshot(spark, table, where={"day": "2017-01-01"})
+    assert all("day=2017-01-01" in f for f in pruned.inputFiles())
