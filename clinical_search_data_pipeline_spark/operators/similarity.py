@@ -1007,6 +1007,73 @@ GATE_BITS = 6        # fixture's hard tau=0.45 regime (16x6 catches 4/4 and
 #                      8x8) while verifying ~22% of random pairs — 4.5x under
 #                      exact; at a production dup threshold (cosine ~0.9,
 #                      p=0.856) the same 16x6 curve gives ~99.96% recall.
+#                      This FIXED pair is the oracled fixture regime of
+#                      q_stream_embedding_gate; deployments size the pair
+#                      from the corpus with gate_banding_for (below) —
+#                      VERDICT r8 #4: a fixed bits-per-band saturates like a
+#                      fixed bloom m (measured x8.27 screen at x10 corpus).
+
+# Self-sizing defaults: verify work per batch item is bounded by
+# GATE_MAX_BANDS * GATE_COLLISIONS_PER_BAND (~512 exact-cosine verifies)
+# REGARDLESS of corpus size — the same contract bloom_params_for gives the
+# span gate (fp held constant, structure grows as log n).
+GATE_COLLISIONS_PER_BAND = 8.0
+GATE_MAX_BANDS = 64
+GATE_MIN_BITS = 4
+GATE_MAX_BITS = 24
+
+
+def banding_recall(bands: int, bits: int, threshold: float) -> float:
+    """Predicted at-threshold recall of (bands x bits) hyperplane banding:
+    per-bit collision p = 1 - acos(tau)/pi (Goemans-Williamson / Charikar
+    SimHash), per-band p^bits, any-band 1 - (1-p^bits)^bands. True dups
+    usually sit ABOVE tau, so this is the floor of the curve."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p**bits) ** bands
+
+
+def gate_banding_for(
+    n_corpus: int,
+    threshold: float = NEARDUP_THRESHOLD,
+    target_recall: float = 0.99,
+    collisions_per_band: float = GATE_COLLISIONS_PER_BAND,
+    max_bands: int = GATE_MAX_BANDS,
+    min_bits: int = GATE_MIN_BITS,
+    max_bits: int = GATE_MAX_BITS,
+) -> tuple[int, int]:
+    """(bands, bits) sized from corpus density + dup threshold — the
+    embedding gate's bloom_params_for twin (VERDICT r8 #4).
+
+    bits bounds the expected RANDOM collisions per (item, band): background
+    vectors (theta ~ 90 deg) collide per band with prob ~0.5^bits, so
+    bits = log2(n / collisions_per_band) keeps the verify-join input at
+    ~collisions_per_band rows per item per band no matter how big the
+    corpus — the knob whose FIXED fixture value made the screen scale
+    x8.27 at x10 corpus. bands then buys recall back at that bits,
+    capped at max_bands so per-item work never exceeds
+    max_bands * collisions_per_band verifies.
+
+    When the cap binds (the hard low-tau regime at high density), the
+    function does NOT trade the scale bound away: it returns the capped
+    banding and callers read the honest frontier from
+    banding_recall(bands, bits, tau). At tau >= ~0.9 the target recall is
+    reachable across the practical density range; at the fixture's
+    tau = 0.45 it is reachable up to ~1e3 vectors and degrades beyond —
+    the regime where banded hyperplane LSH is simply weak (COVERAGE.md r2
+    deviation note), and where the exact block-pair path is the tool."""
+    import math
+
+    n = max(int(n_corpus), 1)
+    bits = math.ceil(math.log2(max(n / collisions_per_band, 2.0)))
+    bits = max(min_bits, min(max_bits, bits))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    per_band = p**bits
+    if per_band >= 1.0:  # tau ~ 1: every band collides, one band suffices
+        return 1, bits
+    need = math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - per_band)
+    return max(1, min(max_bands, math.ceil(need))), bits
 
 
 def embedding_vs_corpus(

@@ -118,7 +118,11 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_source_overlap",
     "q_stream_anomaly",
     "q_stream_dedup_keys",
-    "q_strip_dup_spans",
+    # (c) NEW this round — never driver-checked, must hold a slot: the
+    # persisted IVFADC index probe (VERDICT r8 #3). Claims the slot
+    # q_strip_dup_spans held; that r6-row name moves to the r10 deferred
+    # set below.
+    "q_ann_index_topk",
 )
 
 # The 12 r6-cohort names deferred to r10 (rows r6 — age 4 at r10, so the
@@ -128,6 +132,7 @@ ROUND_PRIORITY: tuple[str, ...] = (
 # cheap batch tails out of the r9 driver budget; all 12 are unchanged
 # code with green r6 rows.
 ROUND_BACKLOG: tuple[str, ...] = (
+    "q_strip_dup_spans",
     "q_stream_dsir_gate",
     "q_stream_incremental_dedup",
     "q_stream_span_gate",
@@ -176,6 +181,7 @@ def _load_modules() -> None:
         bpe,
         canonical,
         videofp,
+        ann_index,
         classifier,
         clustering,
         curation,

@@ -434,6 +434,63 @@ def _timed_admission_gates(
         file=sys.stderr,
     )
 
+    # SELF-SIZING banding (VERDICT r8 #4): gate_banding_for derives
+    # (bands, bits) from the observed corpus count + dup threshold — bits
+    # tracks density (bounded random collisions per item per band), bands
+    # buys recall back under a hard per-item verify budget. Measured at
+    # BOTH thresholds so the ratio evidence covers the fixture regime
+    # (tau=0.45) and the production one (tau=0.9); the fixed-banding
+    # entries above remain as the control.
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        banding_recall,
+        gate_banding_for,
+    )
+
+    for key, tau in (
+        ("admission_embedding_auto", 0.45),
+        ("admission_embedding_auto_strict", 0.9),
+    ):
+        entry = {"batch": "src vec_id >= EMB_SPLIT (fixed across runs)"}
+        for tag, corpus in (("base", emb_base), ("scaled", emb_scaled)):
+            t0 = time.perf_counter()
+            n_corpus = corpus.count()
+            bands, bits = gate_banding_for(n_corpus, tau)
+            keys = engine_cache(
+                banded_lsh_keys(corpus, bands, bits).select(
+                    "vec_id", "band", "bucket"
+                )
+            )
+            vecs = engine_cache(
+                vectors_with_norms(corpus).select("vec_id", "v", "norm")
+            )
+            n_idx = keys.count() + vecs.count()
+            entry[f"index_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+            entry[f"index_{tag}_rows"] = n_idx
+            entry[f"config_{tag}"] = (
+                f"{bands}x{bits} tau={tau} n={n_corpus} "
+                f"predicted_recall={banding_recall(bands, bits, tau):.3f}"
+            )
+            t0 = time.perf_counter()
+            embedding_vs_corpus(
+                keys, vecs, emb_batch, threshold=tau, bands=bands, bits=bits
+            ).write.format("noop").mode("overwrite").save()
+            entry[f"screen_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+            release_caches()
+        entry["index_ratio"] = round(
+            entry["index_scaled_sec"] / max(entry["index_base_sec"], 1e-9), 2
+        )
+        entry["screen_ratio"] = round(
+            entry["screen_scaled_sec"] / max(entry["screen_base_sec"], 1e-9), 2
+        )
+        results[key] = entry
+        print(
+            f"# {key}: {entry['config_base']} -> {entry['config_scaled']}; "
+            f"screen {entry['screen_base_sec']:.2f}s -> "
+            f"{entry['screen_scaled_sec']:.2f}s (x{entry['screen_ratio']}) "
+            f"at corpus x{factor}",
+            file=sys.stderr,
+        )
+
     # Bloom shrink evidence (VERDICT r07 #4): the admission case the
     # filter exists for — a mostly-NOVEL batch vs a DISJOINT standing
     # corpus. (The earlier measurement indexed a corpus that CONTAINED the
