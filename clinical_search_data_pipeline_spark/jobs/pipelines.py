@@ -299,6 +299,8 @@ def ingest_admission_job(
     out_dir: str,
     corpus_split: int | None = None,
     snapshot_table: str | None = None,
+    refresh_every: int | None = None,
+    staging_dir: str | None = None,
 ) -> Mapping[str, int]:
     """Ingest-time admission over a document stream: ALL SEVEN gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
@@ -322,6 +324,24 @@ def ingest_admission_job(
     in-progress parquet appends — and can pin any earlier version (time
     travel) while the stream keeps admitting. Empty batches publish no
     version (F5 short-circuit).
+
+    `refresh_every` (optional, requires `snapshot_table`) is the gate-index
+    refresh cadence VERDICT r8 #5 asked for: every N micro-batches the
+    admitted lake is folded into a standing-corpus snapshot table
+    (`<snapshot_table>_corpus`, published atomically via
+    sinks/manifest.merge_snapshot — pinnable, roll-back-able) and EVERY
+    gate index is rebuilt from the merged corpus, so a duplicate of a
+    document admitted earlier in the run is flagged by later micro-batches
+    instead of sailing through frozen indexes forever. Refresh
+    deliberately BREAKS micro-batch invariance (that is its point), so it
+    is opt-in and the default (None) keeps the frozen-index semantics the
+    registered q_stream_* gate queries verify. Rebuild-from-merged-corpus
+    is the correctness baseline; at 100 TB the per-modality indexes merge
+    incrementally under the same snapshot versions.
+
+    `staging_dir` (optional) replaces the fixture-staged stream source
+    with a caller-provided parquet directory — the bring-your-own-stream
+    hook the refresh tests use to script exact micro-batch contents.
 
     This is the composition the seven registered q_stream_* gate queries
     exist to verify piecewise: every static side (corpus prefix index,
@@ -383,25 +403,68 @@ def ingest_admission_job(
             "summary — pass a fresh directory per run"
         )
 
+    if refresh_every is not None and snapshot_table is None:
+        raise ValueError(
+            "refresh_every folds the ADMITTED lake into the standing "
+            "corpus — pass snapshot_table so there is an admitted lake"
+        )
+
     split = INCREMENT_SPLIT if corpus_split is None else corpus_split
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < split)
-    prefix_index = corpus_prefix_index(corpus)
-    lr_model = engine_cache(dsir_model(corpus))
-    gram_index = engine_cache(corpus_gram_index(corpus))
-    gram_bloom = engine_cache(corpus_gram_bloom(gram_index))
-    clf_model = engine_cache(nb_quality_model(quality_labels(corpus)))
-    image_index = engine_cache(
-        dhash_images(attach_neardup_images(corpus, wrap_base=split))
-    )
-    audio_index = engine_cache(
-        audio_fingerprints(attach_neardup_audio(corpus, wrap_base=split))
-    )
-    video_index = engine_cache(
-        video_fingerprints(attach_neardup_video(corpus, wrap_base=split))
-    )
 
-    staging = stage_incremental_batch_source(spark, sf_dir)
+    def build_indexes(corpus_df: DataFrame) -> dict[str, DataFrame]:
+        gram_index = engine_cache(corpus_gram_index(corpus_df))
+        return {
+            "prefix_index": corpus_prefix_index(corpus_df),
+            "lr_model": engine_cache(dsir_model(corpus_df)),
+            "gram_index": gram_index,
+            "gram_bloom": engine_cache(corpus_gram_bloom(gram_index)),
+            "clf_model": engine_cache(
+                nb_quality_model(quality_labels(corpus_df))
+            ),
+            "image_index": engine_cache(
+                dhash_images(attach_neardup_images(corpus_df, wrap_base=split))
+            ),
+            "audio_index": engine_cache(
+                audio_fingerprints(attach_neardup_audio(corpus_df, wrap_base=split))
+            ),
+            "video_index": engine_cache(
+                video_fingerprints(attach_neardup_video(corpus_df, wrap_base=split))
+            ),
+        }
+
+    state: dict = {"idx": build_indexes(corpus), "batches": 0,
+                   "refreshes": 0, "merged_lake_version": 0}
+    corpus_table = f"{snapshot_table}_corpus" if snapshot_table else None
+    if refresh_every is not None:
+        # seed the standing corpus as snapshot v1 — every refresh is a
+        # further atomic version on this table
+        manifest_sink.write_snapshot(corpus, corpus_table, mode="overwrite")
+
+    def refresh_indexes() -> None:
+        lake_versions = manifest_sink.snapshots(snapshot_table)
+        if not lake_versions:
+            return  # nothing admitted yet
+        tip = lake_versions[-1]["version"]
+        if tip == state["merged_lake_version"]:
+            return  # no new admissions since the last refresh
+        admitted_lake = manifest_sink.read_snapshot(spark, snapshot_table)
+        manifest_sink.merge_snapshot(
+            admitted_lake, corpus_table, keys=["doc_id"]
+        )
+        merged = manifest_sink.read_snapshot(spark, corpus_table)
+        old = state["idx"]
+        state["idx"] = build_indexes(merged)
+        state["merged_lake_version"] = tip
+        state["refreshes"] += 1
+        for df in old.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    staging = staging_dir or stage_incremental_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
     stream = (
         spark.readStream.schema(schema)
@@ -410,31 +473,34 @@ def ingest_admission_job(
     )
 
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
-        dup = batch_vs_corpus(prefix_index, batch_df).select(
+        idx = state["idx"]
+        dup = batch_vs_corpus(idx["prefix_index"], batch_df).select(
             "doc_id", F.col("status").alias("dup_status"), "n_corpus_matches"
         )
-        imp = dsir_score(batch_df, lr_model).select(
+        imp = dsir_score(batch_df, idx["lr_model"]).select(
             "doc_id", "logw",
             F.when(F.col("logw") >= DSIR_GATE, "admitted")
             .otherwise("rejected").alias("dsir_status"),
         )
-        span = span_contamination(batch_df, gram_index, bloom=gram_bloom).select(
+        span = span_contamination(
+            batch_df, idx["gram_index"], bloom=idx["gram_bloom"]
+        ).select(
             "doc_id", "covered_words", "longest_run",
             F.col("status").alias("span_status"),
         )
-        qual = quality_score(batch_df, clf_model).select(
+        qual = quality_score(batch_df, idx["clf_model"]).select(
             "doc_id", F.col("logit").alias("quality_logit"),
             F.col("status").alias("quality_status"),
         )
         img = image_vs_corpus(
-            image_index,
+            idx["image_index"],
             dhash_images(attach_neardup_images(batch_df, wrap_base=split)),
         ).select(
             "doc_id", F.col("n_corpus_matches").alias("n_image_matches"),
             F.col("status").alias("image_status"),
         )
         aud = image_vs_corpus(
-            audio_index,
+            idx["audio_index"],
             audio_fingerprints(attach_neardup_audio(batch_df, wrap_base=split)),
             ham_max=AF_HAM_MAX,
             dup_status="dup_audio",
@@ -443,7 +509,7 @@ def ingest_admission_job(
             F.col("status").alias("audio_status"),
         )
         vid = image_vs_corpus(
-            video_index,
+            idx["video_index"],
             video_fingerprints(attach_neardup_video(batch_df, wrap_base=split)),
             ham_max=VF_HAM_MAX,
             dup_status="dup_video",
@@ -482,6 +548,9 @@ def ingest_admission_job(
                 )
         finally:
             verdicts.unpersist()
+        state["batches"] += 1
+        if refresh_every is not None and state["batches"] % refresh_every == 0:
+            refresh_indexes()
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     if not pathlib.Path(out_dir).exists():
@@ -500,4 +569,7 @@ def ingest_admission_job(
             if versions
             else 0
         )
+    if refresh_every is not None:
+        summary["index_refreshes"] = state["refreshes"]
+        summary["corpus_versions"] = len(manifest_sink.snapshots(corpus_table))
     return summary

@@ -64,18 +64,11 @@ def assert_pushed_filters(df: DataFrame) -> None:
     assert any(p != "[]" for p in pushed), f"no pushed filters:\n{plan}"
 
 
-def scale_lint(df: DataFrame) -> list[str]:
-    """Pre-flight scale diagnostics for a USER plan: the same hazards the
-    repo's plan tests pin for registered queries, surfaced as warnings a
-    notebook user can act on before submitting a 100 TB run. Returns one
-    human-readable string per finding (empty list = no findings).
-
-    Heuristics, not proofs — a BroadcastNestedLoopJoin over a bounded
-    scalar side is a designed plan in several registered queries (see
-    tests/test_plans.py BOUNDED_BROADCAST_NLJ_OK), so findings name the
-    hazard and the usual fix rather than failing."""
+def lint_plan_text(plan: str, detailed: str | None = None) -> list[str]:
+    """The scale_lint hazard checks over plan TEXT — shared by the live
+    DataFrame path (scale_lint) and the streaming captures (a terminated
+    query's last-executed micro-batch plan has no DataFrame to hand)."""
     findings: list[str] = []
-    plan = physical_plan(df, "simple")
     if "CartesianProduct" in plan:
         findings.append(
             "CartesianProduct: all-pairs shuffle join — rewrite candidate "
@@ -101,17 +94,73 @@ def scale_lint(df: DataFrame) -> list[str]:
             "or use the bucket-offset prefix-sum pattern "
             "(operators/curation.token_budget_sample)"
         )
-    detailed = physical_plan(df)
-    pushed = [
-        line.split("PushedFilters:", 1)[1].strip()
-        for line in detailed.splitlines()
-        if "PushedFilters:" in line
-    ]
-    if pushed and all(p == "[]" for p in pushed) and "Filter" in plan:
-        findings.append(
-            "Filter present but no PushedFilters on any scan: the "
-            "predicate runs after a full read — filter on source columns "
-            "before derived ones, or check the column isn't wrapped in an "
-            "expression at the scan"
-        )
+    if detailed is not None:
+        pushed = [
+            line.split("PushedFilters:", 1)[1].strip()
+            for line in detailed.splitlines()
+            if "PushedFilters:" in line
+        ]
+        if pushed and all(p == "[]" for p in pushed) and "Filter" in plan:
+            findings.append(
+                "Filter present but no PushedFilters on any scan: the "
+                "predicate runs after a full read — filter on source "
+                "columns before derived ones, or check the column isn't "
+                "wrapped in an expression at the scan"
+            )
     return findings
+
+
+def scale_lint(df: DataFrame) -> list[str]:
+    """Pre-flight scale diagnostics for a USER plan: the same hazards the
+    repo's plan tests pin for registered queries, surfaced as warnings a
+    notebook user can act on before submitting a 100 TB run. Returns one
+    human-readable string per finding (empty list = no findings).
+
+    Heuristics, not proofs — a BroadcastNestedLoopJoin over a bounded
+    scalar side is a designed plan in several registered queries (see
+    tests/test_plans.py BOUNDED_BROADCAST_NLJ_OK), so findings name the
+    hazard and the usual fix rather than failing."""
+    return lint_plan_text(physical_plan(df, "simple"), physical_plan(df))
+
+
+# ---------------------------------------------------------------------------
+# Streaming lint capture (VERDICT r8 #7)
+#
+# The foreachBatch gates compose their probe joins INSIDE the micro-batch
+# function, where no external caller can reach the plan; and a pure
+# streaming query's executed plan only exists on the (terminated) query
+# handle. Both channels report here when a collector is active:
+#  * each gate calls `collect_stream_lint(df)` on its composed batch-side
+#    frame right before writing it (zero drift — the linted plan IS the
+#    executed plan);
+#  * the bounded runners capture `explainInternal` of the last executed
+#    micro-batch after termination via `collect_stream_plan_text`.
+# tests/test_scale_lint.py sweeps every q_stream_* through this hook.
+# ---------------------------------------------------------------------------
+
+_STREAM_LINT_SINK: list[str] | None = None
+
+
+def begin_stream_lint() -> None:
+    global _STREAM_LINT_SINK
+    _STREAM_LINT_SINK = []
+
+
+def end_stream_lint() -> list[str]:
+    global _STREAM_LINT_SINK
+    out, _STREAM_LINT_SINK = _STREAM_LINT_SINK or [], None
+    return out
+
+
+def collect_stream_lint(df: DataFrame) -> None:
+    """No-op unless a collector is active (the hot path pays one `is None`
+    check per micro-batch)."""
+    if _STREAM_LINT_SINK is not None:
+        _STREAM_LINT_SINK.extend(scale_lint(df))
+
+
+def collect_stream_plan_text(plan: str) -> None:
+    if _STREAM_LINT_SINK is not None:
+        # no detailed/pushdown channel for an executed streaming plan —
+        # the join/partition hazards are the 100 TB killers here
+        _STREAM_LINT_SINK.extend(lint_plan_text(plan))

@@ -19,6 +19,21 @@ def checkpoint_dir(prefix: str = "csdp_ckpt") -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+def _capture_stream_plan(q) -> None:
+    """Feed the terminated query's last-executed micro-batch plan to the
+    streaming lint collector (plans/introspect — no-op when inactive).
+    For a foreachBatch query this is only the source->sink wrapper; the
+    gates lint their composed batch-side frames via collect_stream_lint."""
+    from clinical_search_data_pipeline_spark.plans.introspect import (
+        collect_stream_plan_text,
+    )
+
+    try:
+        collect_stream_plan_text(q._jsq.explainInternal(False))
+    except Exception:
+        pass  # zero micro-batches executed — nothing to lint
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
@@ -55,6 +70,7 @@ def run_to_memory(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+        _capture_stream_plan(q)
     finally:
         # Unconditional restore: when the conf was unset before the override,
         # unset it again rather than leaking the query-local width.
@@ -99,6 +115,7 @@ def run_foreach_batch(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"foreachBatch query did not finish in {timeout_sec}s")
+        _capture_stream_plan(q)
     finally:
         if shuffle_partitions is not None:
             if prev is None:

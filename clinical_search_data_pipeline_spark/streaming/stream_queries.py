@@ -28,6 +28,9 @@ from clinical_search_data_pipeline_spark.functions.timeops import (
     duck_event_date,
     duck_sec_to_ts_string,
 )
+from clinical_search_data_pipeline_spark.plans.introspect import (
+    collect_stream_lint,
+)
 from clinical_search_data_pipeline_spark.registry import register
 from clinical_search_data_pipeline_spark.session import apply_runtime_confs
 from clinical_search_data_pipeline_spark.sources.readers import load_events
@@ -632,7 +635,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_incr_out_")
 
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_vs_corpus(index, batch_df).write.mode("append").parquet(out_dir)
+        verdicts = batch_vs_corpus(index, batch_df)
+        collect_stream_lint(verdicts)
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -742,10 +747,12 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_dsir_out_")
 
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
-        dsir_score(batch_df, lr).withColumn(
+        scored = dsir_score(batch_df, lr).withColumn(
             "status",
             F.when(F.col("logw") >= DSIR_GATE, "admitted").otherwise("rejected"),
-        ).write.mode("append").parquet(out_dir)
+        )
+        collect_stream_lint(scored)
+        scored.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, admit, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -869,9 +876,9 @@ def q_stream_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_spangate_out_")
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
-        span_contamination(batch_df, index, bloom=bloom).write.mode(
-            "append"
-        ).parquet(out_dir)
+        verdicts = span_contamination(batch_df, index, bloom=bloom)
+        collect_stream_lint(verdicts)
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -981,7 +988,9 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_qualgate_out_")
 
     def score(batch_df: DataFrame, _batch_id: int) -> None:
-        quality_score(batch_df, model).write.mode("append").parquet(out_dir)
+        scored = quality_score(batch_df, model)
+        collect_stream_lint(scored)
+        scored.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, score, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -1087,9 +1096,9 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_hashes = dhash_images(
             attach_neardup_images(batch_df, wrap_base=INCREMENT_SPLIT)
         ).localCheckpoint()
-        image_vs_corpus(corpus_hashes, batch_hashes).write.mode(
-            "append"
-        ).parquet(out_dir)
+        verdicts = image_vs_corpus(corpus_hashes, batch_hashes)
+        collect_stream_lint(verdicts)
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -1170,9 +1179,11 @@ def _run_fp_gate(
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
         batch_hashes = batch_fp_fn(batch_df).localCheckpoint()
-        image_vs_corpus(
+        verdicts = image_vs_corpus(
             corpus_hashes, batch_hashes, ham_max=ham_max, dup_status=dup_status
-        ).write.mode("append").parquet(out_dir)
+        )
+        collect_stream_lint(verdicts)
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)
@@ -1444,9 +1455,9 @@ def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_embgate_out_")
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
-        embedding_vs_corpus(corpus_keys, corpus_vecs, batch_df).write.mode(
-            "append"
-        ).parquet(out_dir)
+        verdicts = embedding_vs_corpus(corpus_keys, corpus_vecs, batch_df)
+        collect_stream_lint(verdicts)
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_foreach_batch(stream, screen, shuffle_partitions=8)
     return spark.read.parquet(out_dir)

@@ -632,3 +632,91 @@ def test_training_export_snapshot_epochs(spark, tmp_path):
     k1 = {(r.doc_id, r.order_idx) for r in v1.collect()}
     k2 = {(r.doc_id, r.order_idx) for r in latest.collect()}
     assert k1 != k2
+
+
+def test_gate_index_refresh_flags_dup_of_admitted_doc(spark, tmp_path):
+    """VERDICT r8 #5: with refresh_every set, documents ADMITTED earlier in
+    the run are folded into the standing corpus (an atomic snapshot
+    version on `<snapshot_table>_corpus`) and every gate index rebuilds —
+    so a later duplicate of an admitted (not original-corpus) document is
+    flagged. Without refresh the same duplicate sails through the frozen
+    indexes: the control half of the claim."""
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    # Phase 1 — discovery + baseline: run the stock job once, pick a doc
+    # the gates genuinely admit (no hand-picked fixture knowledge).
+    out1 = str(tmp_path / "baseline")
+    ingest_admission_job(spark, SF_SMOKE, out1)
+    admitted_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out1).filter("admitted").collect()
+    )
+    assert admitted_ids, "fixture must admit at least one increment doc"
+    a_id = admitted_ids[0]
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    doc_a = docs.filter(F.col("doc_id") == a_id)
+    copy_id = a_id + 1_000_000
+    doc_copy = doc_a.withColumn("doc_id", F.lit(copy_id).cast("long")).select(
+        *docs.columns
+    )
+
+    # scripted two-micro-batch stream: batch 0 = the novel doc, batch 1 =
+    # its duplicate under a fresh doc_id
+    import os
+    import time
+
+    staging = str(tmp_path / "staging")
+    doc_a.coalesce(1).write.parquet(f"{staging}/f0")
+    doc_copy.coalesce(1).write.parquet(f"{staging}/f1")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    now = time.time()
+    for i, sub in enumerate(("f0", "f1")):
+        src = next(
+            p for p in os.listdir(f"{staging}/{sub}") if p.endswith(".parquet")
+        )
+        dst = os.path.join(flat, f"batch-{i}.parquet")
+        os.link(os.path.join(staging, sub, src), dst)
+        os.utime(dst, (now - 60 + i * 30, now - 60 + i * 30))
+
+    # Phase 2 — refreshing run: duplicate rejected after the fold-in
+    out2 = str(tmp_path / "refresh")
+    lake2 = str(tmp_path / "lake2")
+    s2 = ingest_admission_job(
+        spark,
+        SF_SMOKE,
+        out2,
+        snapshot_table=lake2,
+        refresh_every=1,
+        staging_dir=flat,
+    )
+    v2 = {r.doc_id: r for r in spark.read.parquet(out2).collect()}
+    assert v2[a_id].admitted, "the novel doc itself must still be admitted"
+    assert not v2[copy_id].admitted, "dup of an ADMITTED doc must be flagged"
+    assert (
+        v2[copy_id].dup_status != "admitted"
+        or v2[copy_id].span_status != "clean"
+    )
+    # the refresh is an atomic snapshot version on the standing corpus
+    assert s2["index_refreshes"] >= 1
+    assert s2["corpus_versions"] >= 2
+    corpus_tip = m.read_snapshot(spark, f"{lake2}_corpus")
+    assert corpus_tip.filter(F.col("doc_id") == a_id).count() == 1
+
+    # Phase 3 — control: same stream, NO refresh -> the duplicate is
+    # admitted (frozen indexes know nothing of batch 0's admission)
+    out3 = str(tmp_path / "frozen")
+    lake3 = str(tmp_path / "lake3")
+    ingest_admission_job(
+        spark, SF_SMOKE, out3, snapshot_table=lake3, staging_dir=flat
+    )
+    v3 = {r.doc_id: r for r in spark.read.parquet(out3).collect()}
+    assert v3[copy_id].admitted, "control: frozen indexes admit the dup"

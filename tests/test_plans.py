@@ -128,6 +128,7 @@ BOUNDED_BROADCAST_NLJ_OK = {
     "q_cms_heavy_hitters",         # broadcast 1-row corpus event total
     "q_pps_sample",                # broadcast 1-row stride (grand total)
     "q_contrastive_pairs",         # broadcast fixed query set (cosine_topk's shape)
+    "q_ann_index_topk",            # broadcast K persisted centroids (coarse probe)
 }
 
 
