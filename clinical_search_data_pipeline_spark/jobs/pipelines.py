@@ -169,18 +169,30 @@ def mart_load_job(
     tables: tuple[str, ...],
     sink: Sink,
     snapshot: bool = False,
+    where: Mapping[str, object] | None = None,
 ) -> dict[str, int]:
     """Gold parquet -> serving DB (reference load_to_postgres.py:78-127).
     `sink(df, table)` is the JDBC overwrite in production
     (sinks/jdbc.write_jdbc with truncate=True keeps serving-side DDL) and a
     recorder in tests. ``snapshot=True`` resolves each table through its
     committed manifest (latest version) instead of a raw directory scan —
-    the load can never ship a half-written rebuild."""
+    the load can never ship a half-written rebuild. ``where`` (snapshot
+    path only) pushes a column -> value / (lo, hi) predicate into the
+    manifest's partition/stats pruning, so an incremental serving refresh
+    of one event_date opens only that partition's files; columns absent
+    from a mart (the global marts carry no event_date) are skipped for
+    that table."""
     loaded: dict[str, int] = {}
     for table in tables:
         path = f"{marts_dir}/{table}"
         if snapshot:
-            df = manifest_sink.read_snapshot(spark, path)
+            pred = None
+            if where:
+                cols = set(
+                    manifest_sink.read_snapshot(spark, path).columns
+                )
+                pred = {c: v for c, v in where.items() if c in cols} or None
+            df = manifest_sink.read_snapshot(spark, path, where=pred)
         else:
             df = spark.read.parquet(path)
         sink(df, table)

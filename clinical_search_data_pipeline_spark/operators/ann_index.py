@@ -62,6 +62,7 @@ from clinical_search_data_pipeline_spark.sinks import manifest
 from clinical_search_data_pipeline_spark.sources.readers import read_table
 
 INDEX_TABLES = ("centroids", "codebook", "cells", "codes")
+META_TABLE = "meta"  # (table, version) pin rows — committed LAST
 
 
 def build_ann_index(emb: DataFrame) -> dict[str, DataFrame]:
@@ -92,23 +93,41 @@ def build_ann_index(emb: DataFrame) -> dict[str, DataFrame]:
 
 def write_ann_index(index: dict[str, DataFrame], root: str) -> dict[str, int]:
     """Publish the index relations as snapshot tables under `root`; returns
-    {table: committed version}. Each table commits atomically; a searcher
-    racing the re-index reads each table's previous complete version (pin
-    versions across tables for a fully consistent multi-table view)."""
+    {table: committed version} (including the meta pin's own version).
+
+    Multi-table consistency: each of the four relations commits atomically
+    on its own, but a re-index writes them in sequence — a reader
+    resolving "latest of each" mid-re-index could pair new codes with old
+    centroids. So the LAST commit is a 4-row `meta` table pinning the
+    exact (table, version) quadruple, and `read_ann_index` resolves
+    through it: until the meta pin lands, every reader keeps getting the
+    previous complete quadruple (the same resolve-the-manifest-first
+    discipline the snapshot sink applies per table, lifted one level)."""
     versions = {}
     for name in INDEX_TABLES:
         versions[name] = manifest.write_snapshot(
             index[name], f"{root}/{name}", mode="overwrite"
         )
+    spark = next(iter(index.values())).sparkSession
+    pins = spark.createDataFrame(
+        [(t, versions[t]) for t in INDEX_TABLES], "table string, version int"
+    )
+    versions[META_TABLE] = manifest.write_snapshot(
+        pins, f"{root}/{META_TABLE}", mode="overwrite"
+    )
     return versions
 
 
 def read_ann_index(
     spark: SparkSession, root: str, versions: dict[str, int] | None = None
 ) -> dict[str, DataFrame]:
-    """Resolve the committed index (latest versions, or a pinned
-    {table: version} map for a consistent historical view)."""
-    versions = versions or {}
+    """Resolve the committed index: by explicit {table: version} pins, or
+    (default) through the latest `meta` quadruple — a CONSISTENT view even
+    while a re-index is mid-flight (its meta pin is the last thing to
+    land). The meta read is 4 bounded rows on the driver."""
+    if versions is None:
+        pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+        versions = {r.table: r.version for r in pins.collect()}
     return {
         name: manifest.read_snapshot(
             spark, f"{root}/{name}", version=versions.get(name)
@@ -222,7 +241,7 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/csdp_ann_index/{suffix}"
     write_ann_index(build_ann_index(emb), root)
-    for name in INDEX_TABLES:  # bound /tmp growth across repeated runs
+    for name in (*INDEX_TABLES, META_TABLE):  # bound /tmp growth per run
         manifest.vacuum(f"{root}/{name}", keep_last=1, retention_seconds=0)
     index = read_ann_index(spark, root)
     return ann_index_topk(index, emb.filter(F.col("vec_id") < N_QUERIES))

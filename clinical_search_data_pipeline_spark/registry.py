@@ -125,12 +125,13 @@ ROUND_PRIORITY: tuple[str, ...] = (
     "q_ann_index_topk",
 )
 
-# The 12 r6-cohort names deferred to r10 (rows r6 — age 4 at r10, so the
+# The 13 r6-cohort names deferred to r10 (rows r6 — age 4 at r10, so the
 # staleness guard makes their r10 slots MANDATORY; the backlog-neglect
 # test below enforces the same thing one round after DEFERRED_IN). The
-# split was chosen to move the four slowest streaming twins plus eight
-# cheap batch tails out of the r9 driver budget; all 12 are unchanged
-# code with green r6 rows.
+# split moves the four slowest streaming twins plus cheap batch tails out
+# of the r9 driver budget; q_strip_dup_spans joined the deferred set when
+# the round's one new query (q_ann_index_topk) claimed its slot. All 13
+# are unchanged code with green r6 rows.
 ROUND_BACKLOG: tuple[str, ...] = (
     "q_strip_dup_spans",
     "q_stream_dsir_gate",

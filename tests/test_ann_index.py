@@ -77,3 +77,23 @@ def test_reindex_is_versioned_and_pinnable(spark, persisted):
     assert _rows(ai.ann_index_topk(old, queries)) == _rows(
         ann_ivfpq_topk(emb)
     )
+
+
+def test_mid_reindex_reader_gets_consistent_quadruple(spark, persisted):
+    """Multi-table consistency: a re-index commits the four relations in
+    sequence and the meta pin LAST. A reader resolving mid-re-index (new
+    codes committed, meta not yet bumped) must get the previous complete
+    quadruple — never new codes paired with old centroids."""
+    root, emb = persisted
+    before = ai.read_ann_index(spark, root)
+    before_codes = before["codes"].count()
+    # simulate a torn re-index: ONLY the codes table moves forward
+    tiny = emb.filter(F.col("vec_id") < 50)
+    m.write_snapshot(
+        ai.build_ann_index(tiny)["codes"], f"{root}/codes", mode="overwrite"
+    )
+    latest_codes = m.read_snapshot(spark, f"{root}/codes").count()
+    assert latest_codes < before_codes  # the torn write really landed
+    # default (meta-resolved) read still serves the old consistent view
+    after = ai.read_ann_index(spark, root)
+    assert after["codes"].count() == before_codes

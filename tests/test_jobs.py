@@ -608,6 +608,34 @@ def test_mart_etl_snapshot_publish_and_load(spark, tmp_path):
     )
     assert loaded == written == recorded
 
+    # Partition-pruned incremental serving refresh: the event_date marts
+    # publish hive-partitioned through the manifest, so a one-day load
+    # opens ONLY that day's files (inputFiles-pinned); global marts
+    # (no event_date column) skip the predicate and load whole.
+    dated = [
+        t for t in written
+        if "event_date" in m.read_snapshot(spark, f"{out}/{t}").columns
+    ]
+    assert dated, "at least one mart must carry event_date"
+    day = (
+        m.read_snapshot(spark, f"{out}/{dated[0]}")
+        .selectExpr("min(event_date) AS d").collect()[0].d
+    )
+    pruned_frames: dict[str, object] = {}
+    pipelines.mart_load_job(
+        spark,
+        out,
+        tuple(written),
+        sink=lambda df, table: pruned_frames.__setitem__(table, df),
+        snapshot=True,
+        where={"event_date": str(day)},
+    )
+    for t in dated:
+        opened = pruned_frames[t].inputFiles()
+        assert opened and all(f"event_date={day}" in f for f in opened), t
+    for t in set(written) - set(dated):
+        assert pruned_frames[t].count() == written[t], t
+
 
 def test_training_export_snapshot_epochs(spark, tmp_path):
     """snapshot=True publishes each export run as one atomic version: two
