@@ -518,6 +518,7 @@ def compact_snapshot(
     table: str,
     target_files: int = 4,
     max_conflict_retries: int = 5,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """OPTIMIZE for snapshot tables: rewrite the LATEST version's data and
     publish the result as a new overwrite snapshot — readers of the old
@@ -531,6 +532,15 @@ def compact_snapshot(
     the streaming append path stays scan-bounded per partition instead of
     globally coalescing a 100 TB table through `target_files` tasks.
 
+    ``zorder_by=(x, y)`` is OPTIMIZE ZORDER (unpartitioned tables): the
+    rewrite range-partitions + sorts on the normalized Morton key of the
+    two columns (operators/layout.zorder_with_key), which makes each new
+    file's min/max envelope tight on BOTH columns — and because this sink
+    records footer stats in the manifest, `read_snapshot(where=...)` then
+    prunes a 2-D box predicate multiplicatively with no layout knowledge
+    at read time. Layout investment, not semantics: values and schema are
+    unchanged.
+
     Lost-update safe like merge_snapshot: the base version is pinned via
     ``expected_parent``; a concurrent commit re-runs the compaction
     against the new tip rather than silently discarding it."""
@@ -542,7 +552,25 @@ def compact_snapshot(
         base = versions[-1]
         pb = _read_manifest(table, base).get("partition_by", [])
         current = read_snapshot(spark, table, version=base)
-        if pb:
+        if zorder_by is not None:
+            if pb:
+                raise ValueError(
+                    "zorder_by compaction is for unpartitioned tables; "
+                    "a partitioned table z-orders within partitions by "
+                    "writing partition_by + a pre-sorted layout instead"
+                )
+            from clinical_search_data_pipeline_spark.operators.layout import (
+                zorder_with_key,
+            )
+
+            x, y = zorder_by
+            compacted = (
+                zorder_with_key(current, x, y)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif pb:
             data_cols = [c for c in current.columns if c not in pb]
             bucket = (
                 F.pmod(
@@ -572,6 +600,69 @@ def compact_snapshot(
     raise RuntimeError(
         f"compact lost {max_conflict_retries} concurrent commits on {table}"
     ) from last_exc
+
+
+def snapshot_changes(
+    spark: SparkSession, table: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Rows ADDED between snapshot `since` (exclusive) and `until`
+    (inclusive, default latest) — incremental consumption of an
+    append-only commit chain (Delta's `table_changes` for inserts), the
+    reader half of the per-micro-batch publish: a downstream job that
+    processed up to version N asks only for what landed after N and scans
+    ONLY the new files (append reuses parent files by reference, so the
+    delta is exactly the file-set difference of the two manifests).
+
+    Every version in (since, until] must be an append commit: an overwrite
+    or merge in the range rewrites history, so the delta is not derivable
+    from files — that raises instead of silently returning wrong rows."""
+    versions = _versions(table)
+    if until is None:
+        until = versions[-1] if versions else 0
+    if since == until:
+        man = _read_manifest(table, until)
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(man["schema"]))
+        )
+    if since not in versions or until not in versions or since > until:
+        raise FileNotFoundError(
+            f"snapshot range ({since}, {until}] not resolvable at {table}"
+        )
+    for v in versions:
+        if since < v <= until and _read_manifest(table, v)["mode"] != "append":
+            raise ValueError(
+                f"version {v} at {table} is not an append — the range "
+                f"({since}, {until}] rewrites history; re-read the full "
+                "snapshot instead"
+            )
+    base_files = {e["path"] for e in _entries(_read_manifest(table, since))}
+    man = _read_manifest(table, until)
+    new = [e for e in _entries(man) if e["path"] not in base_files]
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    if not new:
+        return spark.createDataFrame([], schema)
+    partition_by = man.get("partition_by", [])
+    if not partition_by:
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(table, _FILES_DIR, e["path"]) for e in new)
+        )
+    by_stage: dict[str, list[str]] = {}
+    for e in new:
+        stage = e["path"].split("/", 1)[0]
+        by_stage.setdefault(stage, []).append(
+            os.path.join(table, _FILES_DIR, e["path"])
+        )
+    parts = [
+        spark.read.schema(schema)
+        .option("basePath", os.path.join(table, _FILES_DIR, stage))
+        .parquet(*paths)
+        .select(*schema.fieldNames())
+        for stage, paths in sorted(by_stage.items())
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def snapshots(table: str) -> list[dict]:

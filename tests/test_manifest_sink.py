@@ -382,3 +382,98 @@ def test_compact_partitioned_bounds_files_per_partition(spark, tmp_path):
     assert before == after
     pruned = m.read_snapshot(spark, table, where={"day": "2017-01-01"})
     assert all("day=2017-01-01" in f for f in pruned.inputFiles())
+
+
+def test_compact_zorder_enables_2d_stats_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER: after zorder_by compaction the manifest's footer
+    stats are tight on BOTH dimensions, so a 2-D box predicate through
+    read_snapshot(where=...) skips files multiplicatively — under the
+    natural single-column layout the second dimension prunes nothing.
+    Same where, same rows, fewer files opened: layout, not semantics."""
+    table = str(tmp_path / "t")
+    df = spark.range(8192).selectExpr(
+        "id",
+        "CAST(id % 32 AS BIGINT) AS day",
+        "CAST((id * 2654435761) % 256 AS BIGINT) AS user",
+    )
+    m.write_snapshot(
+        df.repartitionByRange(16, "day").sortWithinPartitions("day"), table
+    )
+    where = {"day": (0, 31), "user": (64, 71)}  # full days, thin user slice
+    before = m.read_snapshot(spark, table, where=where)
+    n_expected = before.count()
+    assert n_expected > 0
+    assert len(before.inputFiles()) == 16  # day layout cannot prune user
+    m.compact_snapshot(spark, table, target_files=16, zorder_by=("day", "user"))
+    after = m.read_snapshot(spark, table, where=where)
+    assert after.count() == n_expected
+    assert len(after.inputFiles()) <= 8  # multiplicative skip via stats
+
+    pt = str(tmp_path / "p")
+    m.write_snapshot(_pdf(spark, [("a", 1, 1)]), pt, partition_by=["day"])
+    with pytest.raises(ValueError, match="zorder"):
+        m.compact_snapshot(spark, pt, zorder_by=("id", "v"))
+
+
+def test_schema_metadata_survives_snapshot_roundtrip(spark, tmp_path):
+    """Column metadata rides the manifest's schema JSON — the property the
+    self-sizing bloom filter depends on to carry (m_bits, n_hashes) through
+    a lake publish (bloom_probe now refuses to guess a stripped domain)."""
+    from clinical_search_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [f"gram {i}" for i in range(2000)]
+    vals = spark.createDataFrame([(g,) for g in members], "gram string")
+    bloom = bloom_build(vals, "gram")
+    table = str(tmp_path / "bloom")
+    m.write_snapshot(bloom, table)
+    back = m.read_snapshot(spark, table)
+    assert dict(back.schema["bits"].metadata) == dict(
+        bloom.schema["bits"].metadata
+    )
+    assert bloom_probe(vals, "gram", back).count() == len(members)
+
+
+def test_snapshot_changes_incremental_reads(spark, tmp_path):
+    """snapshot_changes: a downstream consumer that processed up to
+    version N reads ONLY what later appends added (scanning only the new
+    files), and a history-rewriting commit in the range refuses instead of
+    returning wrong deltas."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)                 # v1
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")  # v2
+    m.write_snapshot(_df(spark, 20, 24), table, mode="append")  # v3
+    delta = m.snapshot_changes(spark, table, since=1)
+    assert _ids(delta) == [10, 11, 20, 21, 22, 23]
+    assert _ids(m.snapshot_changes(spark, table, since=2, until=3)) == [
+        20, 21, 22, 23,
+    ]
+    assert m.snapshot_changes(spark, table, since=3).count() == 0
+    # only v2+v3's files are scanned for the (1, 3] delta
+    v1_files = {e["path"] for e in m._entries(m._read_manifest(table, 1))}
+    opened = {f.split("/files/", 1)[1] for f in delta.inputFiles()}
+    assert not (opened & v1_files)
+    # an overwrite in the range rewrites history -> refuse
+    m.write_snapshot(_df(spark, 50, 52), table)               # v4 overwrite
+    with pytest.raises(ValueError, match="append"):
+        m.snapshot_changes(spark, table, since=2)
+    with pytest.raises(FileNotFoundError):
+        m.snapshot_changes(spark, table, since=99)
+
+
+def test_snapshot_changes_partitioned(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(
+        _pdf(spark, [("2017-01-01", 1, 1)]), table, partition_by=["day"]
+    )
+    m.write_snapshot(
+        _pdf(spark, [("2017-01-02", 2, 2), ("2017-01-03", 3, 3)]),
+        table,
+        mode="append",
+        partition_by=["day"],
+    )
+    delta = m.snapshot_changes(spark, table, since=1)
+    got = {(r.day, r.id) for r in delta.collect()}
+    assert got == {("2017-01-02", 2), ("2017-01-03", 3)}
