@@ -748,3 +748,43 @@ def test_gate_index_refresh_flags_dup_of_admitted_doc(spark, tmp_path):
     )
     v3 = {r.doc_id: r for r in spark.read.parquet(out3).collect()}
     assert v3[copy_id].admitted, "control: frozen indexes admit the dup"
+
+
+def test_gate_indexes_persist_and_reuse(spark, tmp_path):
+    """gate_index_root: run 1 builds + publishes the ten index relations
+    (+ meta pin); run 2 probes the committed artifacts without
+    re-deriving or republishing anything — and produces IDENTICAL
+    verdicts, so the persisted admission path is interchangeable with the
+    built one (the BM25/ANN index discipline applied to the gates)."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    root = str(tmp_path / "gidx")
+    out1 = str(tmp_path / "run1")
+    s1 = pipelines.ingest_admission_job(
+        spark, SF_SMOKE, out1, gate_index_root=root
+    )
+    assert s1["gate_index_source"] == "built"
+    v_after_build = {
+        t: m.snapshots(f"{root}/{t}")[-1]["version"]
+        for t in (*pipelines.GATE_INDEX_TABLES, "meta")
+    }
+    assert all(v == 1 for v in v_after_build.values())
+
+    out2 = str(tmp_path / "run2")
+    s2 = pipelines.ingest_admission_job(
+        spark, SF_SMOKE, out2, gate_index_root=root
+    )
+    assert s2["gate_index_source"] == "read"
+    # the read-path run republished nothing
+    assert v_after_build == {
+        t: m.snapshots(f"{root}/{t}")[-1]["version"]
+        for t in (*pipelines.GATE_INDEX_TABLES, "meta")
+    }
+    key = lambda df: {  # noqa: E731
+        r.doc_id: (
+            r.dup_status, r.dsir_status, r.span_status, r.quality_status,
+            r.image_status, r.audio_status, r.video_status, r.admitted,
+        )
+        for r in df.collect()
+    }
+    assert key(spark.read.parquet(out1)) == key(spark.read.parquet(out2))
