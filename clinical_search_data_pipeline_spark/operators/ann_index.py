@@ -105,8 +105,12 @@ def write_ann_index(index: dict[str, DataFrame], root: str) -> dict[str, int]:
     discipline the snapshot sink applies per table, lifted one level)."""
     versions = {}
     for name in INDEX_TABLES:
+        # collect_stats=False: these relations are probed by equi-join,
+        # never range-pruned — per-file footer stats would be dead weight
+        # collected on the publish path
         versions[name] = manifest.write_snapshot(
-            index[name], f"{root}/{name}", mode="overwrite"
+            index[name], f"{root}/{name}", mode="overwrite",
+            collect_stats=False,
         )
     spark = next(iter(index.values())).sparkSession
     pins = spark.createDataFrame(
