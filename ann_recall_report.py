@@ -82,6 +82,11 @@ def main() -> None:
     print("n_queries x pool extra exact scores, the raw-vector relation")
     print("never shuffled — and recall jumps to 90-100% at every SF: the")
     print("two-stage shape is what a 100 TB deployment should serve from.")
+    print("The PERSISTED index path (q_ann_index_topk, operators/")
+    print("ann_index.py) is hash-pinned equal to ivfpq — its recall rows")
+    print("ARE the ivfpq_p1/p2 rows above; persistence changes where the")
+    print("relations come from (committed snapshot artifacts, no raw-")
+    print("vector scan at query time), never what the search returns.")
     print("For NEAR-DUP (threshold, not")
     print("top-k) search the engine uses the banded 8x8 LSH")
     print("(`q_embedding_neardup_lsh`), which is exact-verified and not a")

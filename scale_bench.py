@@ -639,6 +639,47 @@ def main() -> None:
     print(f"# kmeans_train_r3: {base_sec:.2f}s -> {scaled_sec:.2f}s "
           f"(x{results['kmeans_train_r3']['ratio']})", file=sys.stderr)
 
+    # Persisted ANN index: split the one-time train/add cost from the
+    # per-query search cost (the amortization FAISS deployments bank on —
+    # q_ann_index_topk measures both fused because its oracle contract
+    # rebuilds per run). `train` = build + snapshot-publish the four
+    # relations + meta; `search` = probe the committed artifacts alone.
+    import shutil as _shutil
+    import time as _t
+
+    from clinical_search_data_pipeline_spark.operators import ann_index as _ai
+
+    entry = {}
+    for tag, d in (("base", src), ("scaled", scaled_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        root = tempfile.mkdtemp(prefix=f"csdp_annidx_{tag}_") + "/index"
+        t0 = _t.perf_counter()
+        _ai.write_ann_index(_ai.build_ann_index(emb), root)
+        entry[f"train_{tag}_sec"] = round(_t.perf_counter() - t0, 3)
+        idx = _ai.read_ann_index(spark, root)
+        queries = emb.filter(F.col("vec_id") < 8)
+        t0 = _t.perf_counter()
+        _ai.ann_index_topk(idx, queries).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        entry[f"search_{tag}_sec"] = round(_t.perf_counter() - t0, 3)
+        release_caches()
+        _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    entry["train_ratio"] = round(
+        entry["train_scaled_sec"] / max(entry["train_base_sec"], 1e-9), 2
+    )
+    entry["search_ratio"] = round(
+        entry["search_scaled_sec"] / max(entry["search_base_sec"], 1e-9), 2
+    )
+    results["ann_index_train_vs_search"] = entry
+    print(
+        f"# ann_index_train_vs_search: train {entry['train_base_sec']:.2f}s"
+        f" -> {entry['train_scaled_sec']:.2f}s (x{entry['train_ratio']}); "
+        f"search {entry['search_base_sec']:.2f}s -> "
+        f"{entry['search_scaled_sec']:.2f}s (x{entry['search_ratio']})",
+        file=sys.stderr,
+    )
+
     payload = {
         "metric": "scale_growth",
         "factor": factor,
