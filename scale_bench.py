@@ -647,6 +647,8 @@ def main() -> None:
     import shutil as _shutil
     import time as _t
 
+    from pyspark.sql import functions as F
+
     from clinical_search_data_pipeline_spark.operators import ann_index as _ai
 
     entry = {}
