@@ -140,6 +140,78 @@ def read_ann_index(
     }
 
 
+def add_to_ann_index(
+    spark: SparkSession, root: str, new_emb: DataFrame
+) -> dict[str, int]:
+    """FAISS `add()`: fold NEW vectors into the persisted index without
+    retraining — encode them under the FROZEN coarse quantizer and PQ
+    codebook (both broadcast from the committed artifacts), append the
+    resulting (vec_id, cell) and (vec_id, m, code) rows to the `cells` /
+    `codes` snapshot tables (append mode reuses every existing file by
+    reference — the increment is the only data written), and publish a
+    fresh meta pin. Because the quantizers are frozen, add-then-search is
+    EXACTLY equal to a full rebuild whenever the training vectors
+    (centroid + codebook rows) were already in the index — the property
+    tests/test_ann_index.py pins bit-for-bit.
+
+    Concurrency: the meta pin commits with ``expected_parent`` — two
+    racing adds cannot silently drop each other; the loser gets
+    `SnapshotConflict` and re-runs. Duplicate vec_ids are refused (a
+    doubled vector would surface twice in every candidate list).
+
+    Returns the new {table: version} map (centroids/codebook unchanged)."""
+    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    versions = {r.table: r.version for r in pins.collect()}
+    index = {
+        name: manifest.read_snapshot(
+            spark, f"{root}/{name}", version=versions[name]
+        )
+        for name in INDEX_TABLES
+    }
+    dup = (
+        index["cells"]
+        .join(F.broadcast(new_emb.select("vec_id")), "vec_id", "left_semi")
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"{dup} vec_ids already present in the index at {root}; "
+            "adds must be novel vectors (re-index to replace)"
+        )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("_cscore").desc(), F.col("cell").asc()
+    )
+    new_cells = (
+        vectors_with_norms(new_emb)
+        .crossJoin(F.broadcast(index["centroids"]))
+        .withColumn(
+            "_cscore",
+            F.expr(_spark_dot("v", "cv")) / (F.col("norm") * F.col("cnorm")),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell")
+    )
+    new_codes = pq_codes(pq_subvectors(new_emb), index["codebook"])
+    versions["cells"] = manifest.write_snapshot(
+        new_cells, f"{root}/cells", mode="append", collect_stats=False
+    )
+    versions["codes"] = manifest.write_snapshot(
+        new_codes, f"{root}/codes", mode="append", collect_stats=False
+    )
+    pins_df = spark.createDataFrame(
+        [(t, versions[t]) for t in INDEX_TABLES], "table string, version int"
+    )
+    versions[META_TABLE] = manifest.write_snapshot(
+        pins_df,
+        f"{root}/{META_TABLE}",
+        mode="overwrite",
+        expected_parent=meta_version,
+    )
+    return versions
+
+
 def ann_index_topk(
     index: dict[str, DataFrame],
     queries: DataFrame,

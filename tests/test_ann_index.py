@@ -97,3 +97,36 @@ def test_mid_reindex_reader_gets_consistent_quadruple(spark, persisted):
     # default (meta-resolved) read still serves the old consistent view
     after = ai.read_ann_index(spark, root)
     assert after["codes"].count() == before_codes
+
+
+def test_incremental_add_equals_full_rebuild(spark, tmp_path):
+    """FAISS add(): vectors folded in under the FROZEN quantizers. Because
+    the training rows (centroids 100..107, codebook 200..231) are in the
+    initial build, add-then-search must equal a full rebuild BIT FOR BIT —
+    and the append reuses every pre-add file by reference (only the
+    increment is written). Duplicate adds and racing meta pins refuse."""
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    initial = emb.filter(F.col("vec_id") < 300)  # includes all training rows
+    ai.write_ann_index(ai.build_ann_index(initial), root)
+    pre_cells = {
+        e["path"]
+        for e in m._entries(
+            m._read_manifest(f"{root}/cells", m._versions(f"{root}/cells")[-1])
+        )
+    }
+    v = ai.add_to_ann_index(spark, root, emb.filter(F.col("vec_id") >= 300))
+    assert v["cells"] >= 2 and v["codes"] >= 2 and v["meta"] >= 2
+    post = m._entries(m._read_manifest(f"{root}/cells", v["cells"]))
+    assert pre_cells < {e["path"] for e in post}  # old files referenced, not rewritten
+    idx = ai.read_ann_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 8)
+    assert _rows(ai.ann_index_topk(idx, queries)) == _rows(
+        ann_ivfpq_topk(emb)
+    )
+    assert _rows(ai.ann_index_topk(idx, queries, nprobe=2)) == _rows(
+        ann_ivfpq_topk(emb, nprobe=2)
+    )
+    # duplicate vectors refuse
+    with pytest.raises(ValueError, match="already present"):
+        ai.add_to_ann_index(spark, root, emb.filter(F.col("vec_id") < 10))
