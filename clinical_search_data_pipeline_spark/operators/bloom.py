@@ -124,6 +124,69 @@ def bloom_build(
     )
 
 
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Bloom filters built over the SAME (m_bits, n_hashes)
+    domain: one word_idx-keyed bit_or — the property that makes Bloom
+    filters incrementally maintainable (union of the bitsets IS the
+    filter of the union of the sets, exactly). Domains must match or the
+    merged bits would be meaningless; mismatched metadata raises (the
+    same refuse-to-guess rule as bloom_probe). The false-positive rate of
+    the result is that of a single filter holding both element sets — if
+    the combined count outgrows the domain (n >> m/BLOOM_BITS_PER_ITEM),
+    rebuild with the self-sizing `bloom_build` instead of unioning."""
+    ma, mb = (
+        dict(a.schema["bits"].metadata or {}),
+        dict(b.schema["bits"].metadata or {}),
+    )
+    if not ma or not mb:
+        raise ValueError(
+            "bloom_union requires both relations to carry bits metadata"
+        )
+    if (ma.get("m_bits"), ma.get("n_hashes")) != (
+        mb.get("m_bits"),
+        mb.get("n_hashes"),
+    ):
+        raise ValueError(
+            f"bloom domains differ ({ma} vs {mb}); rebuild at a common "
+            "(m_bits, n_hashes) before unioning"
+        )
+    merged = (
+        a.select("word_idx", "bits")
+        .unionByName(b.select("word_idx", "bits"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return merged.select(
+        "word_idx",
+        F.col("bits").alias(
+            "bits",
+            metadata={
+                "m_bits": int(ma["m_bits"]),
+                "n_hashes": int(ma["n_hashes"]),
+            },
+        ),
+    )
+
+
+def bloom_add(bloom: DataFrame, values: DataFrame, col: str) -> DataFrame:
+    """Fold new values into an existing filter WITHOUT re-scanning the
+    original set: build the increment's filter in the existing relation's
+    exact domain (from its metadata), then union. The incremental
+    maintenance path for a standing-corpus pre-filter — a gram-index
+    refresh adds the admitted documents' novel grams in one pass over the
+    increment only."""
+    meta = dict(bloom.schema["bits"].metadata or {})
+    if "m_bits" not in meta or "n_hashes" not in meta:
+        raise ValueError(
+            "bloom relation carries no domain metadata; bloom_add cannot "
+            "size the increment's filter"
+        )
+    inc = bloom_build(
+        values, col, m_bits=int(meta["m_bits"]), n_hashes=int(meta["n_hashes"])
+    )
+    return bloom_union(bloom, inc)
+
+
 def bloom_probe(
     df: DataFrame,
     col: str,

@@ -171,3 +171,38 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") >= BLOOM_HASHES, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_union_and_incremental_add(spark):
+    """Union of the bitsets IS the filter of the union of the sets: every
+    member of either side survives the merged probe (zero false
+    negatives), bloom_add folds an increment in one pass over the
+    increment only, and mismatched domains refuse."""
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.bloom import (
+        bloom_add,
+        bloom_union,
+    )
+
+    a_vals = [f"corpus gram {i}" for i in range(3000)]
+    b_vals = [f"novel gram {i}" for i in range(500)]
+    # build B in A's domain (bloom_add does this internally too)
+    a = bloom_build(_strings(spark, a_vals), "gram")
+    meta = dict(a.schema["bits"].metadata)
+    merged = bloom_add(a, _strings(spark, b_vals), "gram")
+    assert dict(merged.schema["bits"].metadata) == meta
+    both = _strings(spark, a_vals + b_vals)
+    assert bloom_probe(both, "gram", merged).count() == len(a_vals) + len(b_vals)
+    # still a useful filter: absent grams mostly rejected
+    absent = _strings(spark, [f"absent gram {i}" for i in range(4000)])
+    fp = bloom_probe(absent, "gram", merged).count() / 4000
+    assert fp < 0.05, fp
+    # mismatched domains refuse
+    small = bloom_build(_strings(spark, b_vals), "gram", m_bits=1 << 20)
+    big = bloom_build(_strings(spark, b_vals), "gram", m_bits=1 << 21)
+    with pytest.raises(ValueError, match="domains differ"):
+        bloom_union(small, big)
+    stripped = a.selectExpr("word_idx", "bits + 0 AS bits")
+    with pytest.raises(ValueError, match="metadata"):
+        bloom_union(a, stripped)
