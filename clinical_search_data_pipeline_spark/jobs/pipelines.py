@@ -136,6 +136,7 @@ def mart_etl_incremental_job(
     event_dates: tuple[str, ...],
     builders: Mapping[str, Callable[[DataFrame], DataFrame]] = COLD_MART_BUILDERS,
     partition_col: str = "event_date",
+    snapshot: bool = False,
 ) -> dict[str, int]:
     """Recompute only the marts' rows for the given event_dates and replace
     exactly those lake partitions (dynamic partition overwrite). The 100 TB
@@ -146,7 +147,14 @@ def mart_etl_incremental_job(
     Correctness requires the mart to be *partition-local*: every group key
     set must contain `partition_col` (true for the four cold marts — all
     group by event_date), so a day's rows depend only on that day's events.
-    """
+
+    ``snapshot=True`` performs the backfill through the manifest sink's
+    `replace_partitions` (Delta replaceWhere): the replaced days' files
+    are staged, every OTHER partition's files are carried forward by
+    reference, and the swap commits atomically as one new version — a
+    dashboard racing the backfill reads the complete pre- or post-backfill
+    mart, and the pre-backfill state stays time-travel pinnable. Pairs
+    with `mart_etl_job(snapshot=True)`'s partitioned publishes."""
     scoped = events.filter(F.col(partition_col).isin(list(event_dates))).cache()
     written: dict[str, int] = {}
     try:
@@ -154,9 +162,17 @@ def mart_etl_incremental_job(
             mart = build(scoped)
             if partition_col not in mart.columns:
                 continue
-            pq_sink.write_partitioned(
-                mart, f"{out_dir}/{name}", partition_col, mode="overwrite"
-            )
+            if snapshot:
+                manifest_sink.replace_partitions(
+                    mart,
+                    f"{out_dir}/{name}",
+                    partition_col,
+                    values=list(event_dates),
+                )
+            else:
+                pq_sink.write_partitioned(
+                    mart, f"{out_dir}/{name}", partition_col, mode="overwrite"
+                )
             written[name] = mart.count()
     finally:
         scoped.unpersist()

@@ -392,6 +392,132 @@ def merge_snapshot(
     ) from last_exc
 
 
+def replace_partitions(
+    df: DataFrame,
+    table: str,
+    partition_col: str,
+    values: list | tuple | None = None,
+    max_retries: int = 10,
+    collect_stats: bool = True,
+) -> int:
+    """Delta's `replaceWhere` for hive partitions: publish a new snapshot
+    in which the partitions named by `values` contain exactly `df`'s rows
+    and EVERY other partition's files are carried forward BY REFERENCE —
+    a one-day mart backfill stages one day's files and relinks the rest,
+    never rewriting 100 TB to correct 100 GB. The swap is atomic like
+    every commit here; the pre-backfill version stays time-travel
+    readable; `snapshot_changes` treats the commit as a history rewrite
+    (mode="replace") and refuses to derive deltas across it.
+
+    `values` defaults to `df`'s distinct partition values (a bounded
+    driver read — a backfill touches few partitions by construction).
+    Rows of `df` outside `values` raise: silently dropping them or
+    silently leaking them into surviving partitions are both wrong.
+    The table must already exist partitioned by exactly [partition_col]."""
+    spark = df.sparkSession
+    if values is None:
+        values = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+    values = list(values)
+    if not values:
+        raise ValueError("replace_partitions needs at least one value")
+    stray = df.filter(~F.col(partition_col).isin(values)).limit(1).count()
+    if stray:
+        raise ValueError(
+            f"df contains rows outside the replaced {partition_col} "
+            f"values {values}; they would corrupt surviving partitions"
+        )
+    value_strs = {str(v) for v in values}
+    stage = f"stage-{uuid.uuid4().hex}"
+    stage_dir = os.path.join(table, _FILES_DIR, stage)
+    df.write.mode("error").partitionBy(partition_col).parquet(stage_dir)
+    new_entries = []
+    for rel in _list_part_files(stage_dir):
+        rows, stats = (
+            _footer_stats(os.path.join(stage_dir, rel))
+            if collect_stats
+            else (None, {})
+        )
+        new_entries.append(
+            {
+                "path": f"{stage}/{rel}",
+                "partition": _partition_of(rel),
+                "rows": rows,
+                "stats": stats,
+            }
+        )
+
+    for _ in range(max_retries):
+        existing = _versions(table)
+        if not existing:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise FileNotFoundError(
+                f"replace_partitions needs an existing snapshot at {table}"
+            )
+        parent = existing[-1]
+        pm = _read_manifest(table, parent)
+        if pm.get("partition_by", []) != [partition_col]:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise ValueError(
+                f"{table} is partitioned by {pm.get('partition_by', [])}, "
+                f"not [{partition_col!r}]"
+            )
+        # name+type only (merge_snapshot's rule): a parquet read is always
+        # nullable while an in-memory frame may carry non-null fields
+        parent_schema = StructType.fromJson(json.loads(pm["schema"]))
+        shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+        if shape(parent_schema) != shape(df.schema):
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise ValueError(
+                f"replace schema differs from snapshot v{parent} at {table}"
+            )
+        carried = [
+            e
+            for e in _entries(pm)
+            if e.get("partition", {}).get(partition_col) not in value_strs
+        ]
+        files = carried + new_entries
+        gone = [
+            e["path"]
+            for e in new_entries
+            if not os.path.exists(os.path.join(table, _FILES_DIR, e["path"]))
+        ]
+        if gone:
+            raise RuntimeError(
+                f"staged files vanished before commit at {table} "
+                f"(vacuumed?): {gone[:3]}"
+            )
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "replace",
+            # keep the PARENT's recorded schema: the carried files were
+            # written under it, and it is the always-nullable read form —
+            # declaring a new frame's non-null fields over old files
+            # would misstate the carried data
+            "schema": pm["schema"],
+            "partition_by": [partition_col],
+            "files": files,
+            "num_files": len(files),
+        }
+        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(table, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — recompute against the new tip
+    raise RuntimeError(
+        f"replace_partitions lost {max_retries} races on {table}; giving up"
+    )
+
+
 def _cmp_key(v):
     """Order-preserving comparison key across JSON stat types and hive
     partition strings: numbers compare numerically when both sides parse,

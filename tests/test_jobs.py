@@ -788,3 +788,59 @@ def test_gate_indexes_persist_and_reuse(spark, tmp_path):
         for r in df.collect()
     }
     assert key(spark.read.parquet(out1)) == key(spark.read.parquet(out2))
+
+
+def test_mart_incremental_snapshot_backfill(spark, tmp_path):
+    """snapshot=True incremental backfill: one day's late data lands as
+    ONE atomic replace version per partitioned mart — untouched
+    partitions' files carried by reference, values equal to a full
+    recompute for the target day, pre-backfill version pinnable."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    pipelines.mart_etl_job(events, out, snapshot=True)
+
+    dates = sorted(
+        r.event_date for r in events.select("event_date").distinct().collect()
+    )
+    target = dates[-3]
+    late = (
+        events.filter(F.col("event_date") == target)
+        .limit(200)
+        .withColumn("user_id", F.col("user_id") + 1_000_000)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    updated = events.unionByName(late)
+    written = pipelines.mart_etl_incremental_job(
+        updated, out, (target,), snapshot=True
+    )
+    assert written and all(n > 0 for n in written.values())
+    for name in written:
+        table = f"{out}/{name}"
+        log = m.snapshots(table)
+        assert [s["version"] for s in log] == [1, 2]
+        assert log[-1]["mode"] == "replace"
+        # untouched partitions: identical file references across versions
+        v1 = {
+            e["path"]
+            for e in m._entries(m._read_manifest(table, 1))
+            if e["partition"].get("event_date") != target
+        }
+        v2 = {
+            e["path"]
+            for e in m._entries(m._read_manifest(table, 2))
+            if e["partition"].get("event_date") != target
+        }
+        assert v1 == v2
+        # backfilled day equals a full recompute over the updated events
+        full = pipelines.COLD_MART_BUILDERS[name](updated).filter(
+            F.col("event_date") == target
+        )
+        got = m.read_snapshot(spark, table, where={"event_date": target})
+        cols = sorted(full.columns)
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, full.select(cols).collect())
+        )
+        # pre-backfill state pinnable
+        assert m.read_snapshot(spark, table, version=1).count() > 0

@@ -477,3 +477,43 @@ def test_snapshot_changes_partitioned(spark, tmp_path):
     delta = m.snapshot_changes(spark, table, since=1)
     got = {(r.day, r.id) for r in delta.collect()}
     assert got == {("2017-01-02", 2), ("2017-01-03", 3)}
+
+
+def test_replace_partitions_relinks_untouched_files(spark, tmp_path):
+    """replaceWhere: the backfilled day's files are NEW, every other
+    partition's files are carried forward BY REFERENCE (path-identical in
+    the new manifest — a one-day correction never rewrites the table);
+    the pre-backfill version stays pinnable; stray rows and wrong
+    partitioning refuse; snapshot_changes refuses across the rewrite."""
+    table = str(tmp_path / "t")
+    rows = [(f"2017-01-0{d}", d * 10 + i, d) for d in (1, 2, 3) for i in range(3)]
+    m.write_snapshot(_pdf(spark, rows), table, partition_by=["day"])
+    before = {e["path"]: e["partition"] for e in m._entries(m._read_manifest(table, 1))}
+
+    patch = _pdf(spark, [("2017-01-02", 99, 99)])
+    v = m.replace_partitions(patch, table, "day")
+    assert v == 2
+    after = {e["path"]: e["partition"] for e in m._entries(m._read_manifest(table, 2))}
+    kept_before = {p for p, part in before.items() if part["day"] != "2017-01-02"}
+    kept_after = {p for p, part in after.items() if part["day"] != "2017-01-02"}
+    assert kept_before == kept_after  # untouched partitions: same files
+    new_day2 = {p for p, part in after.items() if part["day"] == "2017-01-02"}
+    old_day2 = {p for p, part in before.items() if part["day"] == "2017-01-02"}
+    assert new_day2 and not (new_day2 & old_day2)
+
+    got = {(r.day, r.id) for r in m.read_snapshot(spark, table).collect()}
+    assert got == {("2017-01-01", 10), ("2017-01-01", 11), ("2017-01-01", 12),
+                   ("2017-01-02", 99),
+                   ("2017-01-03", 30), ("2017-01-03", 31), ("2017-01-03", 32)}
+    assert m.read_snapshot(spark, table, version=1).count() == 9  # pinnable
+
+    with pytest.raises(ValueError, match="outside the replaced"):
+        m.replace_partitions(patch, table, "day", values=["2017-01-03"])
+    flat = str(tmp_path / "flat")
+    m.write_snapshot(_pdf(spark, rows), flat)  # unpartitioned
+    with pytest.raises(ValueError, match="partitioned by"):
+        m.replace_partitions(patch, flat, "day")
+    with pytest.raises(FileNotFoundError):
+        m.replace_partitions(patch, str(tmp_path / "missing"), "day")
+    with pytest.raises(ValueError, match="append"):
+        m.snapshot_changes(spark, table, since=1)  # replace rewrote history
