@@ -422,11 +422,22 @@ def replace_partitions(
     values = list(values)
     if not values:
         raise ValueError("replace_partitions needs at least one value")
-    stray = df.filter(~F.col(partition_col).isin(values)).limit(1).count()
+    # null-safe: NULL.isin(...) is NULL, which a plain ~filter drops — a
+    # null-partition row would then silently duplicate against the carried
+    # __HIVE_DEFAULT_PARTITION__ entries
+    stray = (
+        df.filter(
+            (~F.col(partition_col).isin(values))
+            | F.col(partition_col).isNull()
+        )
+        .limit(1)
+        .count()
+    )
     if stray:
         raise ValueError(
             f"df contains rows outside the replaced {partition_col} "
-            f"values {values}; they would corrupt surviving partitions"
+            f"values {values} (or NULL); they would corrupt surviving "
+            "partitions"
         )
     value_strs = {str(v) for v in values}
     stage = f"stage-{uuid.uuid4().hex}"

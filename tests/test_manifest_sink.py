@@ -509,6 +509,13 @@ def test_replace_partitions_relinks_untouched_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="outside the replaced"):
         m.replace_partitions(patch, table, "day", values=["2017-01-03"])
+    # null partition values are stray too (NULL.isin is NULL — the
+    # null-safe check must still catch it)
+    null_patch = _pdf(spark, [("2017-01-02", 1, 1)]).selectExpr(
+        "CAST(NULL AS STRING) AS day", "id", "v"
+    )
+    with pytest.raises(ValueError, match="outside the replaced"):
+        m.replace_partitions(null_patch, table, "day", values=["2017-01-02"])
     flat = str(tmp_path / "flat")
     m.write_snapshot(_pdf(spark, rows), flat)  # unpartitioned
     with pytest.raises(ValueError, match="partitioned by"):
