@@ -51,88 +51,20 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-9 window: the backlog arithmetic left essentially no free slots —
-# 12 names displaced during r8 carry r5 driver rows (the K=3 staleness
-# guard binds at 9-5, so their slots are MANDATORY), and the 50-name r6
-# cohort was recorded in r8's ROUND_BACKLOG. 12 + 50 = 62 claims on 50
-# slots, so the window is filled with the 12 mandatory names plus 38 of
-# the cohort; the 12 leftover cohort names are deferred to r10 under the
-# staleness guard's in-window exemption (they hold r10 slots — recorded
-# in ROUND_BACKLOG below with ROUND_BACKLOG_DEFERRED_IN = 9, which the
-# backlog-neglect test turns into a hard failure if r10 forgets). Any NEW
-# query registered this round must itself claim a slot (never-checked
-# guard), displacing one more cohort name into the deferred set. All
-# rotated-out r8/r7-row names keep valid driver rows at their current,
-# unchanged behavior (ages 1-2, no staleness debt).
+# Round-10 window: 63 claims on 50 slots again. The 13 names deferred in
+# r9 (recorded in r9's ROUND_BACKLOG) carry r6 driver rows — age 4 at r10,
+# so the staleness guard makes their slots MANDATORY — and the 50-name r7
+# cohort is at age 3 (refresh now or they're mandatory at r11). The window
+# is filled with the 13 mandatory names plus 37 of the r7 cohort; the 13
+# leftover r7 names are deferred to r11 under the staleness guard's
+# in-window exemption (recorded in ROUND_BACKLOG below with
+# ROUND_BACKLOG_DEFERRED_IN = 10, which the backlog-neglect test turns
+# into a hard failure if r11 forgets). No new query registrations this
+# round — the slot budget is spent on rotation; the round's work is
+# non-query engineering (incremental refresh, CDF, schema evolution).
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the 12 MANDATORY names: displaced mid-r8, latest driver row r5,
+    # (a) the 13 MANDATORY names: deferred in r9, latest driver row r6,
     # at the staleness bound exactly this round.
-    "q_user_set_ops",
-    "q_pivot_event_types",
-    "q_sql_nation_revenue",
-    "q_embedding_norms",
-    "q_hash_sample",
-    "q_doc_fingerprints",
-    "q_hash_split",
-    "q_bpe_token_counts",
-    "q_mixture_sample",
-    "q_stratified_sample",
-    "q_winnow_fingerprints",
-    "q_decontaminate",
-    # (b) 38 of the 50-name r6 cohort (rows r6, age 3 — refreshed here so
-    # they never cross the bound).
-    "q_anomaly_sessions",
-    "q_bigram_nll",
-    "q_bpe_tokenize2",
-    "q_bpe_train2",
-    "q_bronze_archive",
-    "q_clinical_areas",
-    "q_clinical_trend",
-    "q_corpus_filter",
-    "q_daily_traffic",
-    "q_dedup_events",
-    "q_dedup_keys",
-    "q_doc_chunks",
-    "q_dsir_weights",
-    "q_dup_spans",
-    "q_event_transitions",
-    "q_events_orders_asof",
-    "q_ewma_user_values",
-    "q_ewma_user_values_chunked",
-    "q_incremental_dedup",
-    "q_lang_profile",
-    "q_length_outliers",
-    "q_media_audio",
-    "q_media_features",
-    "q_media_frames",
-    "q_media_meta",
-    "q_media_resize",
-    "q_media_video",
-    "q_pii_redact",
-    "q_popular_documents",
-    "q_pricing_cube",
-    "q_session_analysis",
-    "q_session_funnel",
-    "q_sessionize",
-    "q_source_dup_profile",
-    "q_source_overlap",
-    "q_stream_anomaly",
-    "q_stream_dedup_keys",
-    # (c) NEW this round — never driver-checked, must hold a slot: the
-    # persisted IVFADC index probe (VERDICT r8 #3). Claims the slot
-    # q_strip_dup_spans held; that r6-row name moves to the r10 deferred
-    # set below.
-    "q_ann_index_topk",
-)
-
-# The 13 r6-cohort names deferred to r10 (rows r6 — age 4 at r10, so the
-# staleness guard makes their r10 slots MANDATORY; the backlog-neglect
-# test below enforces the same thing one round after DEFERRED_IN). The
-# split moves the four slowest streaming twins plus cheap batch tails out
-# of the r9 driver budget; q_strip_dup_spans joined the deferred set when
-# the round's one new query (q_ann_index_topk) claimed its slot. All 13
-# are unchanged code with green r6 rows.
-ROUND_BACKLOG: tuple[str, ...] = (
     "q_strip_dup_spans",
     "q_stream_dsir_gate",
     "q_stream_incremental_dedup",
@@ -146,8 +78,70 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_user_cohorts",
     "q_word_entropy",
     "q_zipf_profile",
+    # (b) 37 of the 50-name r7 cohort (rows r7, age 3 — refreshed here so
+    # they never cross the bound).
+    "q_audio_fingerprints",
+    "q_cluster_safe_split",
+    "q_column_audit",
+    "q_cosine_topk",
+    "q_curation_funnel",
+    "q_customer_running_spend",
+    "q_customers_without_orders",
+    "q_daily_events",
+    "q_doc_dedup_apply",
+    "q_dsir_resample",
+    "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
+    "q_image_dedup_apply",
+    "q_image_hashes",
+    "q_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_order_priority_counts",
+    "q_parse_msdate",
+    "q_passage_dedup",
+    "q_pricing_rollup",
+    "q_pricing_summary",
+    "q_props_extract",
+    "q_quality_classifier",
+    "q_range_join_windows",
+    "q_region_customer_stats",
+    "q_salted_counts",
+    "q_segment_stats",
+    "q_semdedup",
+    "q_session_clicks",
+    "q_supplier_part_volume",
+    "q_token_stats",
+    "q_top_docs",
+    "q_traffic_rollup",
+    "q_unigram_nll",
+    "q_union_days",
+    "q_value_stats",
+    "q_video_fingerprints",
 )
-ROUND_BACKLOG_DEFERRED_IN = 9  # the round whose window displaced them
+
+# The 13 r7-cohort names deferred to r11 (rows r7 — age 4 at r11, so the
+# staleness guard makes their r11 slots MANDATORY; the backlog-neglect
+# test below enforces the same thing one round after DEFERRED_IN). The
+# split moves the seven slowest streaming twins, the documented rows-only
+# sketch/xxhash trio (each fenced by a hash-green *_struct twin with an r8
+# row), and the three heavy media near-dup pair queries out of the r10
+# driver budget. All 13 are unchanged code with green r7 rows.
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_approx_daily_traffic",
+    "q_audio_neardup",
+    "q_dedup_keys_xxhash",
+    "q_image_neardup",
+    "q_stream_enriched_traffic",
+    "q_stream_image_gate",
+    "q_stream_quality_gate",
+    "q_stream_running_counts",
+    "q_stream_session_window",
+    "q_stream_stream_join",
+    "q_stream_stream_left_outer",
+    "q_value_quantiles",
+    "q_video_neardup",
+)
+ROUND_BACKLOG_DEFERRED_IN = 10  # the round whose window displaced them
 
 
 def _load_modules() -> None:
