@@ -202,13 +202,19 @@ def mart_load_job(
     for table in tables:
         path = f"{marts_dir}/{table}"
         if snapshot:
+            # resolve the version ONCE and read schema from its manifest:
+            # two read_snapshot calls could straddle a concurrent commit,
+            # filtering against one version's columns but loading another
+            version = manifest_sink.latest_version(path)
             pred = None
             if where:
                 cols = set(
-                    manifest_sink.read_snapshot(spark, path).columns
+                    manifest_sink.snapshot_schema(path, version).fieldNames()
                 )
                 pred = {c: v for c, v in where.items() if c in cols} or None
-            df = manifest_sink.read_snapshot(spark, path, where=pred)
+            df = manifest_sink.read_snapshot(
+                spark, path, version=version, where=pred
+            )
         else:
             df = spark.read.parquet(path)
         sink(df, table)

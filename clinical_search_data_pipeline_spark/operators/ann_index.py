@@ -156,8 +156,14 @@ def add_to_ann_index(
 
     Concurrency: the meta pin commits with ``expected_parent`` — two
     racing adds cannot silently drop each other; the loser gets
-    `SnapshotConflict` and re-runs. Duplicate vec_ids are refused (a
-    doubled vector would surface twice in every candidate list).
+    `SnapshotConflict` and re-runs. The cells/codes appends fold in the
+    META-PINNED version's files (``base_version=``), not the table tip:
+    rows appended by a racer or crashed add whose meta pin never landed
+    are orphaned at the tip and NEVER folded forward — a re-run starts
+    from the pinned state and cannot duplicate vec_ids (vacuum reclaims
+    the orphan stage dirs). Duplicate vec_ids in the pinned index are
+    refused outright (a doubled vector would surface twice in every
+    candidate list).
 
     Returns the new {table: version} map (centroids/codebook unchanged)."""
     pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
@@ -195,10 +201,12 @@ def add_to_ann_index(
     )
     new_codes = pq_codes(pq_subvectors(new_emb), index["codebook"])
     versions["cells"] = manifest.write_snapshot(
-        new_cells, f"{root}/cells", mode="append", collect_stats=False
+        new_cells, f"{root}/cells", mode="append", collect_stats=False,
+        base_version=versions["cells"],
     )
     versions["codes"] = manifest.write_snapshot(
-        new_codes, f"{root}/codes", mode="append", collect_stats=False
+        new_codes, f"{root}/codes", mode="append", collect_stats=False,
+        base_version=versions["codes"],
     )
     pins_df = spark.createDataFrame(
         [(t, versions[t]) for t in INDEX_TABLES], "table string, version int"

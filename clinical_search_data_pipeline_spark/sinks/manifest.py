@@ -36,6 +36,19 @@ without importing a lakehouse:
   ``expected_parent`` so a concurrent commit between their read and their
   write raises `SnapshotConflict` instead of silently dropping it
   (lost-update protection — Delta's "serializable commit" check);
+* ``snapshot_change_feed`` derives row-level deltas (insert/delete +
+  commit version) across append, merge, replace-partitions, and
+  compaction commits — Delta's change data feed: merge commits record
+  their matched pre-images + increment as change files at commit time
+  (O(delta)), replace commits derive deletes/inserts from the replaced
+  partitions' file sets, compactions contribute zero rows, and opaque
+  overwrites still refuse. Feed horizon = vacuum retention;
+* ``read_snapshot(as_of_ts=...)`` resolves a version by commit wall-clock
+  (``committed_at`` recorded per manifest) — Delta's timestampAsOf;
+* ``write_snapshot(mode="append", allow_new_columns=True)`` opts into
+  widen-only schema evolution: new nullable columns null-fill the parent
+  files at read time, the manifest records the schema per version, and
+  time travel to a pre-evolution version returns the old schema;
 * ``vacuum`` deletes data directories no retained manifest references,
   but never a stage directory younger than ``retention`` seconds — an
   in-flight writer's staged-but-uncommitted data is not garbage (the same
@@ -203,6 +216,9 @@ def write_snapshot(
     partition_by: list[str] | tuple[str, ...] | None = None,
     expected_parent: int | None = _UNSET,  # type: ignore[assignment]
     collect_stats: bool = True,
+    base_version: int | None = None,
+    allow_new_columns: bool = False,
+    cdf: dict | None = None,
 ) -> int:
     """Publish `df` as a new snapshot of `table`; returns the version.
 
@@ -221,9 +237,32 @@ def write_snapshot(
     must land on: if the table's latest version differs at commit time,
     raises `SnapshotConflict` instead of publishing — the lost-update
     guard for read-modify-write publishers (merge, compact). ``None``
-    means "expect an empty table"."""
+    means "expect an empty table".
+
+    ``base_version`` (append mode only) folds in the files of THAT
+    committed version instead of the current tip's. A publisher whose
+    source of truth is an external pin (e.g. the ANN index's meta table)
+    appends relative to its pinned version: rows appended by a commit
+    whose pin never landed (a crashed or race-losing publisher) are
+    thereby never folded forward, instead of silently duplicating.
+
+    ``allow_new_columns`` (append mode only) opts into schema evolution:
+    `df` may carry NEW nullable columns beyond the parent schema (same
+    name+type for every parent field, order-insensitive). The manifest
+    records the EVOLVED schema, under which readers null-fill the parent's
+    files for the missing columns (explicit-schema parquet scan); time
+    travel to a pre-evolution version still reads the old schema. The
+    default remains refuse-on-drift — silent widening is how column typos
+    become permanent.
+
+    ``cdf`` (internal) records how row-level changes across this commit
+    are derivable for `snapshot_change_feed` (see module docs): commits
+    without it are append (delta = file diff) or opaque overwrites (the
+    feed refuses)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported snapshot mode: {mode}")
+    if base_version is not None and mode != "append":
+        raise ValueError("base_version is only meaningful for append mode")
     partition_by = list(partition_by or [])
     for c in partition_by:
         if c not in df.columns:
@@ -271,23 +310,53 @@ def write_snapshot(
             )
         version = (parent or 0) + 1
         files = list(new_entries)
+        commit_schema_json = schema_json
         if mode == "append" and parent is not None:
-            pm = _read_manifest(table, parent)
-            if pm["schema"] != schema_json:
-                # mixing schemas under one manifest would make the reader
-                # null-fill silently (explicit-schema parquet scan) — fail
-                # loudly; widen via an overwrite snapshot instead
+            base = parent if base_version is None else base_version
+            if base not in existing:
                 _abort(
-                    ValueError(
-                        f"append schema differs from snapshot v{parent} at "
-                        f"{table}; publish mode='overwrite' to change schema"
+                    FileNotFoundError(
+                        f"append base_version v{base} not found at {table}"
                     )
                 )
+            pm = _read_manifest(table, base)
+            if pm["schema"] != schema_json:
+                shape = lambda s: [  # noqa: E731
+                    (f.name, f.dataType) for f in s.fields
+                ]
+                if shape(
+                    StructType.fromJson(json.loads(pm["schema"]))
+                ) == shape(df.schema):
+                    # nullability-only difference (a parquet read is
+                    # always nullable, an in-memory frame may not be):
+                    # keep the base's recorded, always-nullable form
+                    commit_schema_json = pm["schema"]
+                else:
+                    evolved = (
+                        _evolved_schema_json(pm["schema"], df.schema)
+                        if allow_new_columns
+                        else None
+                    )
+                    if evolved is None:
+                        # mixing schemas under one manifest would make the
+                        # reader null-fill silently (explicit-schema
+                        # parquet scan) — fail loudly unless the caller
+                        # opted into a strict widen-only evolution
+                        _abort(
+                            ValueError(
+                                f"append schema differs from snapshot "
+                                f"v{base} at {table}; publish "
+                                "mode='overwrite' to change schema, or "
+                                "pass allow_new_columns=True to add "
+                                "columns"
+                            )
+                        )
+                    commit_schema_json = evolved
             if pm.get("partition_by", []) != partition_by:
                 _abort(
                     ValueError(
                         f"append partitioning {partition_by} differs from "
-                        f"snapshot v{parent} at {table} "
+                        f"snapshot v{base} at {table} "
                         f"({pm.get('partition_by', [])})"
                     )
                 )
@@ -308,11 +377,20 @@ def write_snapshot(
             "version": version,
             "parent": parent,
             "mode": mode,
-            "schema": schema_json,
+            "schema": commit_schema_json,
             "partition_by": partition_by,
             "files": files,
             "num_files": len(files),
+            "committed_at": time.time(),
         }
+        if mode == "append" and parent is not None:
+            # the version whose files this append folded in — the change
+            # feed diffs against it (≠ parent only under base_version)
+            manifest["append_base"] = (
+                parent if base_version is None else base_version
+            )
+        if cdf is not None:
+            manifest["cdf"] = cdf
         tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -328,6 +406,30 @@ def write_snapshot(
     raise RuntimeError(
         f"snapshot commit lost {max_retries} races on {table}; giving up"
     )
+
+
+def _evolved_schema_json(old_schema_json: str, new_schema) -> str | None:
+    """Widen-only evolution for `allow_new_columns` appends: every old
+    field must survive with the same name+type (order-insensitive);
+    returns the schema to record for the commit, with every ADDED field
+    coerced NULLABLE — old files have no values for it, so readers
+    null-fill, and a non-nullable declaration would lie (Delta records
+    evolution-added columns nullable for the same reason). None when the
+    change is not a pure widen (dropped/retyped fields)."""
+    old = StructType.fromJson(json.loads(old_schema_json))
+    new_by_name = {f.name: f for f in new_schema.fields}
+    if any(
+        f.name not in new_by_name
+        or new_by_name[f.name].dataType != f.dataType
+        for f in old.fields
+    ):
+        return None
+    old_names = {f.name for f in old.fields}
+    fields = [
+        f if f.name in old_names else f.__class__(f.name, f.dataType, True)
+        for f in new_schema.fields
+    ]
+    return StructType(fields).json()
 
 
 def merge_snapshot(
@@ -377,6 +479,21 @@ def merge_snapshot(
         merged = current.join(
             df.select(*keys).distinct(), list(keys), "left_anti"
         ).unionByName(df)
+        # Change-data-feed record: the merge's row-level delta is the
+        # matched pre-images (deletes) plus the increment (inserts) —
+        # O(delta + matched), computed from joins the merge performs
+        # anyway, and written ONCE at commit time so downstream
+        # incremental consumers never diff two full snapshots.
+        matched = current.join(
+            df.select(*keys).distinct(), list(keys), "left_semi"
+        )
+        changes = matched.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(df.withColumn("_change_type", F.lit("insert")))
+        cdf_stage = f"cdf-{uuid.uuid4().hex}"
+        changes.write.mode("error").parquet(
+            os.path.join(table, _FILES_DIR, cdf_stage)
+        )
         try:
             return write_snapshot(
                 merged,
@@ -384,8 +501,13 @@ def merge_snapshot(
                 mode="overwrite",
                 partition_by=pb,
                 expected_parent=base,
+                cdf={"kind": "rows", "dir": cdf_stage},
             )
         except SnapshotConflict as exc:
+            shutil.rmtree(
+                os.path.join(table, _FILES_DIR, cdf_stage),
+                ignore_errors=True,
+            )
             last_exc = exc  # table moved under us — recompute from new tip
     raise RuntimeError(
         f"merge lost {max_conflict_retries} concurrent commits on {table}"
@@ -489,6 +611,11 @@ def replace_partitions(
             if e.get("partition", {}).get(partition_col) not in value_strs
         ]
         files = carried + new_entries
+        removed = [
+            e["path"]
+            for e in _entries(pm)
+            if e.get("partition", {}).get(partition_col) in value_strs
+        ]
         gone = [
             e["path"]
             for e in new_entries
@@ -512,6 +639,15 @@ def replace_partitions(
             "partition_by": [partition_col],
             "files": files,
             "num_files": len(files),
+            "committed_at": time.time(),
+            # change feed derivation: the replaced partitions' old files
+            # are row-level deletes, the staged files row-level inserts;
+            # untouched partitions (carried by reference) contribute none
+            "cdf": {
+                "kind": "fileset",
+                "removed": removed,
+                "added": [e["path"] for e in new_entries],
+            },
         }
         tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -536,6 +672,12 @@ def _cmp_key(v):
     raise."""
     if isinstance(v, bool):
         return (1, str(v))
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        # Normalize to the same ISO-8601 form _json_scalar stores in the
+        # footer stats: str(datetime) uses a space separator (' ' < 'T'
+        # lexically), which would falsely prune files whose stats bracket
+        # the queried instant.
+        return (1, v.isoformat())
     if isinstance(v, (int, float)):
         return (0, float(v))
     if isinstance(v, str):
@@ -577,15 +719,103 @@ def _keep_entry(entry: dict, where: dict, partition_by: list[str]) -> bool:
     return True
 
 
+def _scan_entries(
+    spark: SparkSession,
+    table: str,
+    entries: list[dict],
+    schema: StructType,
+    partition_by: list[str],
+) -> DataFrame:
+    """Scan exactly these manifest file entries under `schema`. For
+    partitioned layouts the partition columns live in directory names, not
+    the files; basePath-anchored reads recover them — one scan per stage
+    directory (bounded by versions-since-compaction), unioned."""
+    if not entries:
+        return spark.createDataFrame([], schema)
+    if not partition_by:
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(table, _FILES_DIR, e["path"]) for e in entries)
+        )
+    by_stage: dict[str, list[str]] = {}
+    for e in entries:
+        stage = e["path"].split("/", 1)[0]
+        by_stage.setdefault(stage, []).append(
+            os.path.join(table, _FILES_DIR, e["path"])
+        )
+    parts = [
+        spark.read.schema(schema)
+        .option("basePath", os.path.join(table, _FILES_DIR, stage))
+        .parquet(*paths)
+        .select(*schema.fieldNames())
+        for stage, paths in sorted(by_stage.items())
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _committed_at(table: str, version: int) -> float:
+    """Commit wall-clock of a version: the manifest's recorded
+    `committed_at`, falling back to the manifest file's mtime for
+    manifests written before the field existed."""
+    m = _read_manifest(table, version)
+    ts = m.get("committed_at")
+    if ts is not None:
+        return float(ts)
+    return os.path.getmtime(_manifest_path(table, version))
+
+
+def version_as_of(table: str, ts) -> int:
+    """The newest retained version committed at or before `ts` (epoch
+    seconds, datetime, or ISO-8601 string) — Delta's `timestampAsOf`.
+    Raises if every retained version is newer (the asked-for state is
+    before the table existed or was vacuumed away)."""
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    eligible = [
+        v for v in _versions(table) if _committed_at(table, v) <= float(ts)
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no retained snapshot at {table} committed at or before {ts}"
+        )
+    return eligible[-1]
+
+
+def latest_version(table: str) -> int:
+    """The current tip version (raises on an empty table) — resolve once
+    and pass `version=` to reads that must agree on one commit."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots at {table}")
+    return versions[-1]
+
+
+def snapshot_schema(table: str, version: int | None = None) -> StructType:
+    """The recorded schema of a committed version (latest by default),
+    straight from the manifest — no Spark scan, no file listing."""
+    if version is None:
+        version = latest_version(table)
+    return StructType.fromJson(
+        json.loads(_read_manifest(table, version)["schema"])
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     where: dict | None = None,
+    as_of_ts=None,
 ) -> DataFrame:
-    """Read a committed snapshot (latest, or a pinned `version` for time
-    travel). Resolves the manifest first and scans ONLY the files it names,
-    so concurrent writers/vacuums of other versions are invisible.
+    """Read a committed snapshot (latest, a pinned `version`, or the
+    version current as of wall-clock `as_of_ts` — epoch seconds, datetime,
+    or ISO string). Resolves the manifest first and scans ONLY the files
+    it names, so concurrent writers/vacuums of other versions are
+    invisible.
 
     ``where`` maps column -> value (equality) or (lo, hi) inclusive range.
     Files are pruned with the manifest's partition values and footer
@@ -593,6 +823,10 @@ def read_snapshot(
     date-partitioned table opens that partition's files only. Pruning is
     conservative (incomparable stats keep the file) and the predicate is
     re-applied to the returned frame, so the result is exact either way."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ts=, not both")
+        version = version_as_of(table, as_of_ts)
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots at {table}")
@@ -612,34 +846,7 @@ def read_snapshot(
         for e in _entries(manifest)
         if _keep_entry(e, where, partition_by)
     ]
-
-    if not entries:
-        df = spark.createDataFrame([], schema)
-    elif not partition_by:
-        paths = [
-            os.path.join(table, _FILES_DIR, e["path"]) for e in entries
-        ]
-        df = spark.read.schema(schema).parquet(*paths)
-    else:
-        # Partitioned: partition columns live in directory names, not the
-        # files. basePath-anchored reads recover them; one scan per stage
-        # directory (bounded by versions-since-compaction), unioned.
-        by_stage: dict[str, list[str]] = {}
-        for e in entries:
-            stage = e["path"].split("/", 1)[0]
-            by_stage.setdefault(stage, []).append(
-                os.path.join(table, _FILES_DIR, e["path"])
-            )
-        parts = [
-            spark.read.schema(schema)
-            .option("basePath", os.path.join(table, _FILES_DIR, stage))
-            .parquet(*paths)
-            .select(*schema.fieldNames())
-            for stage, paths in sorted(by_stage.items())
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+    df = _scan_entries(spark, table, entries, schema, partition_by)
     for col, pred in where.items():
         lo, hi = _bounds(pred)
         df = (
@@ -731,6 +938,9 @@ def compact_snapshot(
                 mode="overwrite",
                 partition_by=pb,
                 expected_parent=base,
+                # a compaction/ZORDER rewrite is data-equivalent: the
+                # change feed across it is exactly zero rows
+                cdf={"kind": "noop"},
             )
         except SnapshotConflict as exc:
             last_exc = exc
@@ -756,14 +966,17 @@ def snapshot_changes(
     versions = _versions(table)
     if until is None:
         until = versions[-1] if versions else 0
+    # validate BEFORE the empty-range early return: on an empty table or a
+    # vacuumed `until` the range is not resolvable — raising the range
+    # error beats a raw FileNotFoundError from the manifest open below
+    if since not in versions or until not in versions or since > until:
+        raise FileNotFoundError(
+            f"snapshot range ({since}, {until}] not resolvable at {table}"
+        )
     if since == until:
         man = _read_manifest(table, until)
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(man["schema"]))
-        )
-    if since not in versions or until not in versions or since > until:
-        raise FileNotFoundError(
-            f"snapshot range ({since}, {until}] not resolvable at {table}"
         )
     for v in versions:
         if since < v <= until and _read_manifest(table, v)["mode"] != "append":
@@ -776,40 +989,157 @@ def snapshot_changes(
     man = _read_manifest(table, until)
     new = [e for e in _entries(man) if e["path"] not in base_files]
     schema = StructType.fromJson(json.loads(man["schema"]))
-    if not new:
-        return spark.createDataFrame([], schema)
-    partition_by = man.get("partition_by", [])
-    if not partition_by:
-        return spark.read.schema(schema).parquet(
-            *(os.path.join(table, _FILES_DIR, e["path"]) for e in new)
+    return _scan_entries(spark, table, new, schema, man.get("partition_by", []))
+
+
+def snapshot_change_feed(
+    spark: SparkSession, table: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Row-level change feed across (since, until] — Delta's
+    `table_changes` generalized past inserts: the result carries every
+    table column plus `_change_type` ('insert' | 'delete') and
+    `_commit_version`, and — unlike `snapshot_changes` — it does NOT
+    refuse rewriting commits:
+
+    * append commits contribute their new files as inserts (file diff
+      against the append base — O(increment));
+    * `merge_snapshot` commits contribute the change files the merge
+      recorded at commit time (matched pre-images as deletes + the
+      increment as inserts — O(delta), never a two-snapshot diff);
+    * `replace_partitions` commits contribute the replaced partitions'
+      old files as deletes and the staged files as inserts (untouched,
+      carried-by-reference partitions contribute nothing);
+    * `compact_snapshot` / ZORDER commits are data-equivalent rewrites
+      and contribute zero rows;
+    * the FIRST version of a table is all inserts whatever its mode;
+    * an opaque overwrite (plain `write_snapshot(mode='overwrite')` onto
+      existing data) has no derivable delta and raises — re-read the full
+      snapshot instead.
+
+    An upsert surfaces as delete(old row) + insert(new row) under the same
+    `_commit_version`. `since=0` starts from before the first version.
+    The feed's horizon is vacuum's: change files and pre-image files of
+    dropped versions are reclaimed, after which the affected range raises
+    instead of under-reporting. A downstream consumer maintains state with
+    O(delta) work per sync: apply deletes by key, then inserts."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots at {table}")
+    if until is None:
+        until = versions[-1]
+    if (
+        until not in versions
+        or since > until
+        or (since != 0 and since not in versions)
+    ):
+        raise FileNotFoundError(
+            f"snapshot range ({since}, {until}] not resolvable at {table}"
         )
-    by_stage: dict[str, list[str]] = {}
-    for e in new:
-        stage = e["path"].split("/", 1)[0]
-        by_stage.setdefault(stage, []).append(
-            os.path.join(table, _FILES_DIR, e["path"])
+    pieces: list[DataFrame] = []
+    for v in versions:
+        if not (since < v <= until):
+            continue
+        man = _read_manifest(table, v)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        pb = man.get("partition_by", [])
+        parent = man.get("parent")
+        cdf = man.get("cdf") or {}
+
+        def _tag(df: DataFrame, change: str, v: int = v) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+
+        if parent is None:
+            # the first commit is pure inserts whatever its mode
+            pieces.append(_tag(
+                _scan_entries(spark, table, _entries(man), schema, pb),
+                "insert",
+            ))
+        elif man["mode"] == "append":
+            base = man.get("append_base", parent)
+            base_files = {
+                e["path"] for e in _entries(_read_manifest(table, base))
+            }
+            new = [e for e in _entries(man) if e["path"] not in base_files]
+            pieces.append(_tag(
+                _scan_entries(spark, table, new, schema, pb), "insert"
+            ))
+        elif cdf.get("kind") == "noop":
+            continue
+        elif cdf.get("kind") == "rows":
+            cdir = os.path.join(table, _FILES_DIR, cdf["dir"])
+            if not os.path.isdir(cdir):
+                raise FileNotFoundError(
+                    f"change files of v{v} at {table} were vacuumed; the "
+                    "feed horizon passed — re-read the full snapshot"
+                )
+            pieces.append(
+                spark.read.parquet(cdir).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+        elif cdf.get("kind") == "fileset":
+            pm = _read_manifest(table, parent)
+            pschema = StructType.fromJson(json.loads(pm["schema"]))
+            removed_set = set(cdf["removed"])
+            added_set = set(cdf["added"])
+            removed = [e for e in _entries(pm) if e["path"] in removed_set]
+            gone = [
+                e["path"]
+                for e in removed
+                if not os.path.exists(
+                    os.path.join(table, _FILES_DIR, e["path"])
+                )
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"pre-image files of v{v} at {table} were vacuumed; "
+                    "the feed horizon passed — re-read the full snapshot"
+                )
+            added = [e for e in _entries(man) if e["path"] in added_set]
+            pieces.append(_tag(
+                _scan_entries(spark, table, removed, pschema,
+                              pm.get("partition_by", [])),
+                "delete",
+            ))
+            pieces.append(_tag(
+                _scan_entries(spark, table, added, schema, pb), "insert"
+            ))
+        else:
+            raise ValueError(
+                f"version {v} at {table} is an opaque overwrite — no "
+                "change feed is derivable across it; re-read the full "
+                "snapshot instead"
+            )
+    if not pieces:
+        schema = StructType.fromJson(
+            json.loads(_read_manifest(table, until)["schema"])
         )
-    parts = [
-        spark.read.schema(schema)
-        .option("basePath", os.path.join(table, _FILES_DIR, stage))
-        .parquet(*paths)
-        .select(*schema.fieldNames())
-        for stage, paths in sorted(by_stage.items())
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0))
+            .limit(0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        # allowMissingColumns: a schema-evolution append in the range means
+        # older pieces lack the added columns — null-fill, same as reads
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def snapshots(table: str) -> list[dict]:
-    """The commit log, oldest first: version, parent, mode, num_files."""
+    """The commit log, oldest first: version, parent, mode, num_files,
+    committed_at (epoch seconds — what `read_snapshot(as_of_ts=)` resolves
+    against)."""
     out = []
     for v in _versions(table):
         m = _read_manifest(table, v)
-        out.append(
-            {k: m[k] for k in ("version", "parent", "mode", "num_files")}
-        )
+        row = {k: m[k] for k in ("version", "parent", "mode", "num_files")}
+        row["committed_at"] = _committed_at(table, v)
+        out.append(row)
     return out
 
 
@@ -832,8 +1162,13 @@ def vacuum(
     keep = versions[-keep_last:]
     referenced: set[str] = set()
     for v in keep:
-        for e in _entries(_read_manifest(table, v)):
+        m = _read_manifest(table, v)
+        for e in _entries(m):
             referenced.add(e["path"].split("/", 1)[0])
+        cdf = m.get("cdf") or {}
+        if cdf.get("kind") == "rows":
+            # a retained merge commit's change files stay feed-readable
+            referenced.add(cdf["dir"])
     for v in versions[:-keep_last]:
         os.unlink(_manifest_path(table, v))
     deleted = []

@@ -1,0 +1,298 @@
+"""Change-data-feed across rewriting commits (sinks/manifest.py
+snapshot_change_feed), opt-in schema evolution on append, timestamp-
+resolved snapshot reads, and the round-10 pruning/validation fixes."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+
+from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def _feed_rows(df):
+    return sorted(
+        (r._change_type, r._commit_version, r.id, r.v) for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------- feed
+
+
+def test_feed_append_is_inserts_only(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    feed = m.snapshot_change_feed(spark, table, since=1)
+    assert _feed_rows(feed) == [
+        ("insert", 2, 10, 20),
+        ("insert", 2, 11, 22),
+    ]
+
+
+def test_feed_first_version_is_all_inserts(spark, tmp_path):
+    """since=0 starts from before the table existed; the bootstrap commit
+    is pure inserts whatever its mode."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)  # mode=overwrite bootstrap
+    feed = m.snapshot_change_feed(spark, table, since=0)
+    assert _feed_rows(feed) == [("insert", 1, 0, 0), ("insert", 1, 1, 2)]
+
+
+def test_feed_across_merge_sees_exactly_the_upsert(spark, tmp_path):
+    """A merge surfaces as delete(pre-image) + insert(post-image) for the
+    matched keys and insert for novel keys — never a full-table diff."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)  # ids 0..3, v = 2*id
+    inc = spark.createDataFrame([(2, 999), (50, 100)], "id long, v long")
+    v2 = m.merge_snapshot(inc, table, keys=["id"])
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v2)
+    assert _feed_rows(feed) == [
+        ("delete", 2, 2, 4),  # pre-image of the matched row
+        ("insert", 2, 2, 999),  # post-image
+        ("insert", 2, 50, 100),  # novel key
+    ]
+
+
+def test_feed_across_compaction_is_empty(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(_df(spark, 10, 13), table, mode="append")
+    v3 = m.compact_snapshot(spark, table, target_files=1)
+    feed = m.snapshot_change_feed(spark, table, since=2, until=v3)
+    assert feed.count() == 0
+    assert set(feed.columns) == {"id", "v", "_change_type", "_commit_version"}
+
+
+def test_feed_across_replace_partitions_is_replaced_only(spark, tmp_path):
+    """Only the replaced partitions' rows appear (old as deletes, staged
+    as inserts); carried-by-reference partitions contribute nothing."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "day string, v long"
+    )
+    m.write_snapshot(base, table, partition_by=["day"])
+    fix = spark.createDataFrame([("b", 30), ("b", 31)], "day string, v long")
+    v2 = m.replace_partitions(fix, table, "day")
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v2)
+    rows = sorted((r._change_type, r.day, r.v) for r in feed.collect())
+    assert rows == [
+        ("delete", "b", 3),
+        ("insert", "b", 30),
+        ("insert", "b", 31),
+    ]
+
+
+def test_feed_replays_to_the_final_snapshot(spark, tmp_path):
+    """The consumer contract end-to-end: materialize v1, apply the feed's
+    deletes-then-inserts per commit, arrive at the latest snapshot —
+    across an append, a merge, AND a compaction in one range."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    inc = spark.createDataFrame([(1, -1), (99, -2)], "id long, v long")
+    m.merge_snapshot(inc, table, keys=["id"])
+    last = m.compact_snapshot(spark, table, target_files=1)
+
+    state = {r.id: r.v for r in m.read_snapshot(spark, table, version=1).collect()}
+    feed = m.snapshot_change_feed(spark, table, since=1, until=last).collect()
+    for r in sorted(feed, key=lambda r: (r._commit_version, r._change_type != "delete")):
+        if r._change_type == "delete":
+            state.pop(r.id)
+        else:
+            state[r.id] = r.v
+    final = {r.id: r.v for r in m.read_snapshot(spark, table).collect()}
+    assert state == final
+
+
+def test_feed_refuses_opaque_overwrite(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(_df(spark, 5, 8), table, mode="overwrite")
+    with pytest.raises(ValueError, match="opaque overwrite"):
+        m.snapshot_change_feed(spark, table, since=1)
+
+
+def test_feed_horizon_is_vacuum(spark, tmp_path):
+    """Reclaimed change files raise a clear horizon error instead of
+    silently under-reporting the range."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)
+    inc = spark.createDataFrame([(1, -1)], "id long, v long")
+    v2 = m.merge_snapshot(inc, table, keys=["id"])
+    cdf_dir = m._read_manifest(table, v2)["cdf"]["dir"]
+    shutil.rmtree(os.path.join(table, m._FILES_DIR, cdf_dir))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        m.snapshot_change_feed(spark, table, since=1, until=v2)
+
+
+def test_vacuum_keeps_retained_merge_change_files(spark, tmp_path):
+    """A retained merge commit's change files are referenced — vacuum must
+    not reclaim them while the manifest is retained."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)
+    inc = spark.createDataFrame([(1, -1)], "id long, v long")
+    v2 = m.merge_snapshot(inc, table, keys=["id"])
+    m.vacuum(table, keep_last=2, retention_seconds=0)
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v2)
+    # one matched key -> its pre-image delete + post-image insert
+    assert feed.count() == 2
+
+
+def test_snapshot_changes_empty_table_raises_range_error(spark, tmp_path):
+    """ADVICE r9 #3: since == until on an empty table must raise the range
+    error, not a raw FileNotFoundError from opening v00000000.json."""
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, m._MANIFEST_DIR))
+    with pytest.raises(FileNotFoundError, match="not resolvable"):
+        m.snapshot_changes(spark, table, since=0)
+
+
+def test_snapshot_changes_since_equals_until_outside_retained(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    with pytest.raises(FileNotFoundError, match="not resolvable"):
+        m.snapshot_changes(spark, table, since=7, until=7)
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_append_schema_evolution_roundtrip(spark, tmp_path):
+    """allow_new_columns: the evolved append lands, old files null-fill
+    the added column, time travel to the pre-evolution version returns
+    the old schema, and non-opted drift still refuses."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    widened = spark.range(10, 12).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        m.write_snapshot(widened, table, mode="append")
+    v2 = m.write_snapshot(
+        widened, table, mode="append", allow_new_columns=True
+    )
+    cur = m.read_snapshot(spark, table)
+    assert set(cur.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in cur.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: "10", 11: "11"}
+    # time travel: the pre-evolution version still reads the old schema
+    assert set(m.read_snapshot(spark, table, version=1).columns) == {"id", "v"}
+    # the feed across the evolution null-fills the older pieces
+    m.write_snapshot(
+        spark.range(20, 21).selectExpr(
+            "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+        ),
+        table,
+        mode="append",
+    )
+    feed = m.snapshot_change_feed(spark, table, since=1)
+    assert feed.count() == 3
+    assert v2 == 2
+
+
+def test_append_evolution_refuses_type_change_and_nonnull(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    retyped = spark.range(5, 6).selectExpr(
+        "id", "CAST(id AS STRING) AS v"
+    )
+    with pytest.raises(ValueError, match="schema differs"):
+        m.write_snapshot(
+            retyped, table, mode="append", allow_new_columns=True
+        )
+
+
+# ------------------------------------------- timestamp time travel
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(_df(spark, 100, 102), table)
+    log = m.snapshots(table)
+    t1, t2 = log[0]["committed_at"], log[1]["committed_at"]
+    assert t1 <= t2
+    # between the two commits (or exactly at t1 if adjacent) -> v1
+    mid = (t1 + t2) / 2
+    assert _ids(m.read_snapshot(spark, table, as_of_ts=mid)) == _ids(
+        m.read_snapshot(spark, table, version=1)
+    )
+    assert _ids(m.read_snapshot(spark, table, as_of_ts=t2 + 1)) == [100, 101]
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        m.read_snapshot(spark, table, as_of_ts=t1 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        m.read_snapshot(spark, table, version=1, as_of_ts=mid)
+    # datetime / ISO-string forms resolve identically
+    assert m.version_as_of(table, datetime.datetime.fromtimestamp(mid)) == 1
+
+
+# ----------------------------------------- timestamp predicate pruning
+
+
+def test_timestamp_where_predicate_never_falsely_prunes(spark, tmp_path):
+    """ADVICE r9 #1: footer stats store ISO-8601 ('T' separator) while
+    str(datetime) uses a space; the comparison key must normalize, or a
+    contained point predicate lexically sorts below the file's min and
+    the file is wrongly skipped."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2017, 6, 15, 0, 0, 0)),
+            (2, datetime.datetime(2017, 6, 15, 12, 0, 0)),
+            (3, datetime.datetime(2017, 6, 15, 23, 0, 0)),
+        ],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    m.write_snapshot(df, table)
+    got = m.read_snapshot(
+        spark, table, where={"ts": datetime.datetime(2017, 6, 15, 12)}
+    )
+    assert _ids(got) == [2]
+    rng = m.read_snapshot(
+        spark,
+        table,
+        where={
+            "ts": (
+                datetime.datetime(2017, 6, 15, 6),
+                datetime.datetime(2017, 6, 15, 13),
+            )
+        },
+    )
+    assert _ids(rng) == [2]
+
+
+# ------------------------------------------------ base_version append
+
+
+def test_append_base_version_skips_orphaned_tip(spark, tmp_path):
+    """A publisher pinned to v1 appends relative to v1 even when an
+    unpinned (crashed/race-losing) append sits at the tip: the orphan's
+    rows are never folded forward."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)  # v1 (pinned)
+    m.write_snapshot(_df(spark, 900, 902), table, mode="append")  # orphan v2
+    v3 = m.write_snapshot(
+        _df(spark, 10, 12), table, mode="append", base_version=1
+    )
+    assert v3 == 3
+    assert _ids(m.read_snapshot(spark, table, version=3)) == [0, 1, 2, 10, 11]
+    # the orphan version itself remains readable until vacuumed
+    assert 900 in _ids(m.read_snapshot(spark, table, version=2))
+    with pytest.raises(FileNotFoundError, match="base_version"):
+        m.write_snapshot(
+            _df(spark, 50, 51), table, mode="append", base_version=99
+        )
+    with pytest.raises(ValueError, match="append mode"):
+        m.write_snapshot(_df(spark, 50, 51), table, base_version=1)
