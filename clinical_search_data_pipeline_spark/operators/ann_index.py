@@ -20,6 +20,11 @@ search many):
   re-index publishes new versions while a racing search keeps reading the
   previous complete ones, and an index rollback is a version pin;
 * ``read_ann_index`` resolves the committed artifacts (latest or pinned);
+* ``remove_from_ann_index`` / ``compact_ann_index`` are the maintenance
+  half of FAISS remove_ids(): removes are O(removed) tombstones masked at
+  search time by a broadcast anti-join; compaction physically applies
+  them and collapses the small files repeated ``add_to_ann_index``
+  increments accrue — add+compact is pinned bit-equal to a fresh rebuild;
 * ``ann_index_topk`` searches FROM THE INDEX ALONE: the query vectors (a
   tiny relation) compute their ADC lookup tables against the broadcast
   persisted codebook and pick nprobe cells against the broadcast persisted
@@ -63,6 +68,7 @@ from clinical_search_data_pipeline_spark.sources.readers import read_table
 
 INDEX_TABLES = ("centroids", "codebook", "cells", "codes")
 META_TABLE = "meta"  # (table, version) pin rows — committed LAST
+TOMBSTONE_TABLE = "tombstones"  # (vec_id) rows pending physical removal
 
 
 def build_ann_index(emb: DataFrame) -> dict[str, DataFrame]:
@@ -128,15 +134,21 @@ def read_ann_index(
     """Resolve the committed index: by explicit {table: version} pins, or
     (default) through the latest `meta` quadruple — a CONSISTENT view even
     while a re-index is mid-flight (its meta pin is the last thing to
-    land). The meta read is 4 bounded rows on the driver."""
+    land). The meta read is a few bounded rows on the driver. When the
+    pin carries a `tombstones` row (a remove happened since the last
+    compaction), the pending-removal relation rides along and
+    `ann_index_topk` masks it out."""
     if versions is None:
         pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
         versions = {r.table: r.version for r in pins.collect()}
+    names = list(INDEX_TABLES)
+    if TOMBSTONE_TABLE in versions:
+        names.append(TOMBSTONE_TABLE)
     return {
         name: manifest.read_snapshot(
             spark, f"{root}/{name}", version=versions.get(name)
         )
-        for name in INDEX_TABLES
+        for name in names
     }
 
 
@@ -209,7 +221,120 @@ def add_to_ann_index(
         base_version=versions["codes"],
     )
     pins_df = spark.createDataFrame(
-        [(t, versions[t]) for t in INDEX_TABLES], "table string, version int"
+        # carry EVERY pinned relation forward (tombstones included when a
+        # remove happened since the last compaction)
+        sorted(versions.items()),
+        "table string, version int",
+    )
+    versions[META_TABLE] = manifest.write_snapshot(
+        pins_df,
+        f"{root}/{META_TABLE}",
+        mode="overwrite",
+        expected_parent=meta_version,
+    )
+    return versions
+
+
+def remove_from_ann_index(
+    spark: SparkSession, root: str, vec_ids
+) -> dict[str, int]:
+    """FAISS `remove_ids()`: mark vectors deleted via a TOMBSTONE relation
+    instead of rewriting the corpus-sided cells/codes tables — a remove is
+    O(removed), search masks the tombstones with a broadcast anti-join
+    (their count is bounded between compactions), and
+    `compact_ann_index` later applies them physically. `vec_ids` is a
+    one-column DataFrame or an iterable of ids. Unknown ids raise (a
+    silent no-op remove hides caller bugs); re-adding a tombstoned id is
+    refused by `add_to_ann_index`'s dup-check until a compaction
+    physically drops the old rows. Meta-pin CAS as in add."""
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    vec_ids = vec_ids.select("vec_id").distinct()
+    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    versions = {r.table: r.version for r in pins.collect()}
+    cells = manifest.read_snapshot(
+        spark, f"{root}/cells", version=versions["cells"]
+    )
+    missing = (
+        vec_ids.join(cells.select("vec_id"), "vec_id", "left_anti").count()
+    )
+    if missing:
+        raise ValueError(
+            f"{missing} vec_ids not present in the index at {root}; "
+            "removes must name indexed vectors"
+        )
+    tomb_table = f"{root}/{TOMBSTONE_TABLE}"
+    if TOMBSTONE_TABLE in versions:
+        already = manifest.read_snapshot(
+            spark, tomb_table, version=versions[TOMBSTONE_TABLE]
+        )
+        increment = vec_ids.join(already, "vec_id", "left_anti")
+        versions[TOMBSTONE_TABLE] = manifest.write_snapshot(
+            increment, tomb_table, mode="append", collect_stats=False,
+            base_version=versions[TOMBSTONE_TABLE],
+        )
+    else:
+        versions[TOMBSTONE_TABLE] = manifest.write_snapshot(
+            vec_ids, tomb_table, mode="overwrite", collect_stats=False
+        )
+    pins_df = spark.createDataFrame(
+        sorted(versions.items()), "table string, version int"
+    )
+    versions[META_TABLE] = manifest.write_snapshot(
+        pins_df,
+        f"{root}/{META_TABLE}",
+        mode="overwrite",
+        expected_parent=meta_version,
+    )
+    return versions
+
+
+def compact_ann_index(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> dict[str, int]:
+    """Index maintenance: physically apply the pending tombstones to the
+    cells/codes relations and collapse the small files that repeated
+    `add_to_ann_index` increments accrue (each add appends its own stage
+    directory) into `target_files` per relation. Publishes fresh
+    overwrite versions + an empty tombstone set + a meta pin (CAS), so a
+    racing search keeps reading the previous complete quadruple. The
+    rewrite is O(index), which is the amortized bargain: removes and adds
+    stay O(increment) between compactions. With no removes in the window
+    this is exactly `compact_snapshot` semantics — values unchanged,
+    layout collapsed — so add+compact stays bit-equal to a fresh rebuild
+    (tests/test_ann_index.py pins it)."""
+    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    versions = {r.table: r.version for r in pins.collect()}
+    index = {
+        name: manifest.read_snapshot(
+            spark, f"{root}/{name}", version=versions[name]
+        )
+        for name in versions
+    }
+    tombs = index.get(TOMBSTONE_TABLE)
+    for name in ("cells", "codes"):
+        df = index[name]
+        if tombs is not None:
+            df = df.join(F.broadcast(tombs), "vec_id", "left_anti")
+        versions[name] = manifest.write_snapshot(
+            df.repartition(target_files),
+            f"{root}/{name}",
+            mode="overwrite",
+            collect_stats=False,
+        )
+    if tombs is not None:
+        versions[TOMBSTONE_TABLE] = manifest.write_snapshot(
+            tombs.limit(0),
+            f"{root}/{TOMBSTONE_TABLE}",
+            mode="overwrite",
+            collect_stats=False,
+        )
+    pins_df = spark.createDataFrame(
+        sorted(versions.items()), "table string, version int"
     )
     versions[META_TABLE] = manifest.write_snapshot(
         pins_df,
@@ -264,8 +389,15 @@ def ann_index_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", F.col("cell").alias("qcell"))
     )
+    cells = index["cells"]
+    tombs = index.get(TOMBSTONE_TABLE)
+    if tombs is not None:
+        # pending removals: masked at the candidate source — tombstone
+        # count is bounded between compactions, so the anti-join side
+        # broadcasts
+        cells = cells.join(F.broadcast(tombs), "vec_id", "left_anti")
     cand = (
-        index["cells"]
+        cells
         .join(
             F.broadcast(qcells),
             (F.col("cell") == F.col("qcell"))

@@ -130,3 +130,103 @@ def test_incremental_add_equals_full_rebuild(spark, tmp_path):
     # duplicate vectors refuse
     with pytest.raises(ValueError, match="already present"):
         ai.add_to_ann_index(spark, root, emb.filter(F.col("vec_id") < 10))
+
+
+def test_remove_masks_then_compact_applies(spark, tmp_path):
+    """FAISS remove_ids(): a tombstoned vector disappears from every
+    search immediately (broadcast anti-join mask), the tombstone-masked
+    results equal the post-compaction physical results EXACTLY, and after
+    compaction the cells/codes tables no longer contain the vector at
+    all. Unknown ids and re-adds of tombstoned ids refuse."""
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    ai.write_ann_index(ai.build_ann_index(emb), root)
+    queries = emb.filter(F.col("vec_id") < 8)
+    baseline = ai.ann_index_topk(ai.read_ann_index(spark, root), queries)
+    victim = int(baseline.collect()[0].neighbor_id)
+
+    with pytest.raises(ValueError, match="not present"):
+        ai.remove_from_ann_index(spark, root, [10_000_000])
+    v = ai.remove_from_ann_index(spark, root, [victim])
+    assert ai.TOMBSTONE_TABLE in v
+    masked = ai.ann_index_topk(ai.read_ann_index(spark, root), queries)
+    assert victim not in {r.neighbor_id for r in masked.collect()}
+    # re-adding a tombstoned id refuses until compaction drops the rows
+    with pytest.raises(ValueError, match="already present"):
+        ai.add_to_ann_index(
+            spark, root, emb.filter(F.col("vec_id") == victim)
+        )
+
+    ai.compact_ann_index(spark, root, target_files=2)
+    idx = ai.read_ann_index(spark, root)
+    assert idx["cells"].filter(F.col("vec_id") == victim).count() == 0
+    assert idx["codes"].filter(F.col("vec_id") == victim).count() == 0
+    assert idx[ai.TOMBSTONE_TABLE].count() == 0
+    physical = ai.ann_index_topk(idx, queries)
+    assert _rows(masked) == _rows(physical)
+
+
+def test_add_then_compact_equals_fresh_rebuild(spark, tmp_path):
+    """Maintenance cadence: repeated adds accrue one stage dir each;
+    compact_ann_index collapses cells/codes to target_files and the
+    result is pinned equal to a from-scratch build of the union corpus —
+    relation contents AND search rows."""
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    ai.write_ann_index(
+        ai.build_ann_index(emb.filter(F.col("vec_id") < 300)), root
+    )
+    ai.add_to_ann_index(
+        spark, root,
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+    )
+    ai.add_to_ann_index(spark, root, emb.filter(F.col("vec_id") >= 400))
+    v = ai.compact_ann_index(spark, root, target_files=2)
+    man = m._read_manifest(f"{root}/cells", v["cells"])
+    assert man["num_files"] <= 2  # small files collapsed
+    idx = ai.read_ann_index(spark, root)
+    fresh = ai.build_ann_index(emb)
+    assert _rows(idx["cells"]) == _rows(fresh["cells"])
+    assert _rows(idx["codes"]) == _rows(fresh["codes"])
+    queries = emb.filter(F.col("vec_id") < 8)
+    assert _rows(ai.ann_index_topk(idx, queries)) == _rows(
+        ann_ivfpq_topk(emb)
+    )
+
+
+def test_crashed_add_orphan_never_duplicates(spark, tmp_path):
+    """ADVICE r9 #2 regression: an add that appended cells/codes but died
+    before its meta pin leaves orphaned rows at the table tips. The next
+    add of the same increment must succeed (the pinned index lacks it)
+    and fold in ONLY the pinned files — no duplicate vec_ids ever reach a
+    search."""
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    ai.write_ann_index(
+        ai.build_ann_index(emb.filter(F.col("vec_id") < 300)), root
+    )
+    increment = emb.filter(F.col("vec_id") >= 300)
+    # simulate the crash: stage the increment's cells/codes appends on the
+    # tips exactly as add_to_ann_index would, but never pin meta
+    idx = ai.read_ann_index(spark, root)
+    crashed = ai.build_ann_index(emb)  # same frozen quantizers
+    m.write_snapshot(
+        crashed["cells"].join(idx["cells"], "vec_id", "left_anti"),
+        f"{root}/cells", mode="append", collect_stats=False,
+    )
+    m.write_snapshot(
+        crashed["codes"].join(idx["codes"].select("vec_id").distinct(),
+                              "vec_id", "left_anti"),
+        f"{root}/codes", mode="append", collect_stats=False,
+    )
+    # the retry (same increment) succeeds and duplicates nothing
+    v = ai.add_to_ann_index(spark, root, increment)
+    cells = m.read_snapshot(spark, f"{root}/cells", version=v["cells"])
+    dup = (
+        cells.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    queries = emb.filter(F.col("vec_id") < 8)
+    assert _rows(
+        ai.ann_index_topk(ai.read_ann_index(spark, root), queries)
+    ) == _rows(ann_ivfpq_topk(emb))
