@@ -534,6 +534,161 @@ def _timed_admission_gates(
     release_caches()
 
 
+def _timed_gate_index_lifecycle(
+    spark, src: str, scaled_dir: str, factor: int, results: dict
+) -> None:
+    """Two VERDICT r9 entries in one lifecycle, at 1x vs FACTORx corpus:
+
+    * gate_index_build_vs_probe (#7): run-1 cost (build all eight gate
+      indexes + publish them as snapshot artifacts) vs run-2 cost (read
+      the committed artifacts and screen a FIXED batch through all seven
+      probe gates). The probe must stay ~flat-ish in corpus size modulo
+      the index-probe growth the per-gate screens already measure — run 2
+      never re-derives anything.
+    * gate_index_refresh (#2): folding a FIXED ~40-doc increment into the
+      indexes — the O(corpus) full rebuild (the r9 baseline) vs the
+      O(increment) incremental path (update deltas + per-relation APPEND
+      artifact commits via publish_gate_index_increment). The incremental
+      cost must scale with the increment, not the corpus."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        build_gate_indexes,
+        publish_gate_index_increment,
+        read_gate_indexes,
+        write_gate_indexes,
+    )
+    from clinical_search_data_pipeline_spark.operators.audiofp import (
+        AF_HAM_MAX,
+        attach_neardup_audio,
+        audio_fingerprints,
+    )
+    from clinical_search_data_pipeline_spark.operators.classifier import (
+        quality_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.curation import (
+        INCREMENT_SPLIT,
+        batch_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.operators.importance import (
+        dsir_score,
+    )
+    from clinical_search_data_pipeline_spark.operators.phash import (
+        attach_neardup_images,
+        dhash_images,
+        image_vs_corpus,
+    )
+    from clinical_search_data_pipeline_spark.operators.spans import (
+        span_contamination,
+    )
+    from clinical_search_data_pipeline_spark.operators.videofp import (
+        VF_HAM_MAX,
+        attach_neardup_video,
+        video_fingerprints,
+    )
+
+    split = INCREMENT_SPLIT
+    docs_base = spark.read.parquet(f"{src}/documents.parquet")
+    batch = docs_base.filter(F.col("doc_id") >= split)
+    increment = (
+        docs_base.filter(
+            (F.col("doc_id") >= split) & (F.col("doc_id") < split + 40)
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+
+    def _probe_all(b, idx):
+        frames = (
+            batch_vs_corpus(idx["prefix_index"], b),
+            dsir_score(b, idx["lr_model"]),
+            span_contamination(
+                b, idx["gram_index"], bloom=idx["gram_bloom"]
+            ),
+            quality_score(b, idx["clf_model"]),
+            image_vs_corpus(
+                idx["image_index"],
+                dhash_images(attach_neardup_images(b, wrap_base=split)),
+            ),
+            image_vs_corpus(
+                idx["audio_index"],
+                audio_fingerprints(attach_neardup_audio(b, wrap_base=split)),
+                ham_max=AF_HAM_MAX,
+                dup_status="dup_audio",
+            ),
+            image_vs_corpus(
+                idx["video_index"],
+                video_fingerprints(attach_neardup_video(b, wrap_base=split)),
+                ham_max=VF_HAM_MAX,
+                dup_status="dup_video",
+            ),
+        )
+        for f in frames:
+            f.write.format("noop").mode("overwrite").save()
+
+    def _force(idx) -> int:
+        n = 0
+        for v in idx.values():
+            for part in v if isinstance(v, tuple) else (v,):
+                n += part.count()
+        return n
+
+    bvp: dict = {"increment_docs": 40}
+    rfr: dict = {"increment_docs": 40}
+    for tag, d in (("base", src), ("scaled", scaled_dir)):
+        corpus = spark.read.parquet(f"{d}/documents.parquet")
+        root = tempfile.mkdtemp(prefix=f"csdp_gidx_{tag}_") + "/gidx"
+        t0 = time.perf_counter()
+        built = build_gate_indexes(corpus, split)
+        write_gate_indexes(built, root)
+        bvp[f"build_publish_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        release_caches()  # run 2 starts cold: artifacts only
+        t0 = time.perf_counter()
+        idx = read_gate_indexes(spark, root)
+        _probe_all(batch, idx)
+        bvp[f"probe_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+
+        merged = corpus.unionByName(increment)
+        t0 = time.perf_counter()
+        publish_gate_index_increment(
+            spark, root, idx, increment, merged, split
+        )
+        rfr[f"incremental_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _force(build_gate_indexes(merged, split))
+        rfr[f"full_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        release_caches()
+        _shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    for entry, keys in (
+        (bvp, ("build_publish", "probe")),
+        (rfr, ("incremental", "full")),
+    ):
+        for k in keys:
+            entry[f"{k}_ratio"] = round(
+                entry[f"{k}_scaled_sec"] / max(entry[f"{k}_base_sec"], 1e-9),
+                2,
+            )
+    results["gate_index_build_vs_probe"] = bvp
+    results["gate_index_refresh"] = rfr
+    print(
+        f"# gate_index_build_vs_probe: build+publish "
+        f"{bvp['build_publish_base_sec']:.2f}s -> "
+        f"{bvp['build_publish_scaled_sec']:.2f}s "
+        f"(x{bvp['build_publish_ratio']}); probe "
+        f"{bvp['probe_base_sec']:.2f}s -> {bvp['probe_scaled_sec']:.2f}s "
+        f"(x{bvp['probe_ratio']})",
+        file=sys.stderr,
+    )
+    print(
+        f"# gate_index_refresh: full {rfr['full_base_sec']:.2f}s -> "
+        f"{rfr['full_scaled_sec']:.2f}s (x{rfr['full_ratio']}); "
+        f"incremental {rfr['incremental_base_sec']:.2f}s -> "
+        f"{rfr['incremental_scaled_sec']:.2f}s "
+        f"(x{rfr['incremental_ratio']}) at corpus x{factor}",
+        file=sys.stderr,
+    )
+
+
 def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):
     """(sec, assigned rows, per-round history) for the multi-round Lloyd
     trainer — not a registry query, so timed directly. The history length
@@ -622,6 +777,7 @@ def main() -> None:
               f"max tasks {max_tasks})", file=sys.stderr)
 
     _timed_admission_gates(spark, src, scaled_dir, factor, results)
+    _timed_gate_index_lifecycle(spark, src, scaled_dir, factor, results)
 
     base_sec, base_rows, base_hist = _timed_kmeans_train(spark, src)
     scaled_sec, scaled_rows, scaled_hist = _timed_kmeans_train(spark, scaled_dir)
