@@ -1076,6 +1076,94 @@ def gate_banding_for(
     return max(1, min(max_bands, math.ceil(need))), bits
 
 
+GATE_MAX_PROBE_KEYS = 2048  # bands * probe-buckets-per-band cap: bounds the
+#                             batch-side key explosion itself, not just the
+#                             expected verify joins it produces
+
+
+def multiprobe_banding_recall(
+    bands: int, bits: int, radius: int, threshold: float
+) -> float:
+    """Predicted at-threshold recall of (bands x bits) banding probing
+    every bucket within Hamming distance <= radius per band: a true pair
+    (per-bit collision p) lands within radius of the probe bucket when at
+    most `radius` of the band's bits disagree — Binomial(bits, 1-p) CDF —
+    and any of the `bands` bands suffices (Lv et al., "Multi-Probe LSH",
+    VLDB 2007, applied to Charikar hyperplane bands)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    per_band = sum(
+        math.comb(bits, k) * p ** (bits - k) * (1.0 - p) ** k
+        for k in range(min(radius, bits) + 1)
+    )
+    return 1.0 - (1.0 - min(per_band, 1.0)) ** bands
+
+
+def gate_multiprobe_banding_for(
+    n_corpus: int,
+    threshold: float = NEARDUP_THRESHOLD,
+    target_recall: float = 0.99,
+    collisions_per_band: float = GATE_COLLISIONS_PER_BAND,
+    max_bands: int = GATE_MAX_BANDS,
+    min_bits: int = GATE_MIN_BITS,
+    max_bits: int = GATE_MAX_BITS,
+    max_radius: int = 4,
+    max_probe_keys: int = GATE_MAX_PROBE_KEYS,
+) -> tuple[int, int, int]:
+    """(bands, bits, probe_radius) — the multiprobe extension of
+    `gate_banding_for` for the hard-tau / high-density regime (VERDICT r9
+    #5): where single-bucket banding's recall collapses under the verify
+    budget, probing Hamming-<=radius neighbor buckets buys back per-band
+    match probability at the cost of exploding the BATCH side's keys. The
+    search maximizes predicted recall subject to BOTH budgets:
+
+    * expected verifies/item = bands * (n / 2^bits) * V(bits, radius)
+      <= max_bands * collisions_per_band (the original ~512 contract;
+      V = #buckets within the radius), and
+    * probe keys/item = bands * V(bits, radius) <= max_probe_keys (the
+      explosion itself must stay broadcast-join sized).
+
+    Radius 0 degrades to exactly `gate_banding_for`'s frontier; the
+    smallest radius meeting `target_recall` wins (probes are not free),
+    and when no config meets it the best reachable one is returned with
+    its HONEST predicted recall readable via `multiprobe_banding_recall`
+    — at tau=0.45 and ~5M vectors even radius-4 probing stays <3%
+    predicted: past that density the exact block-pair path
+    (`embedding_neardup`) is the tool, and no knob here pretends
+    otherwise. At the fixture's x10 density (2,500 vectors, tau=0.45)
+    radius 1 lifts predicted recall from ~0.73 to ~0.93 under the same
+    budgets (tests/test_embedding_gate.py re-pins the frontier)."""
+    import math
+
+    n = max(int(n_corpus), 1)
+    budget = max_bands * collisions_per_band
+    candidates = []
+    for bits in range(min_bits, max_bits + 1):
+        occupancy = n / 2.0**bits
+        for radius in range(0, min(max_radius, bits) + 1):
+            v = sum(math.comb(bits, k) for k in range(radius + 1))
+            bands = min(
+                max_bands,
+                int(budget / max(occupancy * v, 1e-9)),
+                int(max_probe_keys / v),
+            )
+            if bands < 1:
+                continue
+            recall = multiprobe_banding_recall(bands, bits, radius, threshold)
+            candidates.append((recall, bands, bits, radius, bands * v))
+    assert candidates  # radius 0 at min_bits always admits >= 1 band
+    meeting = [c for c in candidates if c[0] >= target_recall]
+    if meeting:
+        # cheapest config that meets target: fewest probes, fewest keys
+        _, bands, bits, radius, _ = min(
+            meeting, key=lambda c: (c[3], c[4], -c[0])
+        )
+    else:
+        _, bands, bits, radius, _ = max(candidates, key=lambda c: c[0])
+    return bands, bits, radius
+
+
 def embedding_vs_corpus(
     corpus_keys: DataFrame,
     corpus_vecs: DataFrame,
@@ -1084,6 +1172,7 @@ def embedding_vs_corpus(
     bands: int = GATE_BANDS,
     bits: int = GATE_BITS,
     dup_status: str = "dup_embedding",
+    probe_radius: int = 0,
 ) -> DataFrame:
     """(vec_id, n_corpus_matches, status) for each batch vector screened
     against a FROZEN corpus LSH band index — the semantic twin of
@@ -1097,10 +1186,39 @@ def embedding_vs_corpus(
     `corpus_keys` = banded_lsh_keys(corpus, bands, bits) projected to
     (vec_id, band, bucket); `corpus_vecs` = vectors_with_norms(corpus)
     projected to (vec_id, v, norm) — both built ONCE offline and cached by
-    the caller (at 100 TB they are the persisted index)."""
+    the caller (at 100 TB they are the persisted index).
+
+    `probe_radius` > 0 is the multiprobe recall lever for the hard-tau /
+    high-density regime (VERDICT r9 #5): each batch vector additionally
+    probes every bucket within that Hamming distance of its own, PER
+    band. Only the tiny batch side explodes (x V(bits, radius) keys —
+    `gate_multiprobe_banding_for` bounds bands*V); the frozen corpus
+    index is still scanned once and the plan stays a (band, bucket)
+    equi-join. A true pair within `radius` disagreeing bits of any band
+    is caught; verify stays exact, so false positives remain impossible
+    and the frozen-index/micro-batch-invariance contract is unchanged."""
     bkeys = banded_lsh_keys(batch_emb, bands, bits).select(
         F.col("vec_id").alias("vec_b"), "band", "bucket"
     )
+    if probe_radius > 0:
+        from itertools import combinations
+
+        masks = [
+            sum(1 << p for p in flips)
+            for r in range(probe_radius + 1)
+            for flips in combinations(range(bits), r)
+        ]
+        bkeys = bkeys.select(
+            "vec_b",
+            "band",
+            F.explode(
+                F.expr(
+                    "transform(array("
+                    + ", ".join(str(m) for m in masks)
+                    + "), m -> CAST(bucket AS INT) ^ m)"
+                )
+            ).alias("bucket"),
+        )
     cand = (
         bkeys.join(
             corpus_keys.select(

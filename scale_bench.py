@@ -491,6 +491,62 @@ def _timed_admission_gates(
             file=sys.stderr,
         )
 
+    # MULTIPROBE banding (VERDICT r9 #5): the hard-tau / high-density
+    # recall lever — gate_multiprobe_banding_for additionally probes
+    # Hamming-<=radius neighbor buckets per band under the SAME <=512
+    # verify/item budget (plus a probe-key cap on the batch-side
+    # explosion). Measured at the fixture's tau=0.45 where the
+    # single-bucket auto config's predicted recall collapses with density;
+    # the screen_ratio is the cost evidence, config_* records the honest
+    # predicted-recall frontier at each scale.
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        gate_multiprobe_banding_for,
+        multiprobe_banding_recall,
+    )
+
+    entry = {"batch": "src vec_id >= EMB_SPLIT (fixed across runs)"}
+    for tag, corpus in (("base", emb_base), ("scaled", emb_scaled)):
+        t0 = time.perf_counter()
+        n_corpus = corpus.count()
+        bands, bits, radius = gate_multiprobe_banding_for(n_corpus, 0.45)
+        keys = engine_cache(
+            banded_lsh_keys(corpus, bands, bits).select(
+                "vec_id", "band", "bucket"
+            )
+        )
+        vecs = engine_cache(
+            vectors_with_norms(corpus).select("vec_id", "v", "norm")
+        )
+        n_idx = keys.count() + vecs.count()
+        entry[f"index_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        entry[f"index_{tag}_rows"] = n_idx
+        entry[f"config_{tag}"] = (
+            f"{bands}x{bits} r={radius} tau=0.45 n={n_corpus} "
+            f"predicted_recall="
+            f"{multiprobe_banding_recall(bands, bits, radius, 0.45):.3f}"
+        )
+        t0 = time.perf_counter()
+        embedding_vs_corpus(
+            keys, vecs, emb_batch, threshold=0.45,
+            bands=bands, bits=bits, probe_radius=radius,
+        ).write.format("noop").mode("overwrite").save()
+        entry[f"screen_{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        release_caches()
+    entry["index_ratio"] = round(
+        entry["index_scaled_sec"] / max(entry["index_base_sec"], 1e-9), 2
+    )
+    entry["screen_ratio"] = round(
+        entry["screen_scaled_sec"] / max(entry["screen_base_sec"], 1e-9), 2
+    )
+    results["admission_embedding_multiprobe"] = entry
+    print(
+        f"# admission_embedding_multiprobe: {entry['config_base']} -> "
+        f"{entry['config_scaled']}; screen {entry['screen_base_sec']:.2f}s "
+        f"-> {entry['screen_scaled_sec']:.2f}s (x{entry['screen_ratio']}) "
+        f"at corpus x{factor}",
+        file=sys.stderr,
+    )
+
     # Bloom shrink evidence (VERDICT r07 #4): the admission case the
     # filter exists for — a mostly-NOVEL batch vs a DISJOINT standing
     # corpus. (The earlier measurement indexed a corpus that CONTAINED the
