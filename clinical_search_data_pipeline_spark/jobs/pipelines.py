@@ -475,6 +475,7 @@ def update_gate_indexes(
     increment: DataFrame,
     merged: DataFrame,
     split: int,
+    deltas: tuple[dict, dict] | None = None,
 ) -> dict[str, object]:
     """Fold an admitted INCREMENT into the gate indexes in O(increment) —
     VERDICT r9 #2: the refresh cadence no longer re-derives O(corpus)
@@ -503,8 +504,13 @@ def update_gate_indexes(
     `gate_index_root` artifacts (maintained by
     `publish_gate_index_increment` — per-relation APPEND commits, never a
     full republish) are the production cut-point a restarted job reads
-    back flat."""
-    inc, small = _gate_index_deltas(old, increment, merged, split)
+    back flat. Pass `deltas` (a `_gate_index_deltas` result) when the
+    caller also publishes — computing them once halves the refresh."""
+    inc, small = (
+        deltas
+        if deltas is not None
+        else _gate_index_deltas(old, increment, merged, split)
+    )
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
     old_sets, old_prefix, dfreq = old["prefix_index"]
@@ -580,10 +586,22 @@ def _gate_index_deltas(
     inc_sets = engine_cache(
         shingle_sets(increment, SHINGLE_K).hint("rebalance")
     )
+    # novel grams = increment grams minus the old index, WITHOUT shuffling
+    # the O(corpus) index: the gram Bloom screens the increment down to
+    # possibly-known grams first (no false negatives), the old index is
+    # then SCANNED once against that broadcast set (no shuffle), and the
+    # confirmed members broadcast back out of the anti-join.
+    from clinical_search_data_pipeline_spark.operators.bloom import (
+        bloom_probe,
+    )
+
+    inc_grams = corpus_gram_index(increment)
+    maybe_known = bloom_probe(inc_grams, "gram", old["gram_bloom"])
+    confirmed = old["gram_index"].join(
+        F.broadcast(maybe_known), "gram", "left_semi"
+    )
     novel_grams = engine_cache(
-        corpus_gram_index(increment).join(
-            old["gram_index"], "gram", "left_anti"
-        )
+        inc_grams.join(F.broadcast(confirmed), "gram", "left_anti")
     )
     inc = {
         "prefix_sets": inc_sets,
@@ -607,6 +625,12 @@ def _gate_index_deltas(
     return inc, small
 
 
+_LAKE_WATERMARK = "__corpus_lake_version__"  # meta-pin sentinel row: the
+#                   admitted-lake version the artifacts have folded in —
+#                   what makes a RESTARTED incremental job resume from the
+#                   right cut-point instead of double-folding history
+
+
 def publish_gate_index_increment(
     spark: SparkSession,
     root: str,
@@ -614,6 +638,8 @@ def publish_gate_index_increment(
     increment: DataFrame,
     merged: DataFrame,
     split: int,
+    deltas: tuple[dict, dict] | None = None,
+    lake_version: int | None = None,
 ) -> dict[str, int]:
     """Incremental refresh of the PERSISTED gate artifacts: the six
     increment-side relations commit as APPENDs folding in the meta-pinned
@@ -623,7 +649,13 @@ def publish_gate_index_increment(
     carries its pinned version UNTOUCHED (the frozen prefix order), and a
     fresh meta pin lands LAST with `expected_parent` CAS. Data written
     per refresh is O(increment + small models), not O(corpus) — the
-    production cadence VERDICT r9 #2 asked for."""
+    production cadence VERDICT r9 #2 asked for.
+
+    `lake_version` records the admitted-lake tip these artifacts now
+    reflect (a sentinel pin row); a restarted job reads it back via
+    `gate_index_lake_version` and resumes the change feed from there.
+    `deltas` (a `_gate_index_deltas` result) avoids recomputing the
+    increment when the caller also updates the in-memory indexes."""
     from clinical_search_data_pipeline_spark.sinks.manifest import (
         read_snapshot,
         snapshots,
@@ -633,7 +665,11 @@ def publish_gate_index_increment(
     pins = read_snapshot(spark, f"{root}/{_GATE_META}")
     meta_version = snapshots(f"{root}/{_GATE_META}")[-1]["version"]
     versions = {r.table: r.version for r in pins.collect()}
-    inc, small = _gate_index_deltas(old, increment, merged, split)
+    inc, small = (
+        deltas
+        if deltas is not None
+        else _gate_index_deltas(old, increment, merged, split)
+    )
     for name, df in inc.items():
         versions[name] = write_snapshot(
             df, f"{root}/{name}", mode="append",
@@ -643,9 +679,13 @@ def publish_gate_index_increment(
         versions[name] = write_snapshot(
             df, f"{root}/{name}", mode="overwrite"
         )
+    if lake_version is not None:
+        versions[_LAKE_WATERMARK] = lake_version
+    pin_rows = [(t, versions[t]) for t in GATE_INDEX_TABLES]
+    if _LAKE_WATERMARK in versions:
+        pin_rows.append((_LAKE_WATERMARK, versions[_LAKE_WATERMARK]))
     pins_df = pins.sparkSession.createDataFrame(
-        [(t, versions[t]) for t in GATE_INDEX_TABLES],
-        "table string, version int",
+        pin_rows, "table string, version int"
     )
     versions[_GATE_META] = write_snapshot(
         pins_df,
@@ -654,6 +694,15 @@ def publish_gate_index_increment(
         expected_parent=meta_version,
     )
     return versions
+
+
+def gate_index_lake_version(spark: SparkSession, root: str) -> int:
+    """The admitted-lake version the persisted gate artifacts reflect
+    (0 when they were built from the base corpus alone) — the restart
+    cut-point for `ingest_admission_job(incremental_refresh=True)`."""
+    pins = manifest_sink.read_snapshot(spark, f"{root}/{_GATE_META}")
+    row = pins.filter(F.col("table") == _LAKE_WATERMARK).collect()
+    return int(row[0].version) if row else 0
 
 
 def ingest_admission_job(
@@ -792,17 +841,26 @@ def ingest_admission_job(
     if gate_index_root is not None and gate_indexes_published(gate_index_root):
         first_idx = read_gate_indexes(spark, gate_index_root)
         gate_index_source = "read"
+        # resume from the artifacts' recorded lake cut-point: a restarted
+        # incremental job must NOT re-fold admissions already in them
+        lake_watermark = (
+            gate_index_lake_version(spark, gate_index_root)
+            if incremental_refresh
+            else 0
+        )
     else:
         first_idx = build_gate_indexes(corpus, split)
         if gate_index_root is not None:
             write_gate_indexes(first_idx, gate_index_root)
         gate_index_source = "built"
+        lake_watermark = 0
     state: dict = {"idx": first_idx, "batches": 0,
-                   "refreshes": 0, "merged_lake_version": 0}
+                   "refreshes": 0, "merged_lake_version": lake_watermark}
     corpus_table = f"{snapshot_table}_corpus" if snapshot_table else None
-    if refresh_every is not None:
+    if refresh_every is not None and not manifest_sink.snapshots(corpus_table):
         # seed the standing corpus as snapshot v1 — every refresh is a
-        # further atomic version on this table
+        # further atomic version on this table. A restart finds the table
+        # already seeded and must NOT overwrite the folded-in admissions.
         manifest_sink.write_snapshot(corpus, corpus_table, mode="overwrite")
 
     def refresh_indexes() -> None:
@@ -816,20 +874,34 @@ def ingest_admission_job(
         if incremental_refresh:
             # O(increment): only what landed since the last refresh is
             # read (change feed), appended, and folded into the indexes
-            increment = manifest_sink.snapshot_change_feed(
+            feed = manifest_sink.snapshot_change_feed(
                 spark, snapshot_table,
                 since=state["merged_lake_version"], until=tip,
-            ).drop("_change_type", "_commit_version")
+            )
+            if feed.filter(F.col("_change_type") != "insert").limit(1).count():
+                # the admitted lake is append-only under this job; delete
+                # pre-images mean an external rewrite — folding them in as
+                # documents would resurrect stale rows. Refuse loudly.
+                raise ValueError(
+                    f"admitted lake {snapshot_table} has non-insert "
+                    "changes in its feed; incremental_refresh assumes an "
+                    "append-only lake — run a full refresh instead"
+                )
+            increment = feed.drop("_change_type", "_commit_version")
             manifest_sink.write_snapshot(
                 increment, corpus_table, mode="append"
             )
             merged = manifest_sink.read_snapshot(spark, corpus_table)
-            state["idx"] = update_gate_indexes(old, increment, merged, split)
+            deltas = _gate_index_deltas(old, increment, merged, split)
+            state["idx"] = update_gate_indexes(
+                old, increment, merged, split, deltas=deltas
+            )
             if gate_index_root is not None:
                 # O(increment) artifact maintenance: per-relation appends
                 # + small-model overwrites + meta pin, never a republish
                 publish_gate_index_increment(
-                    spark, gate_index_root, old, increment, merged, split
+                    spark, gate_index_root, old, increment, merged, split,
+                    deltas=deltas, lake_version=tip,
                 )
         else:
             admitted_lake = manifest_sink.read_snapshot(spark, snapshot_table)

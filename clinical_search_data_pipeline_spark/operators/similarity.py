@@ -1152,7 +1152,13 @@ def gate_multiprobe_banding_for(
                 continue
             recall = multiprobe_banding_recall(bands, bits, radius, threshold)
             candidates.append((recall, bands, bits, radius, bands * v))
-    assert candidates  # radius 0 at min_bits always admits >= 1 band
+    if not candidates:
+        raise ValueError(
+            f"no (bands, bits, radius) admits >= 1 band for n={n} under "
+            f"budget {budget:.0f} verifies/item with max_bits={max_bits}; "
+            "raise the budget or max_bits, or use the exact block-pair "
+            "path (embedding_neardup)"
+        )
     meeting = [c for c in candidates if c[0] >= target_recall]
     if meeting:
         # cheapest config that meets target: fewest probes, fewest keys

@@ -1035,10 +1035,43 @@ def snapshot_change_feed(
         raise FileNotFoundError(
             f"snapshot range ({since}, {until}] not resolvable at {table}"
         )
+    # Walk the LINEAGE chain backward from `until`: an append committed
+    # with base_version= folds in its pinned base, NOT its parent — the
+    # parent may be an orphaned branch (a publisher whose external pin
+    # never landed) whose rows are not in `until`'s state and must not
+    # surface in the feed. For ordinary tables the chain is simply every
+    # version in the range.
+    chain: list[int] = []
+    v = until
+    while v is not None and v > since:
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} in the lineage of ({since}, {until}] at "
+                f"{table} was vacuumed; the feed horizon passed — re-read "
+                "the full snapshot"
+            )
+        chain.append(v)
+        man = _read_manifest(table, v)
+        v = (
+            man.get("append_base", man.get("parent"))
+            if man["mode"] == "append"
+            else man.get("parent")
+        )
+    if since != 0 and v != since:
+        raise FileNotFoundError(
+            f"snapshot v{since} is not on the lineage of v{until} at "
+            f"{table} (an orphaned branch?); re-read the full snapshot"
+        )
+    if since == 0 and v is not None:
+        # the chain bottomed out at a vacuumed version before reaching
+        # the table's first commit — since=0 cannot be served
+        raise FileNotFoundError(
+            f"the lineage of v{until} at {table} reaches back past the "
+            "retained versions; the feed horizon passed — re-read the "
+            "full snapshot"
+        )
     pieces: list[DataFrame] = []
-    for v in versions:
-        if not (since < v <= until):
-            continue
+    for v in reversed(chain):
         man = _read_manifest(table, v)
         schema = StructType.fromJson(json.loads(man["schema"]))
         pb = man.get("partition_by", [])
@@ -1138,7 +1171,12 @@ def snapshots(table: str) -> list[dict]:
     for v in _versions(table):
         m = _read_manifest(table, v)
         row = {k: m[k] for k in ("version", "parent", "mode", "num_files")}
-        row["committed_at"] = _committed_at(table, v)
+        ts = m.get("committed_at")  # inline: avoid a second manifest read
+        row["committed_at"] = (
+            float(ts)
+            if ts is not None
+            else os.path.getmtime(_manifest_path(table, v))
+        )
         out.append(row)
     return out
 

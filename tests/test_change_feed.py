@@ -296,3 +296,43 @@ def test_append_base_version_skips_orphaned_tip(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="append mode"):
         m.write_snapshot(_df(spark, 50, 51), table, base_version=1)
+
+
+def test_feed_since_zero_after_vacuum_raises(spark, tmp_path):
+    """since=0 promises the FULL history; once vacuum drops the early
+    manifests the promise is unservable and must raise — not silently
+    start from the oldest retained version."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.merge_snapshot(
+        spark.createDataFrame([(1, -1)], "id long, v long"), table, ["id"]
+    )
+    m.merge_snapshot(
+        spark.createDataFrame([(2, -2)], "id long, v long"), table, ["id"]
+    )
+    m.vacuum(table, keep_last=2, retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="horizon"):
+        m.snapshot_change_feed(spark, table, since=0)
+
+
+def test_feed_walks_lineage_not_version_order(spark, tmp_path):
+    """A base_version append's parent may be an ORPHANED branch (a
+    publisher whose external pin never landed): its rows are not in the
+    final state and must not surface as feed inserts. The feed walks the
+    append_base/parent lineage, and a `since` that sits on the orphaned
+    branch is refused."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)  # v1
+    m.write_snapshot(_df(spark, 900, 902), table, mode="append")  # orphan v2
+    v3 = m.write_snapshot(
+        _df(spark, 10, 12), table, mode="append", base_version=1
+    )
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v3)
+    assert _feed_rows(feed) == [
+        ("insert", 3, 10, 20),
+        ("insert", 3, 11, 22),
+    ]
+    full = m.snapshot_change_feed(spark, table, since=0, until=v3)
+    assert sorted(r.id for r in full.collect()) == [0, 1, 2, 10, 11]
+    with pytest.raises(FileNotFoundError, match="lineage"):
+        m.snapshot_change_feed(spark, table, since=2, until=v3)

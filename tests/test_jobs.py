@@ -996,7 +996,8 @@ def test_incremental_refresh_publishes_appendy_artifacts(spark, tmp_path):
         for r in m.read_snapshot(spark, f"{root}/meta").collect()
     }
     assert pins["prefix_dfreq"] == 1 and pins["gram_index"] == 2
-    assert set(pins) == set(GATE_INDEX_TABLES)
+    # the ten index relations + the lake watermark sentinel
+    assert set(pins) == set(GATE_INDEX_TABLES) | {"__corpus_lake_version__"}
 
     # Run 2: fresh job, artifacts read back (no rebuild) — the duplicate
     # of run 1's admitted doc must now be flagged by the persisted index.
@@ -1017,3 +1018,76 @@ def test_incremental_refresh_publishes_appendy_artifacts(spark, tmp_path):
         v[copy_id].dup_status != "admitted"
         or v[copy_id].span_status != "clean"
     )
+
+
+def test_incremental_refresh_restart_resumes_from_watermark(spark, tmp_path):
+    """Restart safety for the incremental loop: the artifacts record the
+    admitted-lake version they reflect (a meta-pin sentinel), a restarted
+    job resumes the change feed from it instead of re-folding history
+    (no duplicate index rows), and the standing corpus is not re-seeded
+    over its folded-in admissions."""
+    import os
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        gate_index_lake_version,
+        ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    out0 = str(tmp_path / "discover")
+    ingest_admission_job(spark, SF_SMOKE, out0)
+    a_id = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out0).filter("admitted").collect()
+    )[0]
+    docs = read_table(spark, SF_SMOKE, "documents")
+    doc_a = docs.filter(F.col("doc_id") == a_id)
+    copy_id = a_id + 1_000_000
+    doc_copy = doc_a.withColumn(
+        "doc_id", F.lit(copy_id).cast("long")
+    ).select(*docs.columns)
+
+    def stage_one(name, df):
+        flat = str(tmp_path / name)
+        os.makedirs(flat)
+        src_dir = str(tmp_path / f"{name}_src")
+        df.coalesce(1).write.parquet(src_dir)
+        src = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        os.link(os.path.join(src_dir, src), os.path.join(flat, "b0.parquet"))
+        return flat
+
+    root = str(tmp_path / "gidx")
+    lake = str(tmp_path / "lake")
+    ingest_admission_job(
+        spark, SF_SMOKE, str(tmp_path / "out1"),
+        snapshot_table=lake, refresh_every=1,
+        staging_dir=stage_one("flat1", doc_a),
+        gate_index_root=root, incremental_refresh=True,
+    )
+    wm1 = gate_index_lake_version(spark, root)
+    lake_tip = m.snapshots(lake)[-1]["version"]
+    assert wm1 == lake_tip >= 1
+    sets_log_1 = len(m.snapshots(f"{root}/prefix_sets"))
+    corpus_log_1 = len(m.snapshots(f"{lake}_corpus"))
+
+    # RESTART with the SAME lake + artifacts; the only new doc is the
+    # duplicate, which the refreshed artifacts must reject — so nothing
+    # is admitted, no refresh fires, and nothing is re-folded.
+    s2 = ingest_admission_job(
+        spark, SF_SMOKE, str(tmp_path / "out2"),
+        snapshot_table=lake, refresh_every=1,
+        staging_dir=stage_one("flat2", doc_copy),
+        gate_index_root=root, incremental_refresh=True,
+    )
+    assert s2["gate_index_source"] == "read"
+    v = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert not v[copy_id].admitted
+    # no re-fold: the index tables gained no commits, the corpus was not
+    # re-seeded, and the watermark still matches the (unchanged) lake tip
+    assert len(m.snapshots(f"{root}/prefix_sets")) == sets_log_1
+    assert len(m.snapshots(f"{lake}_corpus")) == corpus_log_1
+    assert gate_index_lake_version(spark, root) == wm1
+    # and doc_a appears exactly once in the standing corpus
+    corpus = m.read_snapshot(spark, f"{lake}_corpus")
+    assert corpus.filter(F.col("doc_id") == a_id).count() == 1
