@@ -222,6 +222,39 @@ def mart_load_job(
     return loaded
 
 
+def serve_changes_job(
+    spark: SparkSession,
+    table_path: str,
+    serving_table: str,
+    keys: tuple[str, ...],
+    since: int,
+    merge_executor,
+    cfg=None,
+    stage_writer=None,
+) -> int:
+    """Incremental serving refresh: read the snapshot table's row-level
+    change feed past the consumer's last-synced version and apply it to
+    the keyed serving table (net deletes + K7 staged upsert) — the
+    O(delta) successor of `mart_load_job`'s full reload for upstreams
+    that evolve by merge/replace commits. Returns the new watermark to
+    persist for the next sync; a no-change range applies nothing."""
+    from clinical_search_data_pipeline_spark.sinks.jdbc import (
+        apply_changes_to_jdbc,
+    )
+
+    tip = manifest_sink.latest_version(table_path)
+    if tip == since:
+        return since
+    changes = manifest_sink.snapshot_change_feed(
+        spark, table_path, since=since, until=tip
+    )
+    apply_changes_to_jdbc(
+        changes, serving_table, list(keys), cfg, merge_executor,
+        stage_writer=stage_writer,
+    )
+    return tip
+
+
 def hot_marts_realtime_job(
     spark: SparkSession,
     silver_path: str,

@@ -77,3 +77,66 @@ def upsert_to_jdbc(
     write_jdbc(df, staging, cfg, mode="overwrite")
     merge_executor(upsert_merge_sql(table, staging, df.columns, keys))
     merge_executor(f"DROP TABLE IF EXISTS {staging}")
+
+
+def delete_using_sql(table: str, staging: str, keys: Sequence[str]) -> str:
+    """The keyed delete the CDC apply runs after staging the net-delete
+    keys (Postgres `DELETE ... USING`; DuckDB accepts the same form)."""
+    cond = " AND ".join(f"{table}.{k} = {staging}.{k}" for k in keys)
+    return f"DELETE FROM {table} USING {staging} WHERE {cond}"
+
+
+def apply_changes_to_jdbc(
+    changes: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    cfg: JdbcConfig | None,
+    merge_executor: Callable[[str], None],
+    staging_suffix: str = "_cdc_staging",
+    stage_writer: Callable[[DataFrame, str], None] | None = None,
+) -> None:
+    """CDC apply: ship a `sinks/manifest.snapshot_change_feed` frame to a
+    keyed serving table — the incremental successor of the reference's
+    full-reload `mart_load_job` for tables whose upstream evolves by
+    merge/replace commits.
+
+    Each key's changes NET OUT on the Spark side first (latest commit
+    wins; within one commit the insert post-image beats its own delete
+    pre-image), so the serving DB sees at most one statement-row per key
+    regardless of how many commits the range spans. Net deletes stage and
+    apply as one keyed `DELETE ... USING`; net inserts go through the K7
+    staged `ON CONFLICT` merge. Replay-idempotent like the K7 path: the
+    same feed applied twice converges.
+
+    `stage_writer(df, staging_table)` defaults to the distributed JDBC
+    overwrite (`cfg` required); tests inject a DuckDB writer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if stage_writer is None:
+        if cfg is None:
+            raise ValueError("apply_changes_to_jdbc needs cfg or stage_writer")
+        stage_writer = lambda df, t: write_jdbc(df, t, cfg, mode="overwrite")  # noqa: E731
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version")
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type").desc()
+    )
+    net = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    deletes = net.filter(F.col("_change_type") == "delete").select(*keys)
+    inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
+    stage_del = f"{table}{staging_suffix}_del"
+    stage_ins = f"{table}{staging_suffix}"
+    stage_writer(deletes, stage_del)
+    merge_executor(delete_using_sql(table, stage_del, keys))
+    merge_executor(f"DROP TABLE IF EXISTS {stage_del}")
+    stage_writer(inserts, stage_ins)
+    merge_executor(upsert_merge_sql(table, stage_ins, data_cols, keys))
+    merge_executor(f"DROP TABLE IF EXISTS {stage_ins}")

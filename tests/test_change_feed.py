@@ -336,3 +336,87 @@ def test_feed_walks_lineage_not_version_order(spark, tmp_path):
     assert sorted(r.id for r in full.collect()) == [0, 1, 2, 10, 11]
     with pytest.raises(FileNotFoundError, match="lineage"):
         m.snapshot_change_feed(spark, table, since=2, until=v3)
+
+
+# ------------------------------------------------- CDC -> serving apply
+
+
+def test_cdc_apply_syncs_serving_table(spark, tmp_path):
+    """serve_changes_job / apply_changes_to_jdbc: the change feed replays
+    into a keyed serving DB (DuckDB as the DB-API target, like the K7
+    tests) — after each sync the serving table equals the snapshot, a
+    replayed feed converges (idempotence), and a no-change range applies
+    nothing. Covers merge, append, AND compaction commits in one range."""
+    import duckdb
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+    )
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE serve (id BIGINT PRIMARY KEY, v BIGINT)")
+    applied: list[str] = []
+
+    def merge_executor(sql: str) -> None:
+        applied.append(sql)
+        con.execute(sql)
+
+    def stage_writer(df, staging: str) -> None:
+        pdf = df.toPandas()
+        con.register(f"{staging}_pdf", pdf)
+        con.execute(f"CREATE TABLE {staging} AS SELECT * FROM {staging}_pdf")
+        con.unregister(f"{staging}_pdf")
+
+    def serving_rows():
+        return sorted(con.execute("SELECT id, v FROM serve").fetchall())
+
+    def snapshot_rows():
+        return sorted(
+            (r.id, r.v) for r in m.read_snapshot(spark, table).collect()
+        )
+
+    # bootstrap sync from nothing
+    wm = serve_changes_job(
+        spark, table, "serve", ("id",), 0, merge_executor,
+        stage_writer=stage_writer,
+    )
+    assert serving_rows() == snapshot_rows()
+
+    # merge (upsert + novel key) + append + compaction in ONE range
+    m.merge_snapshot(
+        spark.createDataFrame([(1, -1), (50, 500)], "id long, v long"),
+        table, keys=["id"],
+    )
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    m.compact_snapshot(spark, table, target_files=1)
+    wm2 = serve_changes_job(
+        spark, table, "serve", ("id",), wm, merge_executor,
+        stage_writer=stage_writer,
+    )
+    assert wm2 > wm
+    assert serving_rows() == snapshot_rows()
+    # the delete half really ran as a keyed DELETE ... USING
+    assert any(sql.startswith("DELETE FROM serve USING") for sql in applied)
+
+    # no-change sync applies nothing
+    n_applied = len(applied)
+    assert serve_changes_job(
+        spark, table, "serve", ("id",), wm2, merge_executor,
+        stage_writer=stage_writer,
+    ) == wm2
+    assert len(applied) == n_applied
+
+    # idempotent replay: re-applying the same range converges
+    changes = m.snapshot_change_feed(spark, table, since=wm, until=wm2)
+    from clinical_search_data_pipeline_spark.sinks.jdbc import (
+        apply_changes_to_jdbc,
+    )
+
+    apply_changes_to_jdbc(
+        changes, "serve", ["id"], None, merge_executor,
+        stage_writer=stage_writer,
+    )
+    assert serving_rows() == snapshot_rows()
