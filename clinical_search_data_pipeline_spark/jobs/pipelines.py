@@ -14,6 +14,7 @@ the JDBC upsert stages distributed and merges once (sinks/jdbc.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -227,31 +228,53 @@ def serve_changes_job(
     table_path: str,
     serving_table: str,
     keys: tuple[str, ...],
-    since: int,
-    merge_executor,
+    since: int | None = None,
+    merge_executor=None,
     cfg=None,
     stage_writer=None,
+    state_path: str | None = None,
 ) -> int:
     """Incremental serving refresh: read the snapshot table's row-level
     change feed past the consumer's last-synced version and apply it to
     the keyed serving table (net deletes + K7 staged upsert) — the
     O(delta) successor of `mart_load_job`'s full reload for upstreams
-    that evolve by merge/replace commits. Returns the new watermark to
-    persist for the next sync; a no-change range applies nothing."""
+    that evolve by merge/replace commits. Returns the new watermark; a
+    no-change range applies nothing.
+
+    `state_path` makes the watermark durable: the job reads the last
+    synced version from it (overriding a None `since`) and rewrites it
+    atomically (tmp + rename) AFTER the apply succeeds — a crash between
+    apply and state write replays the range on restart, which the
+    net-out + ON CONFLICT apply converges under (at-least-once is safe
+    because the apply is idempotent)."""
+    import json as _json
+
     from clinical_search_data_pipeline_spark.sinks.jdbc import (
         apply_changes_to_jdbc,
     )
 
+    if state_path is not None and since is None:
+        try:
+            with open(state_path) as fh:
+                since = int(_json.load(fh)["version"])
+        except FileNotFoundError:
+            since = 0
+    if since is None:
+        raise ValueError("serve_changes_job needs since= or state_path=")
     tip = manifest_sink.latest_version(table_path)
-    if tip == since:
-        return since
-    changes = manifest_sink.snapshot_change_feed(
-        spark, table_path, since=since, until=tip
-    )
-    apply_changes_to_jdbc(
-        changes, serving_table, list(keys), cfg, merge_executor,
-        stage_writer=stage_writer,
-    )
+    if tip != since:
+        changes = manifest_sink.snapshot_change_feed(
+            spark, table_path, since=since, until=tip
+        )
+        apply_changes_to_jdbc(
+            changes, serving_table, list(keys), cfg, merge_executor,
+            stage_writer=stage_writer,
+        )
+    if state_path is not None:
+        tmp = f"{state_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"table": table_path, "version": tip}, fh)
+        os.replace(tmp, state_path)
     return tip
 
 

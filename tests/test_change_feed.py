@@ -420,3 +420,73 @@ def test_cdc_apply_syncs_serving_table(spark, tmp_path):
         stage_writer=stage_writer,
     )
     assert serving_rows() == snapshot_rows()
+
+
+def test_feed_scans_only_delta_files(spark, tmp_path):
+    """Scan-boundedness, mechanically: the feed across an append opens
+    ONLY the files that append staged — never the base snapshot's — and
+    across a merge only the recorded change files. At 100 TB this is the
+    property that makes incremental consumption O(delta)."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 1000), table)
+    v1_files = {
+        e["path"] for e in m._entries(m._read_manifest(table, 1))
+    }
+    m.write_snapshot(_df(spark, 2000, 2010), table, mode="append")
+    feed = m.snapshot_change_feed(spark, table, since=1)
+    opened = feed.inputFiles()
+    assert opened
+    assert not any(
+        any(f.endswith(p) or p in f for p in v1_files) for f in opened
+    ), "append feed must not open the base snapshot's files"
+
+    vm = m.merge_snapshot(
+        spark.createDataFrame([(1, -1)], "id long, v long"), table, ["id"]
+    )
+    cdf_dir = m._read_manifest(table, vm)["cdf"]["dir"]
+    merge_feed = m.snapshot_change_feed(spark, table, since=2, until=vm)
+    m_opened = merge_feed.inputFiles()
+    assert m_opened and all(cdf_dir in f for f in m_opened), (
+        "merge feed must read the recorded change files only"
+    )
+
+
+def test_serve_changes_job_durable_watermark(spark, tmp_path):
+    """state_path: the watermark persists across job invocations (atomic
+    rewrite AFTER the apply), a fresh consumer bootstraps from 0, and the
+    at-least-once replay after a simulated crash converges."""
+    import duckdb
+    import json
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+    )
+
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "wm.json")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE serve (id BIGINT PRIMARY KEY, v BIGINT)")
+
+    def merge_executor(sql):
+        con.execute(sql)
+
+    def stage_writer(df, staging):
+        con.register(f"{staging}_pdf", df.toPandas())
+        con.execute(f"CREATE TABLE {staging} AS SELECT * FROM {staging}_pdf")
+        con.unregister(f"{staging}_pdf")
+
+    kw = dict(merge_executor=merge_executor, stage_writer=stage_writer,
+              state_path=state)
+    assert serve_changes_job(spark, table, "serve", ("id",), **kw) == 1
+    assert json.load(open(state))["version"] == 1
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    assert serve_changes_job(spark, table, "serve", ("id",), **kw) == 2
+    got = sorted(con.execute("SELECT id FROM serve").fetchall())
+    assert [r[0] for r in got] == [0, 1, 2, 10, 11]
+    # simulated crash between apply and state write: stale watermark ->
+    # the range replays, and the idempotent apply converges
+    json.dump({"table": table, "version": 1}, open(state, "w"))
+    assert serve_changes_job(spark, table, "serve", ("id",), **kw) == 2
+    got = sorted(con.execute("SELECT id, v FROM serve").fetchall())
+    assert got == [(0, 0), (1, 2), (2, 4), (10, 20), (11, 22)]
