@@ -301,3 +301,33 @@ def test_multiprobe_measured_recall_at_x10_density(spark, tmp_path):
     assert len(hits_mp) == 91  # multiprobe: measured recall 0.919
     # (not a superset check: the two configs hash different plane subsets)
     assert len(hits_mp) / len(true_ids) >= 0.9
+
+
+def test_multiprobe_plan_stays_equi_join(spark):
+    """The probe explosion must not change the plan family: batch keys
+    explode BEFORE the join, the corpus side joins on (band, bucket) as a
+    hash join, and no CartesianProduct / BroadcastNestedLoopJoin appears
+    anywhere in the multiprobe screen plan."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        EMB_SPLIT,
+        banded_lsh_keys,
+        embedding_vs_corpus,
+        vectors_with_norms,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < EMB_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= EMB_SPLIT)
+    out = embedding_vs_corpus(
+        banded_lsh_keys(corpus, 12, 6).select("vec_id", "band", "bucket"),
+        vectors_with_norms(corpus).select("vec_id", "v", "norm"),
+        batch,
+        bands=12,
+        bits=6,
+        probe_radius=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the probe-key explosion is real
