@@ -36,6 +36,10 @@ without importing a lakehouse:
   ``expected_parent`` so a concurrent commit between their read and their
   write raises `SnapshotConflict` instead of silently dropping it
   (lost-update protection — Delta's "serializable commit" check);
+* ``delete_from_snapshot`` is ``DELETE FROM ... WHERE`` — partition/stats
+  pruning picks the touched files, only those rewrite without their
+  matching rows, everything else carries by reference, and the deleted
+  rows are recorded as change files for the feed. O(touched files);
 * ``snapshot_change_feed`` derives row-level deltas (insert/delete +
   commit version) across append, merge, replace-partitions, and
   compaction commits — Delta's change data feed: merge commits record
@@ -662,6 +666,124 @@ def replace_partitions(
             os.unlink(tmp)  # lost the race — recompute against the new tip
     raise RuntimeError(
         f"replace_partitions lost {max_retries} races on {table}; giving up"
+    )
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    table: str,
+    where: dict,
+    max_conflict_retries: int = 5,
+    collect_stats: bool = True,
+) -> tuple[int, int]:
+    """``DELETE FROM table WHERE ...`` for snapshot tables — the third
+    rewriting commit next to `merge_snapshot` (keyed upsert) and
+    `replace_partitions` (partition swap). `where` uses `read_snapshot`'s
+    predicate form (column -> value or inclusive (lo, hi) range; multiple
+    columns AND together; NULLs never match, SQL semantics).
+
+    Cost is O(touched files), not O(table): the manifest's partition
+    values + footer stats prune to the files that may contain matching
+    rows; only those are read and rewritten without their matching rows,
+    every other file carries forward BY REFERENCE. The commit records the
+    deleted rows as change files, so `snapshot_change_feed` reports
+    exactly them (kind 'rows', all deletes) and a downstream consumer
+    stays O(delta). A predicate matching nothing commits nothing.
+
+    Returns (version, n_deleted) — version is the unchanged tip when
+    n_deleted == 0. Lost-update safe via the same optimistic loop as
+    merge/compact: a concurrent commit between read and link re-runs the
+    whole prune-rewrite against the new tip."""
+    for _ in range(max_conflict_retries):
+        versions = _versions(table)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots at {table}")
+        base = versions[-1]
+        man = _read_manifest(table, base)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        pb = man.get("partition_by", [])
+        unknown = [c for c in where if c not in schema.fieldNames()]
+        if unknown:
+            raise KeyError(f"where columns not in snapshot schema: {unknown}")
+        entries = _entries(man)
+        touched = [e for e in entries if _keep_entry(e, where, pb)]
+        carried = [e for e in entries if not _keep_entry(e, where, pb)]
+        if not touched:
+            return base, 0
+        tdf = _scan_entries(spark, table, touched, schema, pb)
+        match = None
+        for col, pred in where.items():
+            lo, hi = _bounds(pred)
+            cond = (
+                F.col(col) == F.lit(lo)
+                if lo is hi or lo == hi
+                else F.col(col).between(F.lit(lo), F.lit(hi))
+            )
+            match = cond if match is None else (match & cond)
+        match = F.coalesce(match, F.lit(False))  # NULLs never match
+        deleted = tdf.filter(match)
+        kept = tdf.filter(~match)
+        n_del = deleted.count()
+        if n_del == 0:
+            return base, 0  # stats were conservative; nothing to rewrite
+
+        stage = f"stage-{uuid.uuid4().hex}"
+        stage_dir = os.path.join(table, _FILES_DIR, stage)
+        writer = kept.write.mode("error")
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.parquet(stage_dir)
+        new_entries = []
+        for rel in _list_part_files(stage_dir):
+            rows, stats = (
+                _footer_stats(os.path.join(stage_dir, rel))
+                if collect_stats
+                else (None, {})
+            )
+            new_entries.append(
+                {
+                    "path": f"{stage}/{rel}",
+                    "partition": _partition_of(rel),
+                    "rows": rows,
+                    "stats": stats,
+                }
+            )
+        cdf_stage = f"cdf-{uuid.uuid4().hex}"
+        deleted.withColumn("_change_type", F.lit("delete")).write.mode(
+            "error"
+        ).parquet(os.path.join(table, _FILES_DIR, cdf_stage))
+
+        files = carried + new_entries
+        version = base + 1
+        manifest = {
+            "version": version,
+            "parent": base,
+            "mode": "delete",
+            "schema": man["schema"],  # kept rows carry the read form
+            "partition_by": pb,
+            "files": files,
+            "num_files": len(files),
+            "committed_at": time.time(),
+            "cdf": {"kind": "rows", "dir": cdf_stage},
+        }
+        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(table, version))
+            os.unlink(tmp)
+            return version, n_del
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — recompute against the new tip
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(table, _FILES_DIR, cdf_stage),
+                ignore_errors=True,
+            )
+    raise RuntimeError(
+        f"delete lost {max_conflict_retries} concurrent commits on {table}"
     )
 
 

@@ -490,3 +490,76 @@ def test_serve_changes_job_durable_watermark(spark, tmp_path):
     assert serve_changes_job(spark, table, "serve", ("id",), **kw) == 2
     got = sorted(con.execute("SELECT id, v FROM serve").fetchall())
     assert got == [(0, 0), (1, 2), (2, 4), (10, 20), (11, 22)]
+
+
+# ------------------------------------------------- DELETE FROM ... WHERE
+
+
+def test_delete_from_snapshot_unpartitioned(spark, tmp_path):
+    """DELETE WHERE rewrites only the touched files, records the deleted
+    rows for the feed, keeps time travel intact, and a no-match predicate
+    commits nothing."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 10), table)
+    v, n = m.delete_from_snapshot(spark, table, {"id": (3, 5)})
+    assert (v, n) == (2, 3)
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 6, 7, 8, 9]
+    assert _ids(m.read_snapshot(spark, table, version=1)) == list(range(10))
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v)
+    assert _feed_rows(feed) == [
+        ("delete", 2, 3, 6),
+        ("delete", 2, 4, 8),
+        ("delete", 2, 5, 10),
+    ]
+    # no-match: unchanged tip, no commit
+    assert m.delete_from_snapshot(spark, table, {"id": 999}) == (2, 0)
+    assert len(m.snapshots(table)) == 2
+    # legacy inserts-only reader refuses across the rewrite
+    with pytest.raises(ValueError, match="not an append"):
+        m.snapshot_changes(spark, table, since=1)
+
+
+def test_delete_from_snapshot_prunes_partitions(spark, tmp_path):
+    """Partitioned DELETE: untouched partitions' files carry forward BY
+    REFERENCE (path-identical across versions), only the matching
+    partition rewrites."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)],
+        "day string, v long",
+    )
+    m.write_snapshot(base, table, partition_by=["day"])
+    v, n = m.delete_from_snapshot(
+        spark, table, {"day": "b", "v": (4, 9)}
+    )
+    assert n == 1
+    rows = sorted((r.day, r.v) for r in m.read_snapshot(spark, table).collect())
+    assert rows == [("a", 1), ("a", 2), ("b", 3), ("c", 5)]
+    before = {
+        e["path"]: e for e in m._entries(m._read_manifest(table, 1))
+    }
+    after = {e["path"] for e in m._entries(m._read_manifest(table, v))}
+    def overlaps(e):
+        lo, hi = e["stats"].get("v", (None, None))
+        return lo is not None and lo <= 9 and hi >= 4
+
+    untouched = {
+        p for p, e in before.items()
+        if e["partition"].get("day") != "b" or not overlaps(e)
+    }
+    assert untouched <= after  # carried by reference, not rewritten
+    # every day=b file whose stats bracket the deleted range was rewritten
+    assert not any(
+        p in after for p, e in before.items()
+        if e["partition"].get("day") == "b" and overlaps(e)
+    )
+    # the replay contract holds across a delete commit too
+    state = {
+        (r.day, r.v) for r in m.read_snapshot(spark, table, version=1).collect()
+    }
+    for r in m.snapshot_change_feed(spark, table, since=1, until=v).collect():
+        assert r._change_type == "delete"
+        state.remove((r.day, r.v))
+    assert state == set(
+        (r.day, r.v) for r in m.read_snapshot(spark, table).collect()
+    )
