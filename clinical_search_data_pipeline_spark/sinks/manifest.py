@@ -67,6 +67,21 @@ Layout:
       files/v00000002/event_date=2017-01-01/part-*.parquet
       _manifests/v00000001.json          (the ordered commit log)
       _manifests/v00000002.json
+
+Known scale trade-off (stated, not hidden): every commit's manifest
+names the table's FULL file list, so manifest size — and the JSON
+rewritten per commit — is O(total files), not O(increment). With the
+per-partition compaction cadence keeping file counts bounded this is
+fine to ~10^5 files (tens of MB of JSON); past that, the production
+evolution is Delta's log design — append commits record only their file
+DELTA plus a parent pointer, resolved against periodic full "checkpoint"
+manifests (compaction/overwrite commits are natural checkpoints), which
+makes the per-append write O(increment) while keeping single-manifest
+reads. The read/commit protocol here (resolve-manifest-first, create-
+exclusive link, expected_parent CAS) is unchanged by that evolution,
+which is why it is deferred rather than half-built: at the fixture
+scales every manifest is KBs and the simpler invariant — one manifest
+IS the complete snapshot — keeps crash/vacuum reasoning auditable.
 """
 
 from __future__ import annotations
