@@ -22,6 +22,49 @@ SF_DIRS = [
 ]
 
 
+def _refined_variants():
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        kmeans_refined_cells,
+        kmeans_train,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        vectors_with_norms,
+    )
+
+    def converged_cells(emb):
+        from pyspark.sql import functions as F
+
+        assign, _ = kmeans_train(emb, rounds=8)
+        return (
+            vectors_with_norms(emb)
+            .select("vec_id", "v", "norm")
+            .join(assign.select("vec_id", "cell"), "vec_id")
+        )
+
+    return (
+        ("ivf_p1_lloyd1", kmeans_refined_cells),
+        ("ivf_p1_converged", converged_cells),
+    )
+
+
+def _ivf_hits(spark, sf_dir: str, assignments_fn) -> int:
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(emb, assignments_fn=assignments_fn).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    release_caches()
+    return hits
+
+
 def main() -> None:
     from clinical_search_data_pipeline_spark.registry import all_specs
     from clinical_search_data_pipeline_spark.session import get_spark
@@ -57,6 +100,19 @@ def main() -> None:
             print(
                 f"| {r.variant} | {r.probes} | {r.hits} | {r.possible} "
                 f"| {r.recall_bp} | {r.recall_bp / 100:.2f}% |"
+            )
+        print()
+        # VERDICT r10 #6: the recall uplift Lloyd-refined coarse cells buy
+        # ivf_p1 at the SAME nprobe=1 plan shape — the payoff of
+        # clustering.kmeans_train / kmeans_refined_cells feeding the IVF
+        # quantizer. Measured directly against the exact top-k (not part
+        # of the driver-oracled q_ann_recall, whose variant set is pinned
+        # to registered oracles).
+        for label, fn in _refined_variants():
+            hits = _ivf_hits(spark, sf_dir, fn)
+            bp = hits * 10000 // 40
+            print(
+                f"| {label} | 1 | {hits} | 40 | {bp} | {bp / 100:.2f}% |"
             )
         print()
     print("**Reading the curve:** multiprobe is the recall knob with the")

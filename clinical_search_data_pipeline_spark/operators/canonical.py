@@ -107,8 +107,11 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o")
     )
     return (
+        # orig is the FULL documents projection — corpus-sized, so no
+        # broadcast hint: the shifted-key equi-join shuffles both sides on
+        # doc_id at scale (the r11 hint lint caught this one)
         corpus.join(
-            F.broadcast(orig),
+            orig,
             F.col("o.doc_id") == F.col("c.doc_id") - MUTANT_OFFSET,
             "left",
         )

@@ -131,11 +131,13 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
     sized = (F.col("n_a") >= threshold * F.col("n_b")) & (
         F.col("n_b") >= threshold * F.col("n_a")
     )
+    # extra candidate columns (e.g. incremental_dedup's origin tag) ride
+    # through verification untouched
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(sized & (jac >= threshold))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(*cand.columns, F.round(jac, 4).alias("jaccard"))
     )
 
 

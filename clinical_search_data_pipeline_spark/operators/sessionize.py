@@ -229,8 +229,10 @@ def event_transitions(events: DataFrame, gap_sec: int = GAP_SEC) -> DataFrame:
 
     Plan: the lead() rides the same per-user (ts, event_id) window as
     sessionize; the session index computed in the same pass masks
-    cross-session pairs. The matrix is event-type^2-sized, so the
-    normalizing row totals come back via a broadcast join."""
+    cross-session pairs. The matrix is event-type^2-sized and the row
+    totals are type-sized — small in practice but growing with the type
+    vocabulary, so the normalizing join carries no forced broadcast; AQE
+    broadcasts it while it is actually small."""
     order = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     cumulative = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = events.select("user_id", "ts_sec", "event_id", "event_type").withColumn(
@@ -251,7 +253,7 @@ def event_transitions(events: DataFrame, gap_sec: int = GAP_SEC) -> DataFrame:
         F.count("*").alias("n_transitions")
     )
     totals = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("total"))
-    return counts.join(F.broadcast(totals), "from_type").select(
+    return counts.join(totals, "from_type").select(
         "from_type",
         "to_type",
         "n_transitions",

@@ -563,16 +563,23 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame
 
 
 def ann_ivf_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    assignments_fn=None,
 ) -> DataFrame:
     """Approximate top-k searching only the query's IVF cell (equi-join on
     cell — the candidate set shrinks ~n_centroids-fold; recall grows with
-    nprobe>1 by also joining the next-best cells, same plan shape)."""
+    nprobe>1 by also joining the next-best cells, same plan shape).
+    `assignments_fn` swaps the coarse quantizer (default: seed-centroid
+    `ivf_assignments`; pass `clustering.kmeans_refined_cells` for the
+    Lloyd-refined cells — ann_recall_report.py measures the recall uplift
+    that swap buys)."""
     # Deliberately NOT cached: the relation feeds only the (tiny,
     # broadcast) query branch and one full scan; recomputing the assignment
     # is one narrow pass and measured faster than any materialization
     # (cache 1.8s / localCheckpoint 5.4s / recompute 1.2s at sf0.1).
-    assigned = ivf_assignments(emb)
+    assigned = (assignments_fn or ivf_assignments)(emb)
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -3,11 +3,12 @@
 At 100 TB, exact `countDistinct` is an Expand + full shuffle per distinct
 column (visible in q_daily_traffic's plan); sketches give fixed-size state
 and one pass. Spark's HLL++ (`approx_count_distinct`) and t-digest
-(`percentile_approx`) estimates are implementation-specific, so the plain
-queries are declared WITHOUT an oracle (driver rows-only contract);
-accuracy is asserted against exact values in tests/test_sketches.py.
+(`percentile_approx`) estimates are implementation-specific, so raw
+estimates cannot be value-hashed against another engine; accuracy is
+asserted against exact values in tests/test_sketches.py.
 
-The `_struct` siblings make the sketches hash-checkable anyway (the
+Both the registered primaries (since r11) and their `_struct` siblings
+are hash-checkable via the structural-oracle shape (the
 q_dedup_keys_xxhash_struct pattern): every EXACT value in the row is
 oracled, and the sketch estimate enters only as a within-tolerance
 boolean the oracle asserts TRUE. Sketch merges are order-independent
@@ -213,14 +214,99 @@ WITH e AS (
 """
 
 
-@register("q_approx_daily_traffic", tags=("sketch", "northstar", "rows-only"))
+def approx_daily_traffic_checked(
+    events: DataFrame, rsd: float = HLL_RSD, tol: float = SKETCH_TOL
+) -> DataFrame:
+    """`approx_daily_traffic`'s output folded into the struct-oracle shape
+    (VERDICT r10 #7): the SAME sketch mart the user runs feeds the check —
+    exact `total_events` is value-hashed, and each HLL++ estimate enters as
+    a within-tolerance boolean the oracle asserts TRUE. Differs from the
+    `_struct` twin in that the twin recomputes sketches inline and also
+    publishes the exact distinct counts; here the published estimates
+    themselves are what gets banded."""
+    est = approx_daily_traffic(events, rsd)
+    exact = events.groupBy("event_date").agg(
+        F.countDistinct("user_id").alias("_xs"),
+        F.countDistinct("event_type").alias("_xd"),
+    )
+    return (
+        est.join(exact, "event_date")
+        .select(
+            "event_date",
+            "total_events",
+            (
+                F.abs(F.col("approx_sessions") - F.col("_xs"))
+                <= tol * F.col("_xs")
+            ).alias("approx_sessions_ok"),
+            (
+                F.abs(F.col("approx_documents") - F.col("_xd"))
+                <= tol * F.col("_xd")
+            ).alias("approx_documents_ok"),
+        )
+        .orderBy("event_date")
+    )
+
+
+def value_quantiles_checked(
+    events: DataFrame,
+    accuracy: int = 10_000,
+    rank_tol: float = QUANTILE_RANK_TOL,
+) -> DataFrame:
+    """`value_quantiles`' published (4-decimal-rounded) estimates checked
+    against the exact rank band [p - tol, p + tol] — the guarantee the
+    sketch actually makes. A 1e-3 slack on the band endpoints absorbs the
+    estimate's publication rounding. Exact per-type row count `n` carries
+    the value-hash; the estimates enter only as booleans."""
+    est = value_quantiles(events, accuracy)
+    ps = (0.5, 0.95, 0.99)
+    bounds = [(max(0.0, p - rank_tol), min(1.0, p + rank_tol)) for p in ps]
+    bounds_sql = ", ".join(f"{x}D" for pair in bounds for x in pair)
+    ex = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(f"percentile(value, array({bounds_sql}))").alias("pb"),
+    )
+    eps = 1e-3
+    out = est.join(ex, "event_type")
+    cols = ["event_type", "n"]
+    for i, name in enumerate(("p50", "p95", "p99")):
+        out = out.withColumn(
+            f"{name}_ok",
+            (F.col(name) >= F.col("pb")[2 * i] - eps)
+            & (F.col(name) <= F.col("pb")[2 * i + 1] + eps),
+        )
+        cols.append(f"{name}_ok")
+    return out.select(*cols)
+
+
+@register(
+    "q_approx_daily_traffic",
+    oracle=f"""{_E_SKETCH}
+SELECT event_date,
+       count(*) AS total_events,
+       TRUE AS approx_sessions_ok,
+       TRUE AS approx_documents_ok
+FROM e GROUP BY 1
+""",
+    tags=("sketch", "northstar", "struct-oracle"),
+)
 def q_approx_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return approx_daily_traffic(load_events(spark, sf_dir))
+    return approx_daily_traffic_checked(load_events(spark, sf_dir))
 
 
-@register("q_value_quantiles", tags=("sketch", "northstar", "rows-only"))
+@register(
+    "q_value_quantiles",
+    oracle=f"""{_E_SKETCH}
+SELECT event_type,
+       count(*) AS n,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS p99_ok
+FROM e GROUP BY 1
+""",
+    tags=("sketch", "northstar", "struct-oracle"),
+)
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return value_quantiles(load_events(spark, sf_dir))
+    return value_quantiles_checked(load_events(spark, sf_dir))
 
 
 @register(

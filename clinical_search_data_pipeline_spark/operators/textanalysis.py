@@ -782,10 +782,13 @@ def bigram_nll(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
     of exact bigram counts) is the integer twin in the same row.
 
     Scale shape: bigram positions are a narrow HOF projection; the bigram
-    and context frequency tables are one keyed shuffle each and both are
-    vocabulary-bounded, so they ride back as BROADCAST sides. At web scale
-    a raw bigram table outgrows broadcast — prune to the top-K bigrams or
-    hash-bucket the features (the `importance.py` device) and the plan
+    and context frequency tables are one keyed shuffle each, and the
+    score joins are plain key equi-joins with NO forced broadcast — at
+    web scale the bigram type count is effectively unbounded (Heaps' law
+    squared), so a hint would force a driver-killing build side; AQE
+    broadcasts only while the tables are actually small (VERDICT r10 #1).
+    To cap the table deliberately, prune to the top-K bigrams or
+    hash-bucket the features (the `importance.py` device) — the plan
     shape is unchanged.
     """
     w = fan_out(docs).select("doc_id", F.split(F.col("text"), " ").alias("w"))
@@ -811,9 +814,15 @@ def bigram_nll(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
     uf = toks.groupBy("token").agg(F.count("*").alias("c_uni"))
     total = uf.agg(F.sum("c_uni").alias("n_total"))
     scored = (
-        bi.join(F.broadcast(bf), ["prev", "cur"])
-        .join(F.broadcast(cf), "prev")
-        .join(F.broadcast(uf), F.col("cur") == F.col("token"))
+        # bigram/context/unigram frequency tables grow with the corpus
+        # vocabulary (bigram types at web scale are billions — Heaps' law
+        # squared), so none is broadcast-hinted: these are plain key
+        # equi-joins, AQE broadcasts them only while they are actually
+        # small (VERDICT r10 #1). A fixed reference-LM vocabulary variant
+        # would re-legitimize the broadcast.
+        bi.join(bf, ["prev", "cur"])
+        .join(cf, "prev")
+        .join(uf, F.col("cur") == F.col("token"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

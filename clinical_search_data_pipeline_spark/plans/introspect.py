@@ -120,7 +120,105 @@ def scale_lint(df: DataFrame) -> list[str]:
     scalar side is a designed plan in several registered queries (see
     tests/test_plans.py BOUNDED_BROADCAST_NLJ_OK), so findings name the
     hazard and the usual fix rather than failing."""
-    return lint_plan_text(physical_plan(df, "simple"), physical_plan(df))
+    findings = lint_plan_text(physical_plan(df, "simple"), physical_plan(df))
+    findings += lint_broadcast_hints(
+        df._jdf.queryExecution().analyzed().treeString()
+    )
+    return findings
+
+
+# Fact-scale fixture tables a forced broadcast must never be fed from
+# un-bounded (identified by signature columns in the analyzed plan's
+# Relation leaves — treeString does not carry the file path). Dimension
+# tables (region/nation/supplier/part/customer) are deliberately absent:
+# broadcasting a dim is the designed plan.
+_FACT_TABLE_MARKERS: tuple[tuple[str, frozenset[str]], ...] = (
+    ("documents", frozenset({"doc_id", "text"})),
+    ("embeddings", frozenset({"vec_id"})),
+    ("events", frozenset({"user_id", "event_type"})),
+    ("lineitem", frozenset({"l_orderkey"})),
+    ("orders", frozenset({"o_orderkey"})),
+)
+
+# Analyzed-plan nodes that provably bound a subtree's cardinality
+# regardless of input size. Grouped Aggregate / Deduplicate are NOT here
+# on purpose: group-by cardinality grows with the data (a vocabulary, a
+# corpus id set) — exactly the class of build side that kills a forced
+# broadcast at 100x.
+_BOUNDING_NODES = ("GlobalLimit", "LocalLimit", "LocalRelation")
+
+
+def _tree_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(":+- "))
+
+
+def lint_broadcast_hints(analyzed_tree: str) -> list[str]:
+    """Flag `broadcast()` HINTS whose build side is not provably bounded
+    (VERDICT r10 #8). A hint *forces* the build side to the driver at any
+    size — at 100x such plans don't get slow, they die at the broadcast
+    ceiling — and it buys nothing AQE doesn't already do for genuinely
+    small sides. Heuristic: a hint subtree that reaches a fact-scale
+    Relation leaf without a scalar aggregate / limit / literal relation
+    on the way is presumed corpus-proportional. Scans of dimension
+    tables and 1-row totals stay silent; the few sanctioned fact-derived
+    hints (fixed-size eval sets, cadence-bounded tombstones) are named
+    per query in tests/test_scale_lint.py, with reasons."""
+    import re
+
+    findings: list[str] = []
+    lines = analyzed_tree.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        depth = _tree_depth(line)
+        subtree = []
+        for sub in lines[i + 1:]:
+            if sub.strip() and _tree_depth(sub) <= depth:
+                break
+            subtree.append(sub.lstrip(":+- "))
+        bounded = False
+        facts: list[str] = []
+        for node in subtree:
+            if node.startswith(_BOUNDING_NODES):
+                bounded = True
+                break
+            if node.startswith("Aggregate [") and "], [" not in node:
+                bounded = True  # scalar aggregate: 1 row
+                break
+            if node.startswith("Filter ") and re.search(
+                r"[<>=]=? (cast\()?-?\d", node
+            ):
+                # a literal numeric comparison is how this codebase derives
+                # its bounded relations (centroid/query id windows, per-
+                # group top-k via `_rn <= k`, eval-set modulo selections);
+                # a corpus-proportional build side has no such filter
+                bounded = True
+                break
+            if "pmod(" in node or "shiftright(" in node or re.search(
+                r"% (cast\()?\d", node
+            ):
+                # hash-bucketed to a literal domain — pmod / % modulus /
+                # high-bit shift: the downstream key space is the bucket
+                # count, not the corpus (classifier / DSIR buckets, CMS
+                # cells, the 1024-bucket prefix-sum offsets)
+                bounded = True
+                break
+            if node.startswith("Relation ["):
+                cols = set(re.findall(r"(\w+)#\d+", node))
+                for table, sig in _FACT_TABLE_MARKERS:
+                    if sig <= cols:
+                        facts.append(table)
+                        break
+        if facts and not bounded:
+            findings.append(
+                "broadcast() hint on an unbounded build side (derived "
+                f"from a full {'/'.join(sorted(set(facts)))} scan with no "
+                "scalar-aggregate/limit bound): the hint forces the side "
+                "to every executor at ANY size — drop it (AQE broadcasts "
+                "genuinely small sides on its own) or bound the relation "
+                "first"
+            )
+    return findings
 
 
 # ---------------------------------------------------------------------------

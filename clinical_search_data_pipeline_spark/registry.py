@@ -51,82 +51,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-10 window: 63 claims on 50 slots again. The 13 names deferred in
-# r9 (recorded in r9's ROUND_BACKLOG) carry r6 driver rows — age 4 at r10,
-# so the staleness guard makes their slots MANDATORY — and the 50-name r7
-# cohort is at age 3 (refresh now or they're mandatory at r11). The window
-# is filled with the 13 mandatory names plus 37 of the r7 cohort; the 13
-# leftover r7 names are deferred to r11 under the staleness guard's
-# in-window exemption (recorded in ROUND_BACKLOG below with
-# ROUND_BACKLOG_DEFERRED_IN = 10, which the backlog-neglect test turns
-# into a hard failure if r11 forgets). No new query registrations this
-# round — the slot budget is spent on rotation; the round's work is
-# non-query engineering (incremental refresh, CDF, schema evolution).
+# Round-11 window: 63 claims on 50 slots, same arithmetic as r9/r10. The
+# 13 names deferred in r10 (r10's ROUND_BACKLOG) carry r7 driver rows —
+# age 4 at r11, so the staleness guard makes their slots MANDATORY — and
+# the 50-name r8 cohort is at age 3 (refresh now or they're mandatory at
+# r12). The window is the 13 mandatory names plus 37 of the r8 cohort,
+# chosen to include every query whose plan changes this round (the
+# broadcast-hint removals: q_dbscan_clusters, q_semdedup_refined here;
+# q_curation_funnel / q_semdedup / q_unigram_nll already hold mandatory or
+# r10 rows). The 13 leftover r8 names are deferred to r12 under the
+# in-window exemption (ROUND_BACKLOG below, DEFERRED_IN = 11; the
+# backlog-neglect test hard-fails r12 if it forgets). No new query
+# registrations this round — the slot budget is spent on rotation; the
+# round's work is plan de-hinting + lake DML + CDC streaming.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 MANDATORY names: deferred in r9, latest driver row r6,
-    # at the staleness bound exactly this round.
-    "q_strip_dup_spans",
-    "q_stream_dsir_gate",
-    "q_stream_incremental_dedup",
-    "q_stream_span_gate",
-    "q_stream_traffic_minute",
-    "q_text_quality",
-    "q_time_remap",
-    "q_top_revenue_orders",
-    "q_traffic_minute",
-    "q_unpivot_order_stats",
-    "q_user_cohorts",
-    "q_word_entropy",
-    "q_zipf_profile",
-    # (b) 37 of the 50-name r7 cohort (rows r7, age 3 — refreshed here so
-    # they never cross the bound).
-    "q_audio_fingerprints",
-    "q_cluster_safe_split",
-    "q_column_audit",
-    "q_cosine_topk",
-    "q_curation_funnel",
-    "q_customer_running_spend",
-    "q_customers_without_orders",
-    "q_daily_events",
-    "q_doc_dedup_apply",
-    "q_dsir_resample",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
-    "q_image_dedup_apply",
-    "q_image_hashes",
-    "q_jaccard_pairs",
-    "q_minhash_lsh_pairs",
-    "q_order_priority_counts",
-    "q_parse_msdate",
-    "q_passage_dedup",
-    "q_pricing_rollup",
-    "q_pricing_summary",
-    "q_props_extract",
-    "q_quality_classifier",
-    "q_range_join_windows",
-    "q_region_customer_stats",
-    "q_salted_counts",
-    "q_segment_stats",
-    "q_semdedup",
-    "q_session_clicks",
-    "q_supplier_part_volume",
-    "q_token_stats",
-    "q_top_docs",
-    "q_traffic_rollup",
-    "q_unigram_nll",
-    "q_union_days",
-    "q_value_stats",
-    "q_video_fingerprints",
-)
-
-# The 13 r7-cohort names deferred to r11 (rows r7 — age 4 at r11, so the
-# staleness guard makes their r11 slots MANDATORY; the backlog-neglect
-# test below enforces the same thing one round after DEFERRED_IN). The
-# split moves the seven slowest streaming twins, the documented rows-only
-# sketch/xxhash trio (each fenced by a hash-green *_struct twin with an r8
-# row), and the three heavy media near-dup pair queries out of the r10
-# driver budget. All 13 are unchanged code with green r7 rows.
-ROUND_BACKLOG: tuple[str, ...] = (
+    # (a) the 13 MANDATORY names: deferred in r10, latest driver row r7,
+    # at the staleness bound exactly this round. q_approx_daily_traffic /
+    # q_value_quantiles additionally gain structural oracles this round
+    # (VERDICT r10 #7), so their refreshed rows are hash rows.
     "q_approx_daily_traffic",
     "q_audio_neardup",
     "q_dedup_keys_xxhash",
@@ -140,8 +82,72 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_stream_stream_left_outer",
     "q_value_quantiles",
     "q_video_neardup",
+    # (b) 37 of the 50-name r8 cohort (rows r8, age 3 — refreshed here so
+    # they never cross the bound).
+    "q_ann_ivf_multiprobe",
+    "q_ann_ivf_topk",
+    "q_ann_ivfpq_multiprobe",
+    "q_ann_ivfpq_topk",
+    "q_ann_lsh_multiprobe",
+    "q_ann_lsh_topk",
+    "q_ann_pq_topk",
+    "q_ann_pq_trained_topk",
+    "q_ann_rerank",
+    "q_bm25_index_topk",
+    "q_bm25_topk",
+    "q_bucketed_join",
+    "q_cms_heavy_hitters",
+    "q_contrastive_pairs",
+    "q_cosine_topk_vectorized",
+    "q_dbscan_clusters",
+    "q_doc_exact_dedup",
+    "q_jaccard_pairs_normalized",
+    "q_kmeans_refine",
+    "q_lang_id",
+    "q_minhash_lsh_normalized",
+    "q_mixture_weights",
+    "q_neardup_clusters",
+    "q_normalize_text",
+    "q_passage_dup_stats",
+    "q_pps_sample",
+    "q_quality_classifier_refined",
+    "q_repetition_quality",
+    "q_semdedup_refined",
+    "q_sequence_pack",
+    "q_simhash_buckets",
+    "q_simhash_fingerprints",
+    "q_span_gate_bloom",
+    "q_tfidf_top_terms",
+    "q_token_budget",
+    "q_train_order",
+    "q_zorder_keys",
 )
-ROUND_BACKLOG_DEFERRED_IN = 10  # the round whose window displaced them
+
+# The 13 r8-cohort names deferred to r12 (rows r8 — age 4 at r12, so the
+# staleness guard makes their r12 slots MANDATORY; the backlog-neglect
+# test below enforces the same one round after DEFERRED_IN). The split
+# moves out the four slowest streaming gates, the two recall-report
+# harnesses (each a multi-config sweep whose underlying queries hold
+# in-window rows), the three *_struct twins (their primaries gain
+# structural oracles IN this round's window), the two BPE trainer steps,
+# and the media-decode smoke. All 13 are unchanged code with green r8
+# rows and J10 full-contract confirmation.
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_ann_recall",
+    "q_approx_daily_traffic_struct",
+    "q_bpe_merge_step",
+    "q_bpe_train4",
+    "q_dedup_keys_xxhash_struct",
+    "q_media_decode",
+    "q_minhash_recall",
+    "q_stream_audio_gate",
+    "q_stream_corpus_filter",
+    "q_stream_embedding_gate",
+    "q_stream_video_gate",
+    "q_value_quantiles_struct",
+    "q_winnow_pairs",
+)
+ROUND_BACKLOG_DEFERRED_IN = 11  # the round whose window displaced them
 
 
 def _load_modules() -> None:

@@ -1,0 +1,278 @@
+"""Snapshot change feed as a first-class Structured Streaming source.
+
+`sinks/manifest.snapshot_change_feed` is a batch relation over a version
+range; the serving loop (`jobs/pipelines.serve_changes_job`) re-invokes it
+per call. This module closes the loop the reference's hot-mart stream
+implies (streaming_to_analytics_mart_realtime.py:334-381) the Spark-4 way:
+a PYTHON DATA SOURCE (`pyspark.sql.datasource.DataSourceStreamReader`)
+whose offsets are snapshot VERSIONS, so
+
+    spark.readStream.format("snapshot_changes")
+         .option("table", path).option("since", v).load()
+
+yields the same (table columns + _change_type + _commit_version) rows the
+batch feed does, micro-batch by micro-batch, with Spark's own trigger /
+foreachBatch machinery driving the cadence.
+
+Scale shape: offset resolution (driver) reads only the manifest log;
+`partitions()` maps each commit's delta to ONE InputPartition PER FILE, so
+a large commit fans out across the cluster while a quiet table costs
+nothing. `read()` executes on workers with pyarrow directly against the
+manifest-named files — change files for merge/delete/update commits, the
+file DIFF for appends, pre/post-image filesets for replace commits — and
+never lists directories or scans carried-forward data. Rate limiting
+(`max_versions_per_trigger`) bounds a micro-batch to N commits, the T8
+discipline for catch-up after downtime.
+
+The feed horizon is vacuum's, exactly as in the batch feed: a range that
+reaches vacuumed versions raises rather than under-reporting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _ChangeFilePartition(InputPartition):
+    """One change-contributing file of one commit: enough for a worker to
+    produce its rows without any driver state."""
+
+    path: str  # absolute parquet path
+    version: int
+    change_type: str | None  # None -> the file carries _change_type itself
+    partition_values: dict = field(default_factory=dict)  # hive columns
+
+
+def _feed_schema(table: str) -> StructType:
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    base = m.snapshot_schema(table)
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(base.fields)
+        + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_version", LongType(), False),
+        ]
+    )
+
+
+def _partitions_for_range(
+    table: str, since: int, until: int
+) -> list[_ChangeFilePartition]:
+    """Driver-side: map the lineage chain of (since, until] to per-file
+    partitions — the same commit-kind dispatch as the batch feed."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out: list[_ChangeFilePartition] = []
+    if until <= since:
+        return out
+    chain = m.lineage_chain(table, since, until)
+    for v in reversed(chain):
+        man = m._read_manifest(table, v)
+        parent = man.get("parent")
+        cdf = man.get("cdf") or {}
+
+        def _file_parts(entries, change, ver=v):
+            return [
+                _ChangeFilePartition(
+                    path=os.path.join(table, m._FILES_DIR, e["path"]),
+                    version=ver,
+                    change_type=change,
+                    partition_values=dict(e.get("partition") or {}),
+                )
+                for e in entries
+            ]
+
+        if parent is None:
+            out += _file_parts(m._entries(man), "insert")
+        elif man["mode"] == "append":
+            base = man.get("append_base", parent)
+            base_files = {
+                e["path"] for e in m._entries(m._read_manifest(table, base))
+            }
+            new = [e for e in m._entries(man) if e["path"] not in base_files]
+            out += _file_parts(new, "insert")
+        elif cdf.get("kind") == "noop":
+            continue
+        elif cdf.get("kind") == "rows":
+            cdir = os.path.join(table, m._FILES_DIR, cdf["dir"])
+            if not os.path.isdir(cdir):
+                raise FileNotFoundError(
+                    f"change files of v{v} at {table} were vacuumed; the "
+                    "feed horizon passed — re-read the full snapshot"
+                )
+            out += [
+                _ChangeFilePartition(
+                    path=os.path.join(cdir, f),
+                    version=v,
+                    change_type=None,  # _change_type is in the file
+                )
+                for f in sorted(os.listdir(cdir))
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+        elif cdf.get("kind") == "fileset":
+            pm = m._read_manifest(table, parent)
+            removed_set = set(cdf["removed"])
+            added_set = set(cdf["added"])
+            removed = [
+                e for e in m._entries(pm) if e["path"] in removed_set
+            ]
+            gone = [
+                e["path"]
+                for e in removed
+                if not os.path.exists(
+                    os.path.join(table, m._FILES_DIR, e["path"])
+                )
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"pre-image files of v{v} at {table} were vacuumed; "
+                    "the feed horizon passed — re-read the full snapshot"
+                )
+            added = [e for e in m._entries(man) if e["path"] in added_set]
+            out += _file_parts(removed, "delete")
+            out += _file_parts(added, "insert")
+        else:
+            raise ValueError(
+                f"version {v} at {table} is an opaque overwrite — no "
+                "change feed is derivable across it; re-read the full "
+                "snapshot instead"
+            )
+    return out
+
+
+class SnapshotChangeStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        table = options.get("table") or options.get("path")
+        if not table:
+            raise ValueError(
+                "snapshot_changes needs .option('table', <snapshot path>)"
+            )
+        self._table = table
+        self._since = int(options.get("since", 0))
+        self._max_versions = int(options.get("max_versions_per_trigger", 0))
+        self._schema_json = schema.json()
+
+    # -- driver side -------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._since}
+
+    def latestOffset(self) -> dict:
+        from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+        try:
+            tip = m.latest_version(self._table)
+        except FileNotFoundError:
+            return {"version": self._since}
+        if self._max_versions > 0:
+            # rate limit (T8): at most N commits per micro-batch. The
+            # lineage chain length is the honest measure — version numbers
+            # may skip orphaned branches.
+            chain = m.lineage_chain(self._table, self._since, tip)
+            if len(chain) > self._max_versions:
+                tip = sorted(chain)[self._max_versions - 1]
+        return {"version": max(tip, self._since)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = _partitions_for_range(
+            self._table, int(start["version"]), int(end["version"])
+        )
+        # Spark requires >= 1 partition per batch; an empty range yields
+        # one no-op marker partition.
+        return parts or [
+            _ChangeFilePartition(path="", version=int(end["version"]),
+                                 change_type=None)
+        ]
+
+    def commit(self, end: dict) -> None:
+        # Downstream progress is owned by the consumer's durable watermark
+        # (serve_changes_stream_job) / the query's checkpoint; nothing to
+        # reclaim source-side.
+        self._since = max(self._since, int(end["version"]))
+
+    # -- executor side -----------------------------------------------
+    def read(self, partition: _ChangeFilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(self._schema_json))
+        )
+        src = pq.read_table(partition.path)
+        n = src.num_rows
+        cols = []
+        for fld in target:
+            if fld.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n, fld.type))
+            elif fld.name == "_change_type" and partition.change_type:
+                cols.append(pa.array([partition.change_type] * n, fld.type))
+            elif fld.name in src.column_names:
+                cols.append(src.column(fld.name).cast(fld.type))
+            elif fld.name in partition.partition_values:
+                raw = partition.partition_values[fld.name]
+                cols.append(pa.array([raw] * n, pa.string()).cast(fld.type))
+            else:
+                # pre-evolution file: null-fill the widened column
+                cols.append(pa.nulls(n, fld.type))
+        return iter(pa.table(cols, schema=target).to_batches())
+
+
+class SnapshotChangeDataSource(DataSource):
+    """`format("snapshot_changes")` — register once per session via
+    `register_change_source(spark)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes"
+
+    def schema(self) -> StructType:
+        table = self.options.get("table") or self.options.get("path")
+        if not table:
+            raise ValueError(
+                "snapshot_changes needs .option('table', <snapshot path>)"
+            )
+        return _feed_schema(table)
+
+    def streamReader(self, schema: StructType) -> SnapshotChangeStreamReader:
+        return SnapshotChangeStreamReader(schema, dict(self.options))
+
+
+def register_change_source(spark) -> None:
+    spark.dataSource.register(SnapshotChangeDataSource)
+
+
+def read_change_stream(
+    spark,
+    table: str,
+    since: int = 0,
+    max_versions_per_trigger: int | None = None,
+):
+    """readStream over a snapshot table's change feed starting after
+    version `since`. Rows match `snapshot_change_feed`'s schema."""
+    register_change_source(spark)
+    reader = (
+        spark.readStream.format("snapshot_changes")
+        .option("table", table)
+        .option("since", str(since))
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "max_versions_per_trigger", str(max_versions_per_trigger)
+        )
+    return reader.load()

@@ -765,6 +765,88 @@ def _timed_kmeans_train(spark, sf_dir: str, rounds: int = 3):
     return sec, rows, history
 
 
+def _timed_cdc_serve(spark, sf_dir: str, n_delta: int = 50) -> dict:
+    """VERDICT r10 #5: the O(delta) serving claim measured — a FIXED-size
+    delta (n_delta upserted docs) against a corpus at this scale, synced
+    two ways: full serving reload (the mart_load_job posture: read the
+    whole snapshot, restage the serving table) vs serve_changes_job
+    (change-feed read + CDC apply). Full reload must grow with the
+    corpus; the serve path must stay ~flat (delta-sized)."""
+    import time as _t
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+    )
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = tempfile.mkdtemp(prefix="csdp_cdc_") + "/t"
+    m.write_snapshot(docs, table)
+    pre = m.latest_version(table)
+    delta = (
+        docs.orderBy("doc_id")
+        .limit(n_delta)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [r11-delta]")))
+    )
+    m.merge_snapshot(delta, table, keys=["doc_id"])
+
+    con = duckdb.connect()
+    ddl = (
+        "(doc_id BIGINT PRIMARY KEY, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+
+    def merge_executor(sql):
+        con.execute(sql)
+
+    def stage_writer(df, staging):
+        con.register(f"{staging}_pdf", df.toPandas())
+        con.execute(
+            f"CREATE OR REPLACE TABLE {staging} AS SELECT * FROM {staging}_pdf"
+        )
+        con.unregister(f"{staging}_pdf")
+
+    # full-reload posture: restage the ENTIRE current snapshot
+    con.execute(f"CREATE TABLE serve_full {ddl}")
+    t0 = _t.perf_counter()
+    stage_writer(m.read_snapshot(spark, table), "serve_full_stage")
+    con.execute("DELETE FROM serve_full")
+    con.execute("INSERT INTO serve_full SELECT * FROM serve_full_stage")
+    con.execute("DROP TABLE serve_full_stage")
+    full_sec = _t.perf_counter() - t0
+
+    # CDC posture: seed at the pre-delta version, then apply the feed
+    con.execute(f"CREATE TABLE serve_cdc {ddl}")
+    stage_writer(m.read_snapshot(spark, table, version=pre), "seed")
+    con.execute("INSERT INTO serve_cdc SELECT * FROM seed")
+    con.execute("DROP TABLE seed")
+    t0 = _t.perf_counter()
+    serve_changes_job(
+        spark, table, "serve_cdc", ("doc_id",), since=pre,
+        merge_executor=merge_executor, stage_writer=stage_writer,
+    )
+    serve_sec = _t.perf_counter() - t0
+    parity = con.execute(
+        "SELECT count(*) FROM (SELECT * FROM serve_full EXCEPT "
+        "SELECT * FROM serve_cdc)"
+    ).fetchone()[0]
+    con.close()
+    release_caches()
+    import shutil as _sh
+
+    _sh.rmtree(os.path.dirname(table), ignore_errors=True)
+    return {
+        "full_sec": round(full_sec, 3),
+        "serve_sec": round(serve_sec, 3),
+        "delta_rows": n_delta,
+        "diverged_rows": int(parity),  # 0 = both postures agree exactly
+    }
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
@@ -850,6 +932,35 @@ def main() -> None:
     }
     print(f"# kmeans_train_r3: {base_sec:.2f}s -> {scaled_sec:.2f}s "
           f"(x{results['kmeans_train_r3']['ratio']})", file=sys.stderr)
+
+    # CDC serving loop: fixed delta, corpus x1 vs xN — serve must stay
+    # ~flat while full reload grows with the corpus (VERDICT r10 #5)
+    base_cdc = _timed_cdc_serve(spark, src)
+    scaled_cdc = _timed_cdc_serve(spark, scaled_dir)
+    results["cdc_serve"] = {
+        "full_base_sec": base_cdc["full_sec"],
+        "full_scaled_sec": scaled_cdc["full_sec"],
+        "full_ratio": round(
+            scaled_cdc["full_sec"] / max(base_cdc["full_sec"], 1e-9), 2
+        ),
+        "serve_base_sec": base_cdc["serve_sec"],
+        "serve_scaled_sec": scaled_cdc["serve_sec"],
+        "serve_ratio": round(
+            scaled_cdc["serve_sec"] / max(base_cdc["serve_sec"], 1e-9), 2
+        ),
+        "delta_rows": base_cdc["delta_rows"],
+        "diverged_rows": base_cdc["diverged_rows"]
+        + scaled_cdc["diverged_rows"],
+    }
+    print(
+        f"# cdc_serve: full {base_cdc['full_sec']:.2f}s -> "
+        f"{scaled_cdc['full_sec']:.2f}s "
+        f"(x{results['cdc_serve']['full_ratio']}); serve "
+        f"{base_cdc['serve_sec']:.2f}s -> {scaled_cdc['serve_sec']:.2f}s "
+        f"(x{results['cdc_serve']['serve_ratio']}) at fixed "
+        f"{base_cdc['delta_rows']}-row delta",
+        file=sys.stderr,
+    )
 
     # Persisted ANN index: split the one-time train/add cost from the
     # per-query search cost (the amortization FAISS deployments bank on —

@@ -234,8 +234,14 @@ def test_read_as_of_timestamp(spark, tmp_path):
         m.read_snapshot(spark, table, as_of_ts=t1 - 10)
     with pytest.raises(ValueError, match="not both"):
         m.read_snapshot(spark, table, version=1, as_of_ts=mid)
-    # datetime / ISO-string forms resolve identically
-    assert m.version_as_of(table, datetime.datetime.fromtimestamp(mid)) == 1
+    # datetime / ISO-string forms resolve identically; naive input is
+    # UTC (committed_at is a UTC epoch), so a UTC-rendered wall time
+    # resolves the same version on any host timezone (ADVICE r10)
+    utc = datetime.timezone.utc
+    aware = datetime.datetime.fromtimestamp(mid, tz=utc)
+    assert m.version_as_of(table, aware) == 1
+    assert m.version_as_of(table, aware.replace(tzinfo=None)) == 1
+    assert m.version_as_of(table, aware.replace(tzinfo=None).isoformat()) == 1
 
 
 # ----------------------------------------- timestamp predicate pruning
@@ -492,6 +498,36 @@ def test_serve_changes_job_durable_watermark(spark, tmp_path):
     assert got == [(0, 0), (1, 2), (2, 4), (10, 20), (11, 22)]
 
 
+def test_serve_changes_job_rejects_foreign_state_file(spark, tmp_path):
+    """A state file written for one table must not seed another table's
+    watermark — applying the wrong feed from it silently skips or
+    double-spans history (ADVICE r10)."""
+    import json
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+    )
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    m.write_snapshot(_df(spark, 0, 3), t1)
+    m.write_snapshot(_df(spark, 0, 3), t2)
+    state = str(tmp_path / "wm.json")
+    json.dump({"table": t1, "version": 1}, open(state, "w"))
+    with pytest.raises(ValueError, match="watermark for"):
+        serve_changes_job(
+            spark, t2, "serve", ("id",),
+            merge_executor=lambda sql: None,
+            stage_writer=lambda df, staging: None,
+            state_path=state,
+        )
+    # explicit since= bypasses the state file and stays usable
+    assert serve_changes_job(
+        spark, t2, "serve", ("id",), since=1,
+        merge_executor=lambda sql: None,
+        stage_writer=lambda df, staging: None,
+    ) == 1
+
+
 # ------------------------------------------------- DELETE FROM ... WHERE
 
 
@@ -563,3 +599,113 @@ def test_delete_from_snapshot_prunes_partitions(spark, tmp_path):
     assert state == set(
         (r.day, r.v) for r in m.read_snapshot(spark, table).collect()
     )
+
+
+# ------------------------------------------------- UPDATE ... SET ... WHERE
+
+
+def test_update_snapshot_unpartitioned(spark, tmp_path):
+    """UPDATE SET WHERE (VERDICT r10 #3): touched rows re-emit with the
+    set expressions applied (literal and Column forms, cast to existing
+    types), the feed reports delete(pre)+insert(post) under one version,
+    time travel keeps the pre-update state, and a no-match predicate
+    commits nothing."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 10), table)
+    v, n = m.update_snapshot(
+        spark, table, {"id": (3, 5)}, {"v": F.col("v") + 100}
+    )
+    assert (v, n) == (2, 3)
+    rows = {r.id: r.v for r in m.read_snapshot(spark, table).collect()}
+    assert rows == {i: i * 2 + (100 if 3 <= i <= 5 else 0) for i in range(10)}
+    assert _ids(m.read_snapshot(spark, table)) == list(range(10))
+    # time travel: pre-update state intact
+    old = {r.id: r.v for r in m.read_snapshot(spark, table, version=1).collect()}
+    assert old == {i: i * 2 for i in range(10)}
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v)
+    assert _feed_rows(feed) == [
+        ("delete", 2, 3, 6), ("delete", 2, 4, 8), ("delete", 2, 5, 10),
+        ("insert", 2, 3, 106), ("insert", 2, 4, 108), ("insert", 2, 5, 110),
+    ]
+    # literal set value is cast to the column's existing type
+    v2, n2 = m.update_snapshot(spark, table, {"id": 0}, {"v": 7.0})
+    assert n2 == 1
+    got = m.read_snapshot(spark, table).filter("id = 0").collect()[0]
+    assert got.v == 7 and isinstance(got.v, int)
+    # no-match: unchanged tip, no commit
+    assert m.update_snapshot(spark, table, {"id": 999}, {"v": 0}) == (v2, 0)
+    assert len(m.snapshots(table)) == 3
+    # schema guards
+    with pytest.raises(KeyError, match="set columns"):
+        m.update_snapshot(spark, table, {"id": 1}, {"nope": 1})
+    with pytest.raises(ValueError, match="at least one"):
+        m.update_snapshot(spark, table, {"id": 1}, {})
+
+
+def test_update_snapshot_prunes_partitions_and_replays(spark, tmp_path):
+    """Partitioned UPDATE: untouched partitions carry forward BY
+    REFERENCE (path identity), and the feed's deletes-then-inserts replay
+    from the pre-update snapshot arrives at the updated one."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("b", 4, 40), ("c", 5, 50)],
+        "day string, id long, v long",
+    )
+    m.write_snapshot(base, table, partition_by=["day"])
+    v, n = m.update_snapshot(spark, table, {"day": "b", "id": 4}, {"v": -1})
+    assert n == 1
+    rows = sorted((r.day, r.id, r.v) for r in m.read_snapshot(spark, table).collect())
+    assert rows == [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("b", 4, -1), ("c", 5, 50)]
+    before = {e["path"]: e for e in m._entries(m._read_manifest(table, 1))}
+    after = {e["path"] for e in m._entries(m._read_manifest(table, v))}
+    untouched = {
+        p for p, e in before.items() if e["partition"].get("day") != "b"
+    }
+    assert untouched <= after  # carried by reference
+    # replay contract: apply deletes by key then inserts -> final state
+    state = {
+        (r.day, r.id): r.v
+        for r in m.read_snapshot(spark, table, version=1).collect()
+    }
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v).collect()
+    for r in (x for x in feed if x._change_type == "delete"):
+        del state[(r.day, r.id)]
+    for r in (x for x in feed if x._change_type == "insert"):
+        state[(r.day, r.id)] = r.v
+    assert state == {
+        (r.day, r.id): r.v for r in m.read_snapshot(spark, table).collect()
+    }
+
+
+def test_update_snapshot_cdc_syncs_serving_table(spark, tmp_path):
+    """Composition: an UPDATE commit flows through serve_changes_job /
+    apply_changes_to_jdbc into a keyed DuckDB serving table — the net-out
+    turns delete(pre)+insert(post) into one upsert."""
+    import duckdb
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 5), table)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE serve (id BIGINT PRIMARY KEY, v BIGINT)")
+
+    def merge_executor(sql):
+        con.execute(sql)
+
+    def stage_writer(df, staging):
+        con.register(f"{staging}_pdf", df.toPandas())
+        con.execute(f"CREATE TABLE {staging} AS SELECT * FROM {staging}_pdf")
+        con.unregister(f"{staging}_pdf")
+
+    kw = dict(merge_executor=merge_executor, stage_writer=stage_writer)
+    wm = serve_changes_job(spark, table, "serve", ("id",), since=0, **kw)
+    m.update_snapshot(spark, table, {"id": (1, 2)}, {"v": F.col("v") * 10})
+    serve_changes_job(spark, table, "serve", ("id",), since=wm, **kw)
+    got = dict(con.execute("SELECT id, v FROM serve ORDER BY id").fetchall())
+    assert got == {0: 0, 1: 20, 2: 40, 3: 6, 4: 8}

@@ -1,0 +1,199 @@
+"""Streaming change-feed source (streaming/change_source.py) and the
+streaming serving loop (jobs/pipelines.serve_changes_stream_job): the
+snapshot change feed as a first-class Structured Streaming source."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_search_data_pipeline_spark.sinks import manifest as m
+from clinical_search_data_pipeline_spark.streaming.change_source import (
+    SnapshotChangeStreamReader,
+    read_change_stream,
+    _feed_schema,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _collect_stream(spark, table, tmp_path, since=0, name="ck"):
+    rows = []
+    q = (
+        read_change_stream(spark, table, since=since)
+        .writeStream.foreachBatch(lambda b, _: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("change stream did not finish")
+    return rows
+
+
+def _feed_tuples(rows):
+    return sorted(
+        (r._change_type, r._commit_version, r.id, r.v) for r in rows
+    )
+
+
+def test_stream_matches_batch_feed_across_commit_kinds(spark, tmp_path):
+    """Parity: the streamed rows equal snapshot_change_feed over the same
+    range across append, merge, DELETE, UPDATE, and compaction commits."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 5), table)                       # v1
+    m.write_snapshot(_df(spark, 10, 13), table, mode="append")      # v2
+    m.merge_snapshot(
+        spark.range(1, 3).selectExpr("id", "id * 100 AS v"), table,
+        keys=["id"],
+    )                                                               # v3
+    m.delete_from_snapshot(spark, table, {"id": 4})                 # v4
+    m.update_snapshot(spark, table, {"id": 0}, {"v": 999})          # v5
+    m.compact_snapshot(spark, table)                                # v6 noop
+    tip = m.latest_version(table)
+
+    batch = m.snapshot_change_feed(spark, table, since=0, until=tip)
+    streamed = _collect_stream(spark, table, tmp_path)
+    assert _feed_tuples(streamed) == _feed_tuples(batch.collect())
+    # and a mid-history start point agrees too
+    batch3 = m.snapshot_change_feed(spark, table, since=3, until=tip)
+    streamed3 = _collect_stream(spark, table, tmp_path, since=3, name="ck3")
+    assert _feed_tuples(streamed3) == _feed_tuples(batch3.collect())
+
+
+def test_stream_matches_batch_feed_partitioned_replace(spark, tmp_path):
+    """fileset commits (replace_partitions): pre-image deletes + staged
+    inserts stream with their hive partition column reconstructed."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)],
+        "day string, id long, v long",
+    )
+    m.write_snapshot(base, table, partition_by=["day"])
+    repl = spark.createDataFrame([("b", 4, 40)], "day string, id long, v long")
+    m.replace_partitions(repl, table, "day", values=["b"])
+    tip = m.latest_version(table)
+
+    batch = sorted(
+        (r._change_type, r._commit_version, r.day, r.id, r.v)
+        for r in m.snapshot_change_feed(spark, table, since=0, until=tip).collect()
+    )
+    rows = []
+    q = (
+        read_change_stream(spark, table)
+        .writeStream.foreachBatch(lambda b, _: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r._change_type, r._commit_version, r.day, r.id, r.v) for r in rows
+    )
+    assert got == batch
+
+
+def test_reader_offsets_rate_limit_and_empty_range(spark, tmp_path):
+    """Unit: latestOffset caps at max_versions_per_trigger commits past
+    the current offset (T8), an empty range yields only the no-op marker
+    partition, and read() of the marker yields nothing."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)                   # v1
+    for lo in (10, 20, 30):
+        m.write_snapshot(_df(spark, lo, lo + 1), table, mode="append")
+
+    schema = _feed_schema(table)
+    r = SnapshotChangeStreamReader(
+        schema, {"table": table, "since": "0", "max_versions_per_trigger": "2"}
+    )
+    assert r.initialOffset() == {"version": 0}
+    first = r.latestOffset()
+    assert first == {"version": 2}  # capped: 2 of 4 commits
+    r.commit(first)
+    r._since = 2
+    assert r.latestOffset() == {"version": 4}
+
+    unlimited = SnapshotChangeStreamReader(schema, {"table": table})
+    assert unlimited.latestOffset() == {"version": 4}
+    parts = unlimited.partitions({"version": 4}, {"version": 4})
+    assert len(parts) == 1 and parts[0].path == ""
+    assert list(unlimited.read(parts[0])) == []
+    # a table that does not exist yet: offset stays put instead of raising
+    ghost = SnapshotChangeStreamReader(
+        schema, {"table": str(tmp_path / "nope"), "since": "0"}
+    )
+    assert ghost.latestOffset() == {"version": 0}
+
+
+def _duck_serving(con, name):
+    con.execute(f"CREATE TABLE {name} (id BIGINT PRIMARY KEY, v BIGINT)")
+
+    def merge_executor(sql):
+        con.execute(sql)
+
+    def stage_writer(df, staging):
+        con.register(f"{staging}_pdf", df.toPandas())
+        con.execute(f"CREATE TABLE {staging} AS SELECT * FROM {staging}_pdf")
+        con.unregister(f"{staging}_pdf")
+
+    return dict(merge_executor=merge_executor, stage_writer=stage_writer)
+
+
+def test_streamed_serve_equals_batch_serve_and_resumes(spark, tmp_path):
+    """serve_changes_stream_job == serve_changes_job over the same range
+    (two DuckDB serving tables converge to identical content), and the
+    durable watermark resumes the stream past already-applied commits."""
+    import duckdb
+    import json
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        serve_changes_job,
+        serve_changes_stream_job,
+    )
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 5), table)
+    m.merge_snapshot(
+        spark.range(2, 4).selectExpr("id", "id * 100 AS v"), table,
+        keys=["id"],
+    )
+    m.delete_from_snapshot(spark, table, {"id": 0})
+
+    con = duckdb.connect()
+    kw_b = _duck_serving(con, "serve_batch")
+    kw_s = _duck_serving(con, "serve_stream")
+    state = str(tmp_path / "wm.json")
+
+    wm_b = serve_changes_job(spark, table, "serve_batch", ("id",), since=0, **kw_b)
+    wm_s = serve_changes_stream_job(
+        spark, table, "serve_stream", ("id",), state_path=state, **kw_s
+    )
+    assert wm_s == wm_b == m.latest_version(table)
+    assert json.load(open(state)) == {"table": table, "version": wm_s}
+    q = "SELECT id, v FROM {} ORDER BY id"
+    assert (
+        con.execute(q.format("serve_batch")).fetchall()
+        == con.execute(q.format("serve_stream")).fetchall()
+    )
+
+    # new commits land; the streamed job resumes from the state file and
+    # applies ONLY the delta
+    m.update_snapshot(spark, table, {"id": 1}, {"v": -1})
+    wm2 = serve_changes_stream_job(
+        spark, table, "serve_stream", ("id",), state_path=state, **kw_s
+    )
+    assert wm2 == m.latest_version(table) > wm_s
+    got = dict(con.execute(q.format("serve_stream")).fetchall())
+    assert got == {1: -1, 2: 200, 3: 300, 4: 8}
+    # foreign state file refused, same contract as the batch job
+    with pytest.raises(ValueError, match="watermark for"):
+        serve_changes_stream_job(
+            spark, str(tmp_path / "other"), "serve_stream", ("id",),
+            state_path=state, **kw_s
+        )

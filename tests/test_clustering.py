@@ -88,3 +88,55 @@ def test_kmeans_train_converges_and_stops(spark):
     from clinical_search_data_pipeline_spark.caching import release_caches
 
     assert release_caches() > 0  # the trainer's caches are engine-tracked
+
+
+def test_kmeans_parallel_seeds_deterministic_and_bounded(spark):
+    """k-means|| seeding: k centroids, pure function of the data (two
+    invocations bit-equal), and train(init='parallel') converges the same
+    way the IVF-seeded trainer does."""
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        kmeans_parallel_seeds,
+        kmeans_train,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        N_CENTROIDS,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    s1 = kmeans_parallel_seeds(emb).collect()
+    s2 = kmeans_parallel_seeds(emb).collect()
+    assert sorted((r.cell, r.cv) for r in s1) == sorted(
+        (r.cell, r.cv) for r in s2
+    )
+    assert len(s1) == N_CENTROIDS
+    assert sorted(r.cell for r in s1) == list(range(N_CENTROIDS))
+    for r in s1:
+        assert abs(r.cnorm - sum(x * x for x in r.cv) ** 0.5) < 1e-9
+
+    assigned, history = kmeans_train(emb, rounds=8, init="parallel")
+    # Lloyd under deterministic tie-breaks can settle into a 2-cycle on a
+    # symmetric fixture; converged-or-oscillating-at-the-margin is the
+    # honest stop condition (tol exists for production use)
+    assert history[-1] <= 1
+    n = emb.count()
+    assert assigned.count() == n
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(N_CENTROIDS))
+
+
+def test_kmeans_train_tol_stops_early(spark):
+    """tol: the loop stops as soon as the moved fraction falls to or
+    below it — tol=1.0 stops after the first round by definition."""
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    _, h_all = kmeans_train(emb, rounds=8)
+    _, h_tol = kmeans_train(emb, rounds=8, tol=1.0)
+    assert len(h_tol) == 1
+    assert h_tol[0] == h_all[0]  # same first round, then the tol stop

@@ -925,12 +925,15 @@ def test_incremental_refresh_verdicts_equal_full_rebuild(spark, tmp_path):
     assert v_inc[copy_id][7] is False  # dup of ADMITTED doc flagged
     assert s_inc["refresh_mode"] == "incremental"
     assert s_inc["index_refreshes"] >= 1
-    # the standing corpus evolved by APPEND commits (O(increment) publish),
-    # never a merge rewrite
+    # with NO gate_index_root there is no durable pin to anchor a replay
+    # against, so the fold is a doc_id-keyed merge_snapshot — idempotent
+    # under a watermark-reset restart (ADVICE r11). merge publishes
+    # overwrite commits; the O(increment) pinned-base APPEND discipline
+    # lives on the durable-artifact path and is pinned in
+    # test_incremental_refresh_publishes_appendy_artifacts.
     modes = [c["mode"] for c in m.snapshots(f"{lake_inc}_corpus")]
-    assert modes[0] == "overwrite" and all(
-        mode == "append" for mode in modes[1:]
-    )
+    assert all(mode == "overwrite" for mode in modes)
+    assert len(modes) >= 2  # seed + at least one refresh fold
     # and the incremental corpus content equals the full-rebuild semantics:
     # original corpus + every admitted doc exactly once
     corpus = m.read_snapshot(spark, f"{lake_inc}_corpus")
@@ -996,8 +999,16 @@ def test_incremental_refresh_publishes_appendy_artifacts(spark, tmp_path):
         for r in m.read_snapshot(spark, f"{root}/meta").collect()
     }
     assert pins["prefix_dfreq"] == 1 and pins["gram_index"] == 2
-    # the ten index relations + the lake watermark sentinel
-    assert set(pins) == set(GATE_INDEX_TABLES) | {"__corpus_lake_version__"}
+    # the ten index relations + the lake watermark + the corpus pin
+    assert set(pins) == set(GATE_INDEX_TABLES) | {
+        "__corpus_lake_version__", "__corpus_table_version__"
+    }
+    # the durable path folds the corpus by PINNED-BASE APPENDS (O(increment)
+    # publish, replay-safe): seed overwrite then append commits only, and
+    # the meta pin names the corpus tip those artifacts reflect
+    corpus_log = m.snapshots(f"{str(tmp_path / 'lake1')}_corpus")
+    assert [c["mode"] for c in corpus_log] == ["overwrite", "append"]
+    assert pins["__corpus_table_version__"] == corpus_log[-1]["version"]
 
     # Run 2: fresh job, artifacts read back (no rebuild) — the duplicate
     # of run 1's admitted doc must now be flagged by the persisted index.
@@ -1090,4 +1101,84 @@ def test_incremental_refresh_restart_resumes_from_watermark(spark, tmp_path):
     assert gate_index_lake_version(spark, root) == wm1
     # and doc_a appears exactly once in the standing corpus
     corpus = m.read_snapshot(spark, f"{lake}_corpus")
+    assert corpus.filter(F.col("doc_id") == a_id).count() == 1
+
+
+def test_incremental_refresh_replayed_fold_does_not_duplicate(spark, tmp_path):
+    """ADVICE r10 (medium): a crash between the corpus fold and the
+    watermark pin replays the feed range on restart. The fold appends
+    against the META-PINNED corpus version, so the crashed append's rows
+    are orphaned and the replay lands each document exactly once — no
+    duplicate doc_ids biasing the rebuilt dsir/NB models."""
+    import os
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        gate_index_corpus_version,
+        ingest_admission_job,
+    )
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    out0 = str(tmp_path / "discover")
+    ingest_admission_job(spark, SF_SMOKE, out0)
+    adm = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out0).filter("admitted").collect()
+    )
+    a_id, b_id = adm[0], adm[1]
+    docs = read_table(spark, SF_SMOKE, "documents")
+    doc_a = docs.filter(F.col("doc_id") == a_id)
+    doc_b = docs.filter(F.col("doc_id") == b_id)
+
+    def stage_one(name, df):
+        flat = str(tmp_path / name)
+        os.makedirs(flat)
+        src_dir = str(tmp_path / f"{name}_src")
+        df.coalesce(1).write.parquet(src_dir)
+        src = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        os.link(os.path.join(src_dir, src), os.path.join(flat, "b0.parquet"))
+        return flat
+
+    root = str(tmp_path / "gidx")
+    lake = str(tmp_path / "lake")
+    ingest_admission_job(
+        spark, SF_SMOKE, str(tmp_path / "out1"),
+        snapshot_table=lake, refresh_every=1,
+        staging_dir=stage_one("flat1", doc_a),
+        gate_index_root=root, incremental_refresh=True,
+    )
+    corpus_table = f"{lake}_corpus"
+    pinned = gate_index_corpus_version(spark, root)
+    assert pinned == m.latest_version(corpus_table)
+
+    # Simulate the crashed refresh: doc_b's admission landed on the lake
+    # and its increment was appended to the corpus, but the job died
+    # before the meta pin — watermark AND corpus pin still pre-crash.
+    lake_schema = m.read_snapshot(spark, lake).schema
+    m.write_snapshot(
+        doc_b.select(*(f.name for f in lake_schema.fields)),
+        lake, mode="append",
+    )
+    m.write_snapshot(
+        doc_b.select(*(f.name for f in lake_schema.fields)),
+        corpus_table, mode="append", base_version=pinned,
+    )
+    crashed_v = m.latest_version(corpus_table)
+    assert gate_index_corpus_version(spark, root) == pinned  # pin not moved
+
+    # Restart: the replayed feed range re-folds doc_b; the pinned-base
+    # append orphans the crashed version instead of stacking on it.
+    doc_copy = doc_a.withColumn(
+        "doc_id", (F.col("doc_id") + 1_000_000).cast("long")
+    ).select(*docs.columns)
+    ingest_admission_job(
+        spark, SF_SMOKE, str(tmp_path / "out2"),
+        snapshot_table=lake, refresh_every=1,
+        staging_dir=stage_one("flat2", doc_copy),
+        gate_index_root=root, incremental_refresh=True,
+    )
+    new_pin = gate_index_corpus_version(spark, root)
+    assert new_pin is not None and new_pin > crashed_v
+    corpus = m.read_snapshot(spark, corpus_table, version=new_pin)
+    assert corpus.filter(F.col("doc_id") == b_id).count() == 1
     assert corpus.filter(F.col("doc_id") == a_id).count() == 1

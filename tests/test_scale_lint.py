@@ -79,7 +79,22 @@ SMJ_NO_BROADCAST_OK = {
     "q_doc_dedup_apply",
     "q_image_dedup_apply",
     "q_kmeans_refine",
+    # r11 de-hint (VERDICT r10 #1): the SemDeDup dropped set is 20-50 %
+    # of the corpus at production dup rates, so its flag-back join is a
+    # DESIGNED keyed shuffle — pre-AQE planning shows SMJ; at fixture
+    # scale AQE converts it to a broadcast at runtime on its own
+    "q_semdedup",
+    "q_semdedup_refined",
 }
+
+# The broadcast-hint finding class (VERDICT r10 #8) needs NO allowlist:
+# after the r11 de-hint sweep (the seven corpus-proportional hints the
+# verdict flagged, plus event_transitions/length_outliers/normalize_text
+# found by the lint itself), every remaining registered hint is on a
+# side the lint can PROVE bounded — literal id windows, per-group top-k
+# filters, scalar aggregates, or hash-bucket domains (pmod/%/shiftright).
+# A new unprovable hint fails the sweep by name and should be de-hinted,
+# not allowlisted.
 
 
 def test_registered_queries_lint_clean_or_allowlisted(spark):
@@ -152,3 +167,42 @@ def test_streaming_queries_lint_clean_or_allowlisted(spark):
             bad.append((name, f))
     assert swept >= 17, f"streaming sweep saw only {swept} queries"
     assert not bad, bad
+
+
+def test_unbounded_broadcast_hint_flagged(spark):
+    """VERDICT r10 #8: a broadcast() HINT whose build side derives from a
+    full fact-table scan with no scalar-agg/limit bound is flagged (the
+    r10 incremental_dedup pattern — hinting the entire standing-corpus id
+    set); dim scans, scalar totals, and literal relations stay silent."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    nation = read_table(spark, SF_SMOKE, "nation")
+
+    # regression fixture: curation.py:659's shape before the fix
+    corpus_ids = docs.select(F.col("doc_id").alias("d2")).withColumn(
+        "_c", F.lit(1)
+    )
+    bad = docs.join(F.broadcast(corpus_ids), F.col("doc_id") == F.col("d2"), "left")
+    assert any("broadcast() hint" in f for f in scale_lint(bad))
+
+    # grouped aggregate does NOT bound (vocabulary-sized build side)
+    vocab = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    bad2 = docs.join(F.broadcast(vocab), "lang")
+    assert any("broadcast() hint" in f for f in scale_lint(bad2))
+
+    # silent: TPC-H dim broadcast (the designed plan)
+    ok_dim = docs.join(
+        F.broadcast(nation), docs.doc_id % 25 == nation.n_nationkey
+    )
+    assert not any("broadcast() hint" in f for f in scale_lint(ok_dim))
+
+    # silent: 1-row scalar total
+    total = docs.agg(F.count("*").alias("n"))
+    ok_total = docs.crossJoin(F.broadcast(total))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok_total))
+
+    # silent: explicit limit bound
+    topk = docs.orderBy("doc_id").limit(10).select(
+        F.col("doc_id").alias("d2")
+    )
+    ok_topk = docs.join(F.broadcast(topk), F.col("doc_id") == F.col("d2"))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok_topk))
