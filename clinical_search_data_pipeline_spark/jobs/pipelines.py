@@ -354,13 +354,20 @@ def serve_changes_stream_job(
     progress = {"wm": since}
 
     def apply(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        apply_changes_to_jdbc(
-            batch_df, serving_table, list(keys), cfg, merge_executor,
-            stage_writer=stage_writer,
-        )
-        tip = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        # pin the micro-batch ONCE: the empty-check, the apply's staged
+        # writes, and the watermark max are three actions, and each would
+        # otherwise re-read every change file through the source
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            apply_changes_to_jdbc(
+                batch_df, serving_table, list(keys), cfg, merge_executor,
+                stage_writer=stage_writer,
+            )
+            tip = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        finally:
+            batch_df.unpersist()
         progress["wm"] = max(progress["wm"], int(tip))
         if state_path is not None:
             _write_serving_watermark(state_path, table_path, progress["wm"])
@@ -533,13 +540,29 @@ def write_gate_indexes(idx: Mapping[str, object], root: str) -> dict[str, int]:
     return versions
 
 
-def read_gate_indexes(spark: SparkSession, root: str) -> dict[str, object]:
+def gate_meta_versions(spark: SparkSession, root: str) -> dict[str, int]:
+    """The meta pin's {table: version} map, resolved at ONE pinned meta
+    commit (version lookup + pinned read — never two unpinned reads that
+    could straddle a concurrent refresh)."""
+    meta_v = manifest_sink.latest_version(f"{root}/{_GATE_META}")
+    pins = manifest_sink.read_snapshot(
+        spark, f"{root}/{_GATE_META}", version=meta_v
+    )
+    return {r.table: r.version for r in pins.collect()}
+
+
+def read_gate_indexes(
+    spark: SparkSession, root: str, versions: dict[str, int] | None = None
+) -> dict[str, object]:
     """Resolve the committed gate indexes through the meta pin; each
-    relation is engine-cached (the job probes them per micro-batch)."""
+    relation is engine-cached (the job probes them per micro-batch).
+    Pass `versions` (a `gate_meta_versions` result) when the caller also
+    needs the watermark pins — resolving once keeps indexes and
+    watermarks on the SAME commit."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
-    pins = manifest_sink.read_snapshot(spark, f"{root}/{_GATE_META}")
-    versions = {r.table: r.version for r in pins.collect()}
+    if versions is None:
+        versions = gate_meta_versions(spark, root)
     flat = {
         name: engine_cache(
             manifest_sink.read_snapshot(
@@ -1012,13 +1035,20 @@ def ingest_admission_job(
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < split)
 
+    meta_pins: dict[str, int] | None = None
     if gate_index_root is not None and gate_indexes_published(gate_index_root):
-        first_idx = read_gate_indexes(spark, gate_index_root)
+        # resolve the meta pin ONCE and derive indexes, lake watermark,
+        # AND corpus pin from that single commit — three unpinned reads
+        # could straddle a concurrent refresh and pair an old watermark
+        # with a new corpus base (the publish_gate_index_increment race,
+        # one level up)
+        meta_pins = gate_meta_versions(spark, gate_index_root)
+        first_idx = read_gate_indexes(spark, gate_index_root, versions=meta_pins)
         gate_index_source = "read"
         # resume from the artifacts' recorded lake cut-point: a restarted
         # incremental job must NOT re-fold admissions already in them
         lake_watermark = (
-            gate_index_lake_version(spark, gate_index_root)
+            int(meta_pins.get(_LAKE_WATERMARK, 0))
             if incremental_refresh
             else 0
         )
@@ -1042,10 +1072,12 @@ def ingest_admission_job(
         # never landed is thereby orphaned on replay, not duplicated —
         # ADVICE r11), else the freshly seeded/current tip
         pinned_corpus = (
-            gate_index_corpus_version(spark, gate_index_root)
-            if incremental_refresh
-            and gate_index_root is not None
-            and gate_index_source == "read"
+            (
+                int(meta_pins[_CORPUS_PIN])
+                if _CORPUS_PIN in meta_pins
+                else None
+            )
+            if incremental_refresh and meta_pins is not None
             else None
         )
         state["corpus_version"] = (

@@ -289,6 +289,15 @@ def kmeans_parallel_seeds(
         remaining.remove(nxt)
         for c in remaining:
             mind[c[0]] = min(mind[c[0]], _cos_cost(c, nxt))
+    if len(chosen) < k:
+        # a duplicate-heavy corpus can exhaust distinct candidates before
+        # k: fail loudly — downstream IVF cell assumptions (N_CENTROIDS
+        # cells) would break silently on a short centroid relation
+        raise ValueError(
+            f"k-means|| sampled only {len(chosen)} distinct candidates "
+            f"(< k={k}); the corpus has too few distinct vectors — lower "
+            "k or raise oversample/seed_rounds"
+        )
     spark = emb.sparkSession
     rows = [
         (cell, c[1], float(c[2])) for cell, c in enumerate(chosen)

@@ -56,10 +56,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # age 4 at r11, so the staleness guard makes their slots MANDATORY — and
 # the 50-name r8 cohort is at age 3 (refresh now or they're mandatory at
 # r12). The window is the 13 mandatory names plus 37 of the r8 cohort,
-# chosen to include every query whose plan changes this round (the
-# broadcast-hint removals: q_dbscan_clusters, q_semdedup_refined here;
-# q_curation_funnel / q_semdedup / q_unigram_nll already hold mandatory or
-# r10 rows). The 13 leftover r8 names are deferred to r12 under the
+# chosen to include the r8-cohort queries whose plans change this round
+# (the broadcast-hint removals q_dbscan_clusters, q_semdedup_refined).
+# The OTHER plan-changed queries (q_curation_funnel / q_semdedup /
+# q_unigram_nll with r10 rows; q_incremental_dedup / q_bigram_nll /
+# q_event_transitions / q_length_outliers / q_normalize_text with r9/r10
+# rows, age <= 2 — not near the staleness bound) keep their slots for the
+# cohorts that NEED them; their changed plans are re-proven this round by
+# the local full-contract verify (ALL MATCH) and the judge's own rerun.
+# The 13 leftover r8 names are deferred to r12 under the
 # in-window exemption (ROUND_BACKLOG below, DEFERRED_IN = 11; the
 # backlog-neglect test hard-fails r12 if it forgets). No new query
 # registrations this round — the slot budget is spent on rotation; the

@@ -879,12 +879,20 @@ def update_snapshot(
         if n_upd == 0:
             return base, 0  # stats were conservative; nothing to rewrite
 
+        # ALL set expressions evaluate against the PRE-IMAGE row (SQL
+        # UPDATE semantics): one select, never sequential withColumns —
+        # {'a': col('b'), 'b': col('a')} must swap, not cascade, and the
+        # result must not depend on dict order
         types = {f.name: f.dataType for f in schema.fields}
-        updated = matched
-        for col, val in set.items():
-            expr = val if isinstance(val, Column) else F.lit(val)
-            updated = updated.withColumn(col, expr.cast(types[col]))
-        updated = updated.select(*schema.fieldNames())
+        exprs = []
+        for name in schema.fieldNames():
+            if name in set:
+                val = set[name]
+                expr = val if isinstance(val, Column) else F.lit(val)
+                exprs.append(expr.cast(types[name]).alias(name))
+            else:
+                exprs.append(F.col(name))
+        updated = matched.select(*exprs)
 
         stage = f"stage-{uuid.uuid4().hex}"
         stage_dir = os.path.join(table, _FILES_DIR, stage)
@@ -1369,10 +1377,7 @@ def snapshot_change_feed(
     instead of under-reporting. A downstream consumer maintains state with
     O(delta) work per sync: apply deletes by key, then inserts."""
     if until is None:
-        versions = _versions(table)
-        if not versions:
-            raise FileNotFoundError(f"no committed snapshots at {table}")
-        until = versions[-1]
+        until = latest_version(table)
     chain = lineage_chain(table, since, until)
     pieces: list[DataFrame] = []
     for v in reversed(chain):

@@ -72,7 +72,9 @@ def _partitions_for_range(
     table: str, since: int, until: int
 ) -> list[_ChangeFilePartition]:
     """Driver-side: map the lineage chain of (since, until] to per-file
-    partitions — the same commit-kind dispatch as the batch feed."""
+    partitions — the same commit-kind dispatch as the batch feed. An
+    empty or inverted range (a rate-limited restart's first trigger can
+    plan end < checkpointed start) yields no partitions."""
     from clinical_search_data_pipeline_spark.sinks import manifest as m
 
     out: list[_ChangeFilePartition] = []
@@ -186,6 +188,13 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         return {"version": max(tip, self._since)}
 
     def partitions(self, start: dict, end: dict):
+        # A restarted query replays its CHECKPOINTED start, which a fresh
+        # reader's rate-limit floor (`since` option) knows nothing about:
+        # ratchet the floor up to every start Spark hands us, so the
+        # capped latestOffset can never lag the checkpoint for more than
+        # one (empty) trigger, and an end below the start degrades to the
+        # no-op marker batch instead of an error.
+        self._since = max(self._since, int(start["version"]))
         parts = _partitions_for_range(
             self._table, int(start["version"]), int(end["version"])
         )

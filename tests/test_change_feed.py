@@ -644,6 +644,27 @@ def test_update_snapshot_unpartitioned(spark, tmp_path):
         m.update_snapshot(spark, table, {"id": 1}, {})
 
 
+def test_update_snapshot_set_reads_pre_image(spark):
+    """SQL UPDATE semantics: every SET expression evaluates against the
+    row's PRE-image — {'a': col('b'), 'b': col('a')} swaps, in either
+    dict order (code-review r11)."""
+    from pyspark.sql import functions as F
+
+    import tempfile
+
+    for order in (("a", "b"), ("b", "a")):
+        table = tempfile.mkdtemp(prefix="upd_swap_") + "/t"
+        m.write_snapshot(
+            spark.createDataFrame([(1, 10, 20)], "id long, a long, b long"),
+            table,
+        )
+        st = {order[0]: F.col(order[1]), order[1]: F.col(order[0])}
+        _, n = m.update_snapshot(spark, table, {"id": 1}, st)
+        assert n == 1
+        row = m.read_snapshot(spark, table).collect()[0]
+        assert (row.a, row.b) == (20, 10), order
+
+
 def test_update_snapshot_prunes_partitions_and_replays(spark, tmp_path):
     """Partitioned UPDATE: untouched partitions carry forward BY
     REFERENCE (path identity), and the feed's deletes-then-inserts replay
