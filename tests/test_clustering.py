@@ -140,3 +140,17 @@ def test_kmeans_train_tol_stops_early(spark):
     _, h_tol = kmeans_train(emb, rounds=8, tol=1.0)
     assert len(h_tol) == 1
     assert h_tol[0] == h_all[0]  # same first round, then the tol stop
+
+
+def test_refined_cells_never_hurt_ivf_recall(spark):
+    """The ANN_RECALL.md refined-cell rows, pinned at smoke scale:
+    nprobe=1 recall under Lloyd-converged cells is >= the seed-cell
+    recall (at larger SFs it is strictly higher — +1500 bp at sf0.1)."""
+    import ann_recall_report as arr
+
+    from tests.conftest import SF_SMOKE
+
+    seed = arr._ivf_hits(spark, SF_SMOKE, None)
+    refined = dict(arr._refined_variants())
+    converged = arr._ivf_hits(spark, SF_SMOKE, refined["ivf_p1_converged"])
+    assert converged >= seed
