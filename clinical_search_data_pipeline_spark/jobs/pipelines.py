@@ -378,6 +378,76 @@ def serve_changes_stream_job(
     return progress["wm"]
 
 
+def replicate_snapshot_job(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    keys: tuple[str, ...],
+    since: int | None = None,
+    state_path: str | None = None,
+    streaming: bool = False,
+    max_versions_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> int:
+    """Lake-to-lake CDC replication: fold `src_table`'s change feed past
+    the replica's last-synced version into `dst_table`
+    (`manifest.apply_changes_to_snapshot`) — cross-region replicas and
+    derived lake tables maintained with an O(delta) feed read instead of
+    full-snapshot copies. The first sync against an empty replica
+    bootstraps it from the full feed. The durable watermark (`state_path`,
+    same format/validation as the serving jobs, keyed by the SOURCE
+    table) resumes a restarted replicator; the at-least-once replay a
+    crash causes converges because the lake apply is replay-idempotent.
+
+    `streaming=True` drives the apply per micro-batch through the change
+    stream source (availableNow by default) — the replica advances commit
+    ranges as the source commits, with `max_versions_per_trigger` bounding
+    catch-up batches. Returns the synced source version."""
+    from clinical_search_data_pipeline_spark.streaming.change_source import (
+        read_change_stream,
+    )
+
+    since = _resolve_serving_watermark(src_table, since, state_path)
+    if since is None:
+        raise ValueError("replicate_snapshot_job needs since= or state_path=")
+    if not streaming:
+        tip = manifest_sink.latest_version(src_table)
+        if tip != since:
+            changes = manifest_sink.snapshot_change_feed(
+                spark, src_table, since=since, until=tip
+            )
+            manifest_sink.apply_changes_to_snapshot(
+                changes, dst_table, list(keys)
+            )
+        if state_path is not None:
+            _write_serving_watermark(state_path, src_table, tip)
+        return tip
+
+    stream = read_change_stream(
+        spark, src_table, since=since,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    progress = {"wm": since}
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            manifest_sink.apply_changes_to_snapshot(
+                batch_df, dst_table, list(keys)
+            )
+            tip = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        finally:
+            batch_df.unpersist()
+        progress["wm"] = max(progress["wm"], int(tip))
+        if state_path is not None:
+            _write_serving_watermark(state_path, src_table, progress["wm"])
+
+    run_foreach_batch(stream, apply, timeout_sec=timeout_sec)
+    return progress["wm"]
+
+
 def hot_marts_realtime_job(
     spark: SparkSession,
     silver_path: str,

@@ -110,8 +110,9 @@ def apply_changes_to_jdbc(
 
     `stage_writer(df, staging_table)` defaults to the distributed JDBC
     overwrite (`cfg` required); tests inject a DuckDB writer."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.sinks.manifest import net_changes
 
     if stage_writer is None:
         if cfg is None:
@@ -122,14 +123,7 @@ def apply_changes_to_jdbc(
         for c in changes.columns
         if c not in ("_change_type", "_commit_version")
     ]
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("_commit_version").desc(), F.col("_change_type").desc()
-    )
-    net = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    net = net_changes(changes, list(keys))
     deletes = net.filter(F.col("_change_type") == "delete").select(*keys)
     inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
     stage_del = f"{table}{staging_suffix}_del"

@@ -1156,6 +1156,119 @@ def read_snapshot(
     return df
 
 
+def net_changes(changes: DataFrame, keys) -> DataFrame:
+    """Latest-commit-wins net-out of a change-feed frame: at most one row
+    per key survives (within one commit the insert post-image beats its
+    own delete pre-image), so any consumer applies a multi-commit range
+    as one keyed pass. Shared by the JDBC CDC apply and the lake replica
+    apply."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), F.col("_change_type").desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes_to_snapshot(
+    changes: DataFrame,
+    table: str,
+    keys: list[str] | tuple[str, ...],
+    max_conflict_retries: int = 5,
+) -> int:
+    """Lake-side CDC apply: fold a `snapshot_change_feed` frame into
+    ANOTHER snapshot table — cross-lake replication and derived-table
+    maintenance, the third feed consumer next to the JDBC serving apply.
+    Per-key changes net out latest-commit-wins (`net_changes`), net
+    deletes anti-join the current replica, net inserts fold in, and the
+    result publishes as ONE atomic commit carrying its OWN row-level
+    change files — a replica's feed is itself consumable, so replication
+    chains compose.
+
+    Replay-idempotent: the same range applied twice converges to the same
+    content (the anti-join + union is keyed). Bootstrap: applying a feed
+    from version 0 into an empty table materializes the source. An empty
+    net delta commits nothing. Lost-update safe via the optimistic
+    expected_parent loop (concurrent replica writers re-run against the
+    new tip). Cost: the feed read is O(delta); the publish rewrites the
+    replica (merge_snapshot's posture — partition the replica so a
+    production apply prunes to affected partitions).
+
+    Returns the replica's new (or unchanged) tip version."""
+    spark = changes.sparkSession
+    keys = list(keys)
+    net = net_changes(changes, keys)
+    data_cols = [
+        c for c in changes.columns
+        if c not in ("_change_type", "_commit_version")
+    ]
+    deletes_keys = net.select(*keys).distinct()
+    inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
+    last_exc: Exception | None = None
+    for _ in range(max_conflict_retries):
+        versions = _versions(table)
+        if not versions:
+            if inserts.limit(1).count() == 0:
+                raise FileNotFoundError(
+                    f"no committed snapshots at {table} and the feed "
+                    "range nets to zero inserts — nothing to bootstrap"
+                )
+            try:
+                return write_snapshot(
+                    inserts, table, mode="overwrite", expected_parent=None
+                )
+            except SnapshotConflict as exc:
+                last_exc = exc
+                continue
+        if net.limit(1).count() == 0:
+            return versions[-1]
+        base = versions[-1]
+        man = _read_manifest(table, base)
+        pb = man.get("partition_by", [])
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if [f.name for f in schema.fields] != data_cols:
+            raise ValueError(
+                f"feed columns {data_cols} do not match the replica "
+                f"schema at {table}: {[f.name for f in schema.fields]}"
+            )
+        current = read_snapshot(spark, table, version=base)
+        kept = current.join(deletes_keys, keys, "left_anti")
+        merged = kept.unionByName(inserts)
+        # the replica's own change record: its matched pre-images as
+        # deletes + the net inserts — O(delta + matched), like merge
+        matched = current.join(deletes_keys, keys, "left_semi")
+        out_changes = matched.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(inserts.withColumn("_change_type", F.lit("insert")))
+        cdf_stage = f"cdf-{uuid.uuid4().hex}"
+        out_changes.write.mode("error").parquet(
+            os.path.join(table, _FILES_DIR, cdf_stage)
+        )
+        try:
+            return write_snapshot(
+                merged,
+                table,
+                mode="overwrite",
+                partition_by=pb,
+                expected_parent=base,
+                cdf={"kind": "rows", "dir": cdf_stage},
+            )
+        except SnapshotConflict as exc:
+            shutil.rmtree(
+                os.path.join(table, _FILES_DIR, cdf_stage),
+                ignore_errors=True,
+            )
+            last_exc = exc
+    raise RuntimeError(
+        f"replica apply lost {max_conflict_retries} concurrent commits "
+        f"on {table}"
+    ) from last_exc
+
+
 def compact_snapshot(
     spark: SparkSession,
     table: str,

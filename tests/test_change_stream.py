@@ -197,3 +197,117 @@ def test_streamed_serve_equals_batch_serve_and_resumes(spark, tmp_path):
             spark, str(tmp_path / "other"), "serve_stream", ("id",),
             state_path=state, **kw_s
         )
+
+
+def test_stream_null_fills_pre_evolution_files(spark, tmp_path):
+    """A stream whose range spans an allow_new_columns append reads the
+    pre-evolution files under the WIDENED schema (worker-side pyarrow
+    null-fill), matching the batch feed exactly."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(
+        spark.createDataFrame([(10, 20, 0.5)], "id long, v long, score double"),
+        table, mode="append", allow_new_columns=True,
+    )
+    batch = sorted(
+        (r._change_type, r.id, r.v, r.score)
+        for r in m.snapshot_change_feed(spark, table, since=0).collect()
+    )
+    streamed = sorted(
+        (r._change_type, r.id, r.v, r.score)
+        for r in _collect_stream(spark, table, tmp_path)
+    )
+    assert streamed == batch
+    assert ("insert", 0, 0, None) in streamed
+    assert ("insert", 10, 20, 0.5) in streamed
+
+
+# ------------------------------------------- lake-to-lake CDC replication
+
+
+def _snap_rows(spark, table):
+    return sorted((r.id, r.v) for r in m.read_snapshot(spark, table).collect())
+
+
+def test_replica_converges_across_commit_kinds(spark, tmp_path):
+    """apply_changes_to_snapshot / replicate_snapshot_job: a replica
+    bootstrapped and maintained from the source's change feed equals the
+    source snapshot across append/merge/DELETE/UPDATE commits, the
+    replay of an already-applied range converges, and the REPLICA's own
+    feed is consumable (replication chains compose)."""
+    import json
+
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        replicate_snapshot_job,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "wm.json")
+    m.write_snapshot(_df(spark, 0, 5), src)
+    m.write_snapshot(_df(spark, 10, 12), src, mode="append")
+
+    wm = replicate_snapshot_job(spark, src, dst, ("id",), state_path=state)
+    assert wm == m.latest_version(src)
+    assert _snap_rows(spark, dst) == _snap_rows(spark, src)
+    assert json.load(open(state)) == {"table": src, "version": wm}
+
+    # source evolves by every rewriting commit kind; replica follows
+    m.merge_snapshot(
+        spark.range(1, 3).selectExpr("id", "id * 100 AS v"), src, keys=["id"]
+    )
+    m.delete_from_snapshot(spark, src, {"id": 4})
+    m.update_snapshot(spark, src, {"id": 0}, {"v": 999})
+    wm2 = replicate_snapshot_job(spark, src, dst, ("id",), state_path=state)
+    assert wm2 == m.latest_version(src) > wm
+    assert _snap_rows(spark, dst) == _snap_rows(spark, src)
+
+    # replaying the SAME range converges (at-least-once safety)
+    changes = m.snapshot_change_feed(spark, src, since=wm, until=wm2)
+    m.apply_changes_to_snapshot(changes, dst, ["id"])
+    assert _snap_rows(spark, dst) == _snap_rows(spark, src)
+
+    # an empty net range commits nothing
+    tip = m.latest_version(dst)
+    empty = m.snapshot_change_feed(spark, src, since=wm2, until=wm2)
+    assert m.apply_changes_to_snapshot(empty, dst, ["id"]) == tip
+    assert m.latest_version(dst) == tip
+
+    # replication chains: a second-hop replica fed from the REPLICA's feed
+    dst2 = str(tmp_path / "dst2")
+    m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, dst, since=0), dst2, ["id"]
+    )
+    assert _snap_rows(spark, dst2) == _snap_rows(spark, src)
+
+
+def test_streamed_replication_equals_batch(spark, tmp_path):
+    """replicate_snapshot_job(streaming=True): the change-stream-driven
+    replica equals the batch-fed one over the same history and resumes
+    from the durable watermark."""
+    from clinical_search_data_pipeline_spark.jobs.pipelines import (
+        replicate_snapshot_job,
+    )
+
+    src = str(tmp_path / "src")
+    m.write_snapshot(_df(spark, 0, 4), src)
+    m.merge_snapshot(
+        spark.range(1, 2).selectExpr("id", "id * 100 AS v"), src, keys=["id"]
+    )
+    m.delete_from_snapshot(spark, src, {"id": 3})
+
+    d_batch, d_stream = str(tmp_path / "db"), str(tmp_path / "ds")
+    state = str(tmp_path / "wm_stream.json")
+    replicate_snapshot_job(spark, src, d_batch, ("id",), since=0)
+    wm = replicate_snapshot_job(
+        spark, src, d_stream, ("id",), state_path=state, streaming=True
+    )
+    assert wm == m.latest_version(src)
+    assert _snap_rows(spark, d_stream) == _snap_rows(spark, d_batch)
+
+    m.update_snapshot(spark, src, {"id": 2}, {"v": -5})
+    wm2 = replicate_snapshot_job(
+        spark, src, d_stream, ("id",), state_path=state, streaming=True
+    )
+    assert wm2 == m.latest_version(src) > wm
+    assert _snap_rows(spark, d_stream) == _snap_rows(spark, src)
