@@ -54,10 +54,12 @@ without importing a lakehouse:
   overwrites still refuse. Feed horizon = vacuum retention;
 * ``read_snapshot(as_of_ts=...)`` resolves a version by commit wall-clock
   (``committed_at`` recorded per manifest) — Delta's timestampAsOf;
-* ``write_snapshot(mode="append", allow_new_columns=True)`` opts into
-  widen-only schema evolution: new nullable columns null-fill the parent
-  files at read time, the manifest records the schema per version, and
-  time travel to a pre-evolution version returns the old schema;
+* ``write_snapshot(mode="append", allow_new_columns=True)`` and
+  ``merge_snapshot(..., allow_new_columns=True)`` opt into widen-only
+  schema evolution: new nullable columns null-fill the parent files (and
+  the merge's carried-forward rows) at read time, the manifest records
+  the schema per version, and time travel to a pre-evolution version
+  returns the old schema;
 * ``vacuum`` deletes data directories no retained manifest references,
   but never a stage directory younger than ``retention`` seconds — an
   in-flight writer's staged-but-uncommitted data is not garbage (the same
@@ -461,6 +463,7 @@ def merge_snapshot(
     table: str,
     keys: list[str] | tuple[str, ...],
     max_conflict_retries: int = 5,
+    allow_new_columns: bool = False,
 ) -> int:
     """Keyed upsert into the snapshot table — the lake twin of
     `sinks/jdbc.upsert_to_jdbc`: rows of the latest snapshot whose key
@@ -477,7 +480,15 @@ def merge_snapshot(
     concurrent rows are merged, never dropped. The anti-join + union is a
     key-partitioned shuffle of the current snapshot — at 100 TB, partition
     the table so the merge prunes to affected partitions (the same
-    discipline the JDBC staged merge documents)."""
+    discipline the JDBC staged merge documents).
+
+    ``allow_new_columns`` opts merge into the same widen-only schema
+    evolution appends have (Delta's mergeSchema): `df` may carry NEW
+    nullable columns; the carried-forward snapshot rows null-fill them,
+    the commit records the evolved schema, and the change files record
+    pre-images under the widened schema too (the feed and its consumers
+    stay composable across the evolution). Default remains
+    refuse-on-drift."""
     spark = df.sparkSession
     last_exc: Exception | None = None
     for _ in range(max_conflict_retries):
@@ -491,15 +502,37 @@ def merge_snapshot(
                 last_exc = exc
                 continue
         base = versions[-1]
-        pb = _read_manifest(table, base).get("partition_by", [])
+        man = _read_manifest(table, base)
+        pb = man.get("partition_by", [])
         current = read_snapshot(spark, table, version=base)
         # compare name+type only: a parquet read is always nullable, while
         # an in-memory frame may carry non-null fields for the same data
         shape = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
         if shape(current.schema) != shape(df.schema):
-            raise ValueError(
-                f"merge schema differs from the latest snapshot at {table}"
+            evolved = (
+                _evolved_schema_json(man["schema"], df.schema)
+                if allow_new_columns
+                else None
             )
+            if evolved is None:
+                raise ValueError(
+                    f"merge schema differs from the latest snapshot at "
+                    f"{table}"
+                    + (
+                        "" if allow_new_columns
+                        else "; pass allow_new_columns=True to add "
+                        "nullable columns"
+                    )
+                )
+            widened = StructType.fromJson(json.loads(evolved))
+            for f in widened.fields:
+                if f.name not in current.columns:
+                    current = current.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            order = [f.name for f in widened.fields]
+            current = current.select(*order)
+            df = df.select(*order)
         merged = current.join(
             df.select(*keys).distinct(), list(keys), "left_anti"
         ).unionByName(df)

@@ -730,3 +730,63 @@ def test_update_snapshot_cdc_syncs_serving_table(spark, tmp_path):
     serve_changes_job(spark, table, "serve", ("id",), since=wm, **kw)
     got = dict(con.execute("SELECT id, v FROM serve ORDER BY id").fetchall())
     assert got == {0: 0, 1: 20, 2: 40, 3: 6, 4: 8}
+
+
+def test_merge_snapshot_schema_evolution(spark, tmp_path):
+    """merge_snapshot(allow_new_columns=True): Delta's mergeSchema — the
+    increment's new nullable column widens the table, carried-forward
+    rows null-fill, the feed spans the evolution (pre-images under the
+    widened schema), and the default still refuses drift."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 4), table)
+    inc = spark.createDataFrame(
+        [(1, 100, 0.9), (10, 20, 0.1)], "id long, v long, score double"
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        m.merge_snapshot(inc, table, keys=["id"])
+    v = m.merge_snapshot(inc, table, keys=["id"], allow_new_columns=True)
+    rows = {
+        r.id: (r.v, r.score) for r in m.read_snapshot(spark, table).collect()
+    }
+    assert rows == {
+        0: (0, None), 1: (100, 0.9), 2: (4, None), 3: (6, None),
+        10: (20, 0.1),
+    }
+    # pre-evolution time travel keeps the old schema
+    assert "score" not in m.read_snapshot(spark, table, version=1).columns
+    # the feed spans the evolution: the matched pre-image null-fills
+    feed = m.snapshot_change_feed(spark, table, since=1, until=v)
+    got = sorted(
+        (r._change_type, r.id, r.v, r.score) for r in feed.collect()
+    )
+    assert got == [
+        ("delete", 1, 2, None),
+        ("insert", 1, 100, 0.9),
+        ("insert", 10, 20, 0.1),
+    ]
+    # a dropped/retyped column is refused even with the opt-in
+    bad = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="merge schema differs"):
+        m.merge_snapshot(bad, table, keys=["id"], allow_new_columns=True)
+
+
+def test_update_snapshot_on_evolved_table(spark, tmp_path):
+    """UPDATE over a schema-evolved table: pre-evolution files read under
+    the widened schema (null-filled), matched rows update, untouched
+    evolved data survives."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)
+    m.write_snapshot(
+        spark.createDataFrame([(10, 20, 0.5)], "id long, v long, score double"),
+        table, mode="append", allow_new_columns=True,
+    )
+    v, n = m.update_snapshot(
+        spark, table, {"id": (0, 1)}, {"score": F.lit(7.0)}
+    )
+    assert n == 2
+    rows = {
+        r.id: (r.v, r.score) for r in m.read_snapshot(spark, table).collect()
+    }
+    assert rows == {0: (0, 7.0), 1: (2, 7.0), 2: (4, None), 10: (20, 0.5)}
