@@ -51,93 +51,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-11 window: 63 claims on 50 slots, same arithmetic as r9/r10. The
-# 13 names deferred in r10 (r10's ROUND_BACKLOG) carry r7 driver rows —
-# age 4 at r11, so the staleness guard makes their slots MANDATORY — and
-# the 50-name r8 cohort is at age 3 (refresh now or they're mandatory at
-# r12). The window is the 13 mandatory names plus 37 of the r8 cohort,
-# chosen to include the r8-cohort queries whose plans change this round
-# (the broadcast-hint removals q_dbscan_clusters, q_semdedup_refined).
-# The OTHER plan-changed queries (q_curation_funnel / q_semdedup /
-# q_unigram_nll with r10 rows; q_incremental_dedup / q_bigram_nll /
-# q_event_transitions / q_length_outliers / q_normalize_text with r9/r10
-# rows, age <= 2 — not near the staleness bound) keep their slots for the
-# cohorts that NEED them; their changed plans are re-proven this round by
-# the local full-contract verify (ALL MATCH) and the judge's own rerun.
-# The 13 leftover r8 names are deferred to r12 under the
-# in-window exemption (ROUND_BACKLOG below, DEFERRED_IN = 11; the
-# backlog-neglect test hard-fails r12 if it forgets). No new query
-# registrations this round — the slot budget is spent on rotation; the
-# round's work is plan de-hinting + lake DML + CDC streaming.
+# Round-12 window: 63 claims on 50 slots, the same arithmetic as r9-r11.
+# The 13 names deferred in r11 (r11's ROUND_BACKLOG) carry r8 driver rows
+# — age 4 at r12, so the staleness guard makes their slots MANDATORY —
+# and the 50-name r9 cohort is at age 3 (refresh now or they're mandatory
+# at r13). The window is the 13 mandatory names plus 37 of the r9 cohort,
+# chosen to include every r9-cohort query whose plan changes this round
+# (q_ann_index_topk — the persisted index now trains converged centroids)
+# and to keep the batch twins of the deferred streaming queries in-window
+# (q_anomaly_sessions / q_dedup_events / q_dedup_keys / q_ewma_user_values
+# stay; their chained/streamed twins defer). The 13 leftover r9 names are
+# deferred to r13 under the in-window exemption (ROUND_BACKLOG below,
+# DEFERRED_IN = 12; the backlog-neglect test hard-fails r13 if it
+# forgets). New registrations this round are held to the judge's <=2
+# guidance and documented where they claim slots.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 MANDATORY names: deferred in r10, latest driver row r7,
-    # at the staleness bound exactly this round. q_approx_daily_traffic /
-    # q_value_quantiles additionally gain structural oracles this round
-    # (VERDICT r10 #7), so their refreshed rows are hash rows.
-    "q_approx_daily_traffic",
-    "q_audio_neardup",
-    "q_dedup_keys_xxhash",
-    "q_image_neardup",
-    "q_stream_enriched_traffic",
-    "q_stream_image_gate",
-    "q_stream_quality_gate",
-    "q_stream_running_counts",
-    "q_stream_session_window",
-    "q_stream_stream_join",
-    "q_stream_stream_left_outer",
-    "q_value_quantiles",
-    "q_video_neardup",
-    # (b) 37 of the 50-name r8 cohort (rows r8, age 3 — refreshed here so
-    # they never cross the bound).
-    "q_ann_ivf_multiprobe",
-    "q_ann_ivf_topk",
-    "q_ann_ivfpq_multiprobe",
-    "q_ann_ivfpq_topk",
-    "q_ann_lsh_multiprobe",
-    "q_ann_lsh_topk",
-    "q_ann_pq_topk",
-    "q_ann_pq_trained_topk",
-    "q_ann_rerank",
-    "q_bm25_index_topk",
-    "q_bm25_topk",
-    "q_bucketed_join",
-    "q_cms_heavy_hitters",
-    "q_contrastive_pairs",
-    "q_cosine_topk_vectorized",
-    "q_dbscan_clusters",
-    "q_doc_exact_dedup",
-    "q_jaccard_pairs_normalized",
-    "q_kmeans_refine",
-    "q_lang_id",
-    "q_minhash_lsh_normalized",
-    "q_mixture_weights",
-    "q_neardup_clusters",
-    "q_normalize_text",
-    "q_passage_dup_stats",
-    "q_pps_sample",
-    "q_quality_classifier_refined",
-    "q_repetition_quality",
-    "q_semdedup_refined",
-    "q_sequence_pack",
-    "q_simhash_buckets",
-    "q_simhash_fingerprints",
-    "q_span_gate_bloom",
-    "q_tfidf_top_terms",
-    "q_token_budget",
-    "q_train_order",
-    "q_zorder_keys",
-)
-
-# The 13 r8-cohort names deferred to r12 (rows r8 — age 4 at r12, so the
-# staleness guard makes their r12 slots MANDATORY; the backlog-neglect
-# test below enforces the same one round after DEFERRED_IN). The split
-# moves out the four slowest streaming gates, the two recall-report
-# harnesses (each a multi-config sweep whose underlying queries hold
-# in-window rows), the three *_struct twins (their primaries gain
-# structural oracles IN this round's window), the two BPE trainer steps,
-# and the media-decode smoke. All 13 are unchanged code with green r8
-# rows and J10 full-contract confirmation.
-ROUND_BACKLOG: tuple[str, ...] = (
+    # (a) the 13 MANDATORY names: deferred in r11, latest driver row r8,
+    # at the staleness bound exactly this round.
     "q_ann_recall",
     "q_approx_daily_traffic_struct",
     "q_bpe_merge_step",
@@ -151,8 +81,86 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_stream_video_gate",
     "q_value_quantiles_struct",
     "q_winnow_pairs",
+    # (b) 37 of the 50-name r9 cohort (rows r9, age 3 — refreshed here so
+    # they never cross the bound). q_ann_index_topk is the one whose plan
+    # changes this round (converged-centroid index build, VERDICT r11 #3).
+    "q_ann_index_topk",
+    "q_anomaly_sessions",
+    "q_bigram_nll",
+    "q_bronze_archive",
+    "q_clinical_areas",
+    "q_clinical_trend",
+    "q_corpus_filter",
+    "q_daily_traffic",
+    "q_decontaminate",
+    "q_dedup_events",
+    "q_dedup_keys",
+    "q_doc_chunks",
+    "q_doc_fingerprints",
+    "q_dsir_weights",
+    "q_dup_spans",
+    "q_embedding_norms",
+    "q_event_transitions",
+    "q_events_orders_asof",
+    "q_ewma_user_values",
+    "q_hash_sample",
+    "q_hash_split",
+    "q_incremental_dedup",
+    "q_lang_profile",
+    "q_length_outliers",
+    "q_mixture_sample",
+    "q_pii_redact",
+    "q_pivot_event_types",
+    "q_popular_documents",
+    "q_pricing_cube",
+    "q_session_analysis",
+    "q_session_funnel",
+    "q_sessionize",
+    "q_source_dup_profile",
+    "q_sql_nation_revenue",
+    "q_stratified_sample",
+    "q_user_set_ops",
+    "q_winnow_fingerprints",
 )
-ROUND_BACKLOG_DEFERRED_IN = 11  # the round whose window displaced them
+
+# The 13 r9-cohort names deferred to r13 (rows r9 — age 4 at r13, so the
+# staleness guard makes their r13 slots MANDATORY; the backlog-neglect
+# test below enforces the same one round after DEFERRED_IN). The split
+# moves out the six media-decode queries (unchanged since r9, fenced by
+# property tests over real codec bytes), the three BPE trainer/tokenizer
+# steps (unchanged; the merge-step and train4 primaries are IN this
+# window from the mandatory backlog), the chained EWMA twin (its primary
+# q_ewma_user_values stays in-window), the two streaming twins whose
+# batch twins stay in-window (q_stream_anomaly / q_anomaly_sessions,
+# q_stream_dedup_keys / q_dedup_keys), and q_source_overlap (its sibling
+# q_source_dup_profile stays in). All 13 are unchanged code with green r9
+# rows and J11 full-contract confirmation.
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_bpe_token_counts",
+    "q_bpe_tokenize2",
+    "q_bpe_train2",
+    "q_ewma_user_values_chunked",
+    "q_media_audio",
+    "q_media_features",
+    "q_media_frames",
+    "q_media_meta",
+    "q_media_resize",
+    "q_media_video",
+    "q_source_overlap",
+    "q_stream_anomaly",
+    "q_stream_dedup_keys",
+)
+ROUND_BACKLOG_DEFERRED_IN = 12  # the round whose window displaced them
+
+# Permanently retired from window rotation (VERDICT r11 #8): checks that
+# can never tighten past rows-only, whose hash evidence lives in an
+# in-rotation twin. q_dedup_keys_xxhash is rows-only forever — DuckDB has
+# no xxhash64, so its driver row can only ever say "10,000 rows came
+# back"; the md5 path and the hash-green q_dedup_keys_xxhash_struct twin
+# carry the value check, and tests/test_hashing.py pins xxhash64 against
+# fixed vectors. Spending a rotating slot on it buys nothing, so the
+# staleness guard exempts these names instead of forcing the spend.
+ROTATION_RETIRED: tuple[str, ...] = ("q_dedup_keys_xxhash",)
 
 
 def _load_modules() -> None:

@@ -97,8 +97,15 @@ def test_no_query_row_older_than_max_staleness():
     by rotation discipline — so make the bound a failing test, not an
     editorial judgment. Every registered query must have a CORRECTNESS row
     no older than MAX_ROW_STALENESS rounds behind the newest artifact.
-    Never-checked queries are covered by the window-slot guard above."""
-    from clinical_search_data_pipeline_spark.registry import ROUND_PRIORITY
+    Never-checked queries are covered by the window-slot guard above.
+    ROTATION_RETIRED names are exempt: their driver check is rows-only by
+    design (no DuckDB oracle can exist) so a fresh row can never tighten
+    anything — their value evidence lives in an in-rotation twin
+    (see registry.ROTATION_RETIRED)."""
+    from clinical_search_data_pipeline_spark.registry import (
+        ROTATION_RETIRED,
+        ROUND_PRIORITY,
+    )
 
     checked = _driver_checked_rounds()
     max_round = checked["__max_round__"]
@@ -110,11 +117,31 @@ def test_no_query_row_older_than_max_staleness():
         # a stale name already holding a window slot is about to be
         # refreshed — the debt is being paid this round
         and n not in ROUND_PRIORITY
+        and n not in ROTATION_RETIRED
     )
     assert not stale, (
         f"driver rows older than {MAX_ROW_STALENESS} rounds "
         f"(newest artifact r{max_round}) without a window slot: {stale}"
     )
+
+
+def test_rotation_retired_names_are_legitimately_retired():
+    """The staleness exemption is only for checks that cannot tighten: a
+    retired name must be registered, must be rows-only (no oracle — a
+    hash-checkable query must keep rotating), and must not also claim a
+    window slot (retired means retired)."""
+    from clinical_search_data_pipeline_spark.registry import (
+        ROTATION_RETIRED,
+        ROUND_PRIORITY,
+    )
+
+    specs = all_specs()
+    for n in ROTATION_RETIRED:
+        assert n in specs, f"retired name not registered: {n}"
+        assert specs[n].oracle is None, (
+            f"{n} has an oracle — hash-checkable queries must keep rotating"
+        )
+        assert n not in ROUND_PRIORITY, f"{n} is retired AND in the window"
 
 
 def test_round_backlog_not_neglected():
