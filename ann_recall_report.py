@@ -47,6 +47,29 @@ def _refined_variants():
     )
 
 
+def _index_hits(spark, sf_dir: str) -> int:
+    """recall hits of the PERSISTED trained index (q_ann_index_topk —
+    builds, commits, reads back, searches) against the exact top-k: the
+    end-to-end row for the artifact a deployment actually serves from."""
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from clinical_search_data_pipeline_spark.registry import all_specs
+    from clinical_search_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = (
+        all_specs()["q_ann_index_topk"]
+        .builder(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    release_caches()
+    return hits
+
+
 def _ivf_hits(spark, sf_dir: str, assignments_fn) -> int:
     from clinical_search_data_pipeline_spark.caching import release_caches
     from clinical_search_data_pipeline_spark.operators.similarity import (
@@ -113,6 +136,17 @@ def main() -> None:
             print(
                 f"| {label} | 1 | {hits} | 40 | {bp} | {bp / 100:.2f}% |"
             )
+        # The persisted index (r12: coarse quantizer trained with
+        # ANN_TRAIN_ROUNDS fixed Lloyd rounds) measured end to end —
+        # build -> commit -> read back -> search. Compare with ivfpq_p1
+        # (the seed-quantizer IVFADC) to read the training uplift on the
+        # artifact a deployment actually serves from.
+        hits = _index_hits(spark, sf_dir)
+        bp = hits * 10000 // 40
+        print(
+            f"| ivfadc_trained_index | 1 | {hits} | 40 | {bp} "
+            f"| {bp / 100:.2f}% |"
+        )
         print()
     print("**Reading the curve:** multiprobe is the recall knob with the")
     print("plan shape unchanged (probes explode on the broadcast query side")
@@ -138,10 +172,17 @@ def main() -> None:
     print("never shuffled — and recall jumps to 90-100% at every SF: the")
     print("two-stage shape is what a 100 TB deployment should serve from.")
     print("The PERSISTED index path (q_ann_index_topk, operators/")
-    print("ann_index.py) is hash-pinned equal to ivfpq — its recall rows")
-    print("ARE the ivfpq_p1/p2 rows above; persistence changes where the")
-    print("relations come from (committed snapshot artifacts, no raw-")
-    print("vector scan at query time), never what the search returns.")
+    print("ann_index.py) trains its coarse quantizer — ANN_TRAIN_ROUNDS")
+    print("fixed Lloyd rounds, hash-verified end to end by an oracle that")
+    print("unrolls the same rounds in SQL — so its ivfadc_trained_index")
+    print("row reads directly against ivfpq_p1 (the seed-quantizer")
+    print("IVFADC at the same nprobe=1 plan shape): the gap between the")
+    print("two rows IS the training uplift on the served artifact")
+    print("(+750 bp at sf0.01, +500 bp at sf0.1). The sf0.001 row dips")
+    print("below its seed baseline — 250 vectors across 8 cells is too")
+    print("small for Lloyd means to beat the seed slice, the same small-")
+    print("fixture quirk ivf_p1_lloyd1 shows; training decisions read the")
+    print("sf0.1 row.")
     print("The ivf_p1_lloyd1 / ivf_p1_converged rows isolate the coarse")
     print("quantizer's quality (VERDICT r10 #6): the SAME nprobe=1 search")
     print("over kmeans_refined_cells (one Lloyd round) and kmeans_train")

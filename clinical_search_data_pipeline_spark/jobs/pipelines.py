@@ -100,10 +100,19 @@ def mart_etl_job(
     ``snapshot=True`` publishes each mart through the manifest-committed
     sink instead of an in-place overwrite: a dashboard racing the nightly
     rebuild reads the previous complete version until the commit lands,
-    and any earlier version stays pinnable (sinks/manifest.py).
+    and any earlier version stays pinnable (sinks/manifest.py). The four
+    marts must additionally tell ONE story (the reference's BI joins
+    them, mart/mart.md:199-203), so after the per-mart commits the job
+    lands a single `_mart_meta` pin naming the exact (table, version)
+    set — `mart_load_job(..., snapshot=True)` and `resolve_mart_versions`
+    read through it, so a reader racing the ETL gets all-old or all-new
+    marts, never new daily_traffic joined to old popular_documents; a
+    crash before the pin leaves the previous complete set live (the ANN
+    index's META_TABLE pattern, operators/ann_index.py, generalized).
     `mart_load_job(..., snapshot=True)` is the matching reader."""
     events = events.cache()
     written: dict[str, int] = {}
+    versions: dict[str, int] = {}
     try:
         for name, build in builders.items():
             mart = build(events)
@@ -118,7 +127,7 @@ def mart_etl_job(
                     if partition_col and partition_col in mart.columns
                     else None
                 )
-                manifest_sink.write_snapshot(
+                versions[name] = manifest_sink.write_snapshot(
                     mart, path, mode="overwrite", partition_by=pb
                 )
             elif partition_col and partition_col in mart.columns:
@@ -126,9 +135,43 @@ def mart_etl_job(
             else:
                 mart.write.mode("overwrite").parquet(path)
             written[name] = mart.count()
+        if snapshot:
+            _pin_mart_versions(events.sparkSession, out_dir, versions)
     finally:
         events.unpersist()
     return written
+
+
+MART_META_TABLE = "_mart_meta"  # (table, version) pin rows — committed LAST
+
+
+def _pin_mart_versions(
+    spark: SparkSession, out_dir: str, versions: Mapping[str, int]
+) -> int:
+    """Land the consistent-read pin: one snapshot commit whose rows name
+    the exact per-mart versions of this publish. Committed AFTER every
+    mart — the pin either names a complete new set or never lands."""
+    pins = spark.createDataFrame(
+        sorted(versions.items()), "table string, version int"
+    )
+    return manifest_sink.write_snapshot(
+        pins, f"{out_dir}/{MART_META_TABLE}", mode="overwrite"
+    )
+
+
+def resolve_mart_versions(
+    spark: SparkSession, marts_dir: str
+) -> dict[str, int] | None:
+    """The latest consistent (table -> version) mart set, or None when no
+    pin exists (pre-pin tables, or non-snapshot layouts). A few bounded
+    rows on the driver."""
+    try:
+        pins = manifest_sink.read_snapshot(
+            spark, f"{marts_dir}/{MART_META_TABLE}"
+        )
+    except FileNotFoundError:
+        return None
+    return {r.table: r.version for r in pins.collect()}
 
 
 def mart_etl_incremental_job(
@@ -158,13 +201,14 @@ def mart_etl_incremental_job(
     with `mart_etl_job(snapshot=True)`'s partitioned publishes."""
     scoped = events.filter(F.col(partition_col).isin(list(event_dates))).cache()
     written: dict[str, int] = {}
+    versions: dict[str, int] = {}
     try:
         for name, build in builders.items():
             mart = build(scoped)
             if partition_col not in mart.columns:
                 continue
             if snapshot:
-                manifest_sink.replace_partitions(
+                versions[name] = manifest_sink.replace_partitions(
                     mart,
                     f"{out_dir}/{name}",
                     partition_col,
@@ -175,6 +219,13 @@ def mart_etl_incremental_job(
                     mart, f"{out_dir}/{name}", partition_col, mode="overwrite"
                 )
             written[name] = mart.count()
+        if snapshot and versions:
+            # the backfill touches only the partitioned marts; the pin
+            # carries the untouched marts' previous versions forward so
+            # the consistent set stays complete
+            spark = events.sparkSession
+            prior = resolve_mart_versions(spark, out_dir) or {}
+            _pin_mart_versions(spark, out_dir, {**prior, **versions})
     finally:
         scoped.unpersist()
     return written
@@ -191,14 +242,18 @@ def mart_load_job(
     """Gold parquet -> serving DB (reference load_to_postgres.py:78-127).
     `sink(df, table)` is the JDBC overwrite in production
     (sinks/jdbc.write_jdbc with truncate=True keeps serving-side DDL) and a
-    recorder in tests. ``snapshot=True`` resolves each table through its
-    committed manifest (latest version) instead of a raw directory scan —
-    the load can never ship a half-written rebuild. ``where`` (snapshot
+    recorder in tests. ``snapshot=True`` resolves the CONSISTENT mart set
+    through the `_mart_meta` pin when one exists (mart_etl_job lands it
+    after all marts commit), so a load racing the nightly rebuild ships
+    all-old or all-new marts, never a mix; tables without a pin row (or
+    pre-pin layouts) fall back to their own latest committed version —
+    still never a half-written rebuild. ``where`` (snapshot
     path only) pushes a column -> value / (lo, hi) predicate into the
     manifest's partition/stats pruning, so an incremental serving refresh
     of one event_date opens only that partition's files; columns absent
     from a mart (the global marts carry no event_date) are skipped for
     that table."""
+    pinned = resolve_mart_versions(spark, marts_dir) if snapshot else None
     loaded: dict[str, int] = {}
     for table in tables:
         path = f"{marts_dir}/{table}"
@@ -206,7 +261,11 @@ def mart_load_job(
             # resolve the version ONCE and read schema from its manifest:
             # two read_snapshot calls could straddle a concurrent commit,
             # filtering against one version's columns but loading another
-            version = manifest_sink.latest_version(path)
+            version = (
+                pinned[table]
+                if pinned and table in pinned
+                else manifest_sink.latest_version(path)
+            )
             pred = None
             if where:
                 cols = set(
@@ -1157,10 +1216,11 @@ def ingest_admission_job(
         )
 
     def refresh_indexes() -> None:
-        lake_versions = manifest_sink.snapshots(snapshot_table)
-        if not lake_versions:
+        try:
+            # per-trigger path: O(1) tip resolution, never a log scan
+            tip = manifest_sink.latest_version(snapshot_table)
+        except FileNotFoundError:
             return  # nothing admitted yet
-        tip = lake_versions[-1]["version"]
         if tip == state["merged_lake_version"]:
             return  # no new admissions since the last refresh
         old = state["idx"]

@@ -379,6 +379,91 @@ def kmeans_train(
 # ---------------------------------------------------------------------------
 
 
+def trained_quantizer(
+    emb: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """((cell, cv, cnorm), (vec_id, cell)) after exactly `rounds` Lloyd
+    alternations from the deterministic seed assignment — the coarse
+    quantizer `build_ann_index(train_rounds=...)` persists (VERDICT r11
+    #3: converged cells nearly double seed-cell IVF recall).
+
+    FIXED rounds, deliberately no early-stop: (a) a fixed unroll is what
+    `duck_lloyd_ctes` can express, so the persisted index keeps a bit-
+    exact cross-engine oracle; (b) convergence is a fixpoint — once an
+    assignment repeats, further rounds change nothing — so fixed-R equals
+    early-stopped training whenever the data converges within R; (c) no
+    per-round driver sync at all (kmeans_train pays one scalar per round
+    to report movement; the index builder doesn't need the history).
+    Plan depth grows linearly in `rounds` (each round references the
+    previous once), so no caching is needed for the small fixed R."""
+    if rounds < 1:
+        raise ValueError("trained_quantizer needs rounds >= 1")
+    base = vectors_with_norms(emb)
+    cur = ivf_assignments(emb).select("vec_id", "v", "norm", "cell")
+    cents = None
+    for _ in range(rounds):
+        cents = updated_centroids(cur)
+        cur = _assign(base, cents, "cell")
+    return cents, cur.select("vec_id", "cell")
+
+
+def duck_lloyd_ctes(rounds: int) -> str:
+    """DuckDB CTE chain `cents_r0/assign_r0/cells_r0 .. cells_r{rounds}`
+    mirroring `trained_quantizer` round for round (the same order-pinned
+    folds as _DUCK_KMEANS_CTE, generalized to R unrolled rounds). Callers
+    compose it after _DUCK_BASE_CTE and read `cents_r{rounds}` /
+    `cells_r{rounds}`."""
+    parts = [
+        f"""cents_r0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CENTROIDS}
+),
+assign_r0 AS (
+  SELECT vec_id, v, norm, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_duck_dot('v', 'cv')} / (norm * cnorm) DESC, cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents_r0
+),
+cells_r0 AS (SELECT vec_id, v, norm, cell FROM assign_r0 WHERE rn = 1)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+comp_r{i} AS (
+  SELECT cell, vec_id, unnest(v) AS x,
+         generate_subscripts(v, 1) AS dim
+  FROM cells_r{i - 1}
+),
+dims_r{i} AS (
+  SELECT cell, dim,
+         list_reduce(
+           list_prepend(0.0::DOUBLE, list(x ORDER BY vec_id)),
+           (acc, e) -> acc + e
+         ) / count(*) AS m
+  FROM comp_r{i} GROUP BY cell, dim
+),
+cents_r{i} AS (
+  SELECT cell, list(m ORDER BY dim) AS cv,
+         sqrt(list_reduce(list_transform(list(m ORDER BY dim), e -> e * e),
+              (acc, e) -> acc + e)) AS cnorm
+  FROM dims_r{i} GROUP BY cell
+),
+assign_r{i} AS (
+  SELECT n.vec_id, n.v, n.norm, c.cell,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_duck_dot('n.v', 'c.cv')} / (n.norm * c.cnorm) DESC,
+                    c.cell ASC
+         ) AS rn
+  FROM n CROSS JOIN cents_r{i} c
+),
+cells_r{i} AS (SELECT vec_id, v, norm, cell FROM assign_r{i} WHERE rn = 1)"""
+        )
+    return "".join(parts)
+
+
 def kmeans_refined_cells(emb: DataFrame) -> DataFrame:
     """(vec_id, v, norm, cell) under the one-Lloyd-round centroids — a
     drop-in replacement for similarity.ivf_assignments."""

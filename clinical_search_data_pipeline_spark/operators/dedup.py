@@ -572,7 +572,12 @@ def minhash_recall(
         F.count("*").alias("candidates")
     )
     hits = (
-        cand.join(F.broadcast(exact), ["doc_a", "doc_b"])
+        # no broadcast hint: the exact-pair set is dup-rate-proportional
+        # (corpus-sized at production dup rates) — AQE broadcasts it at
+        # fixture scale on its own, and at 100x the keyed shuffle is the
+        # design (the r11-tightened hint lint flags a forced broadcast
+        # here)
+        cand.join(exact, ["doc_a", "doc_b"])
         .groupBy("bands", "rows_per_band")
         .agg(F.count("*").alias("hits"))
     )

@@ -152,6 +152,50 @@ def _tree_depth(line: str) -> int:
     return len(line) - len(line.lstrip(":+- "))
 
 
+# Columns whose literal selection provably bounds cardinality: window
+# ranks (`_rn <= k` is per-group top-k) and id-space windows (`vec_id <
+# 40` is a fixed query set). Deliberately NOT any numeric comparison:
+# `n_tokens > 0` or `score >= 0.5` select a corpus-proportional slice and
+# must not silence the lint (ADVICE r11).
+_RANKISH = ("_rn", "rn", "rank", "_rank")
+
+
+def _bounding_filter(node: str) -> bool:
+    """Does this analyzed-plan Filter line provably bound the subtree's
+    cardinality? True only for (a) an upper bound / equality against a
+    literal on an id- or rank-shaped column (`_rn <= 4`, `vec_id <
+    cast(40 ...)`, `doc_id = 7`, `40 >= vec_id`), or (b) a literal
+    IN-list on such a column. Residual false negatives this rule accepts:
+    an id window can still be large (`id < 10_000_000` bounds to 10M —
+    "bounded" is not "small"), and a rank column aliased to a
+    non-rank-shaped name escapes the pattern; both classes stay on the
+    reviewer, as does anything the allowlists in tests/test_scale_lint.py
+    name explicitly."""
+    import re
+
+    def _idish(col: str) -> bool:
+        low = col.lower()
+        return low in _RANKISH or low.endswith(("_rn", "_rank", "id", "_idx"))
+
+    # col OP literal  (OP an upper bound or equality; literal may be cast)
+    for col, op in re.findall(
+        r"(\w+)#\d+L? (<=?|=) (?:cast\()?-?\d", node
+    ):
+        if _idish(col):
+            return True
+    # literal OP col  (reversed: 40 >= vec_id)
+    for op, col in re.findall(
+        r"-?\d+(?:\.\d+)?\)? (>=?|=) (\w+)#\d+", node
+    ):
+        if _idish(col):
+            return True
+    # col IN (literal list)
+    for col in re.findall(r"(\w+)#\d+L? IN \(", node):
+        if _idish(col):
+            return True
+    return False
+
+
 def lint_broadcast_hints(analyzed_tree: str) -> list[str]:
     """Flag `broadcast()` HINTS whose build side is not provably bounded
     (VERDICT r10 #8). A hint *forces* the build side to the driver at any
@@ -185,13 +229,12 @@ def lint_broadcast_hints(analyzed_tree: str) -> list[str]:
             if node.startswith("Aggregate [") and "], [" not in node:
                 bounded = True  # scalar aggregate: 1 row
                 break
-            if node.startswith("Filter ") and re.search(
-                r"[<>=]=? (cast\()?-?\d", node
-            ):
-                # a literal numeric comparison is how this codebase derives
-                # its bounded relations (centroid/query id windows, per-
-                # group top-k via `_rn <= k`, eval-set modulo selections);
-                # a corpus-proportional build side has no such filter
+            if node.startswith("Filter ") and _bounding_filter(node):
+                # a literal UPPER-bound / equality / IN-list on an
+                # id-or-rank-shaped column is how this codebase derives
+                # its bounded relations (centroid/query id windows,
+                # per-group top-k via `_rn <= k`); see _bounding_filter
+                # for the exact rule and its residual false negatives
                 bounded = True
                 break
             if "pmod(" in node or "shiftright(" in node or re.search(

@@ -70,25 +70,38 @@ without importing a lakehouse:
 
 Layout:
     table/
-      files/v00000001/part-*.parquet                 (unpartitioned)
-      files/v00000002/event_date=2017-01-01/part-*.parquet
+      files/stage-*/part-*.parquet       (immutable data, staged once)
       _manifests/v00000001.json          (the ordered commit log)
-      _manifests/v00000002.json
+      _manifests/v00000002.json          (delta commits store add/remove)
+      _manifests/_tip.json               (tip accelerator, best-effort)
+      _checkpoints/v00000010.json        (periodic full-state sidecars)
 
-Known scale trade-off (stated, not hidden): every commit's manifest
-names the table's FULL file list, so manifest size — and the JSON
-rewritten per commit — is O(total files), not O(increment). With the
-per-partition compaction cadence keeping file counts bounded this is
-fine to ~10^5 files (tens of MB of JSON); past that, the production
-evolution is Delta's log design — append commits record only their file
-DELTA plus a parent pointer, resolved against periodic full "checkpoint"
-manifests (compaction/overwrite commits are natural checkpoints), which
-makes the per-append write O(increment) while keeping single-manifest
-reads. The read/commit protocol here (resolve-manifest-first, create-
-exclusive link, expected_parent CAS) is unchanged by that evolution,
-which is why it is deferred rather than half-built: at the fixture
-scales every manifest is KBs and the simpler invariant — one manifest
-IS the complete snapshot — keeps crash/vacuum reasoning auditable.
+Log scaling (the Delta-log design, adopted after the engine's own
+streaming-ingest and CDC paths started committing once per micro-batch —
+version count grows with trigger count, so per-commit metadata cost must
+be O(changed files), never O(live files)):
+
+* rewriting commits that touch few files (append, replace_partitions,
+  DELETE, UPDATE) STORE only their file delta — ``{"delta": {"vs": V,
+  "add": [entries], "remove": [paths]}}`` — so commit JSON is
+  O(increment). Overwrite-family commits (plain overwrite, merge,
+  compact, CDC apply) rewrite the table anyway: their full file list IS
+  their delta, and the full form doubles as a natural checkpoint;
+* every CHECKPOINT_INTERVAL-th delta commit also writes a full-state
+  **checkpoint sidecar** under ``_checkpoints/``, bounding any manifest
+  materialization to < CHECKPOINT_INTERVAL delta replays (plus an
+  in-process memo keyed by inode, so steady-state committers fold
+  forward in O(1));
+* tip resolution reads the ``_tip.json`` hint and probes FORWARD with
+  existence checks — never a directory listing. The hint is written
+  after the commit link (last-writer-wins, lag-only), so the probe, not
+  the hint, is authoritative — Delta's `_last_checkpoint` pattern;
+* the COMMIT POINT is unchanged: one create-exclusive link per version,
+  expected_parent CAS on top. Readers still resolve one logical manifest
+  and scan exactly its files; vacuum writes a checkpoint sidecar for any
+  retained delta commit whose chain it is about to unlink, so every
+  retained version stays materializable, then reclaims superseded
+  commit files and sidecars.
 """
 
 from __future__ import annotations
@@ -105,8 +118,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
+_CHECKPOINT_DIR = "_checkpoints"
+_TIP_HINT = "_tip.json"
 _FILES_DIR = "files"
 _UNSET = object()  # sentinel: expected_parent not supplied (no CAS check)
+
+# A checkpoint sidecar (full materialized file list) is written after every
+# Nth delta commit, bounding materialization to <N delta replays from the
+# nearest checkpoint/full commit. Delta Lake's default is every 10 commits
+# for the same reason. Tests monkeypatch this to exercise the cadence.
+CHECKPOINT_INTERVAL = 10
 
 # Stage directories younger than this are presumed in-flight and are never
 # vacuumed, even though no manifest references them yet (Delta VACUUM's
@@ -135,9 +156,242 @@ def _versions(table: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(table: str, version: int) -> dict:
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _CHECKPOINT_DIR, f"v{version:08d}.json")
+
+
+def _tip(table: str) -> int | None:
+    """Resolve the current tip version in O(1) amortized: read the tip
+    hint, then probe FORWARD with os.path.exists until the first missing
+    version. The hint is written best-effort after each commit
+    (last-writer-wins, may lag but never leads — a version becomes
+    visible only through its create-exclusive manifest link, so the hint
+    can only name an already-committed version), which is why the
+    forward probe, not the hint, is authoritative. Falls back to the
+    directory listing when no hint exists (pre-hint tables, or the first
+    commit racing the hint write). This is the Delta `_last_checkpoint`
+    pattern: pointer as accelerator, log as truth."""
+    hint_path = os.path.join(table, _MANIFEST_DIR, _TIP_HINT)
+    v: int | None = None
+    try:
+        with open(hint_path) as f:
+            hinted = int(json.load(f)["version"])
+        if os.path.exists(_manifest_path(table, hinted)):
+            v = hinted
+    except (OSError, ValueError, KeyError):
+        v = None
+    if v is None:
+        versions = _versions(table)
+        if not versions:
+            return None
+        v = versions[-1]
+    while os.path.exists(_manifest_path(table, v + 1)):
+        v += 1
+    return v
+
+
+def _write_tip_hint(table: str, version: int) -> None:
+    """Best-effort tip accelerator (atomic rename, last-writer-wins). A
+    racing older writer may briefly regress the hint; `_tip`'s forward
+    probe recovers, so correctness never depends on this file."""
+    tmp = os.path.join(table, _MANIFEST_DIR, f".tip-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, os.path.join(table, _MANIFEST_DIR, _TIP_HINT))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+# Materialized-manifest memo: manifest/checkpoint files are immutable once
+# linked (create-exclusive; vacuum only ever UNLINKS), so a (path ->
+# materialized dict) cache is coherent as long as the path still names the
+# same inode — entries carry the inode and a hit revalidates with one
+# stat(), so a table directory torn down and recreated at the same path
+# (tests do this) can never serve another table's manifests. Bounded FIFO:
+# delta replay re-materializes on miss, so eviction costs time, never
+# correctness.
+_MATERIALIZE_CACHE: dict[str, tuple[int, dict]] = {}
+_MATERIALIZE_CACHE_MAX = 64
+
+
+def _cache_put(path: str, man: dict) -> None:
+    try:
+        ino = os.stat(path).st_ino
+    except OSError:
+        return  # racing an unlink — not cacheable
+    if len(_MATERIALIZE_CACHE) >= _MATERIALIZE_CACHE_MAX:
+        _MATERIALIZE_CACHE.pop(next(iter(_MATERIALIZE_CACHE)))
+    _MATERIALIZE_CACHE[path] = (ino, man)
+
+
+def _cache_get(path: str) -> dict | None:
+    hit = _MATERIALIZE_CACHE.get(path)
+    if hit is None:
+        return None
+    ino, man = hit
+    try:
+        if os.stat(path).st_ino == ino:
+            return man
+    except OSError:
+        pass
+    del _MATERIALIZE_CACHE[path]
+    return None
+
+
+def _read_stored(table: str, version: int) -> dict:
+    """The commit file exactly as stored: full (has 'files') or delta
+    (has 'delta': {'vs', 'add', 'remove'})."""
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    """The FULL manifest of a version — every reader/writer calls this.
+    Full commits return as stored. Delta commits materialize: walk the
+    `delta.vs` chain back to the nearest full commit, checkpoint sidecar,
+    or cached materialization, then fold the deltas forward (remove by
+    path, append added entries — preserving the carried-then-new entry
+    order every writer produced before the delta log existed). Chain
+    length is bounded by CHECKPOINT_INTERVAL, so this is O(K deltas) on a
+    cold cache and O(1) warm."""
+    key = os.path.abspath(_manifest_path(table, version))
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
+    stored = _read_stored(table, version)
+    if "files" in stored:
+        return stored  # full commit: nothing to materialize or cache
+    # a sidecar for the requested version short-circuits entirely (and is
+    # the only resolution path once vacuum has unlinked its chain)
+    cp = _checkpoint_path(table, version)
+    if os.path.exists(cp):
+        with open(cp) as f:
+            man = json.load(f)
+        _cache_put(key, man)
+        return man
+    # walk the delta chain back to something resolvable
+    pending: list[dict] = []
+    cur = stored
+    cur_version = version
+    base: dict | None = None
+    while True:
+        pending.append(cur)
+        vs = cur["delta"]["vs"]
+        vs_key = os.path.abspath(_manifest_path(table, vs))
+        cached = _cache_get(vs_key)
+        if cached is not None:
+            base = cached
+            break
+        cp = _checkpoint_path(table, vs)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                base = json.load(f)
+            _cache_put(vs_key, base)
+            break
+        try:
+            prev = _read_stored(table, vs)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest chain of v{cur_version} at {table} needs "
+                f"v{vs}, which was vacuumed without a checkpoint — the "
+                "version is no longer materializable"
+            ) from None
+        if "files" in prev:
+            base = prev
+            _cache_put(vs_key, prev)
+            break
+        cur = prev
+        cur_version = vs
+    files = _entries(base)
+    for delta_man in reversed(pending):
+        d = delta_man["delta"]
+        removed = set(d["remove"])
+        files = [e for e in files if e["path"] not in removed] + d["add"]
+    out = {k: v for k, v in stored.items() if k != "delta"}
+    out["files"] = files
+    _cache_put(key, out)
+    return out
+
+
+def _maybe_write_checkpoint(table: str, version: int, manifest: dict) -> None:
+    """Checkpoint sidecar cadence: after every CHECKPOINT_INTERVAL-th
+    commit, persist the full materialized manifest so delta chains stay
+    short. Best-effort and idempotent (tmp + create-exclusive link; a
+    racing duplicate loses harmlessly) — a missed checkpoint only
+    lengthens the next materialization walk."""
+    if version % CHECKPOINT_INTERVAL != 0:
+        return
+    path = _checkpoint_path(table, version)
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.join(table, _CHECKPOINT_DIR), exist_ok=True)
+    tmp = os.path.join(table, _CHECKPOINT_DIR, f".tmp-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, path)
+    except FileExistsError:
+        pass
+    except OSError:
+        return
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _commit_manifest(
+    table: str,
+    version: int,
+    manifest: dict,
+    delta: dict | None = None,
+) -> bool:
+    """The single commit point every writer funnels through: link the
+    version's JSON create-exclusively (returns False on a lost race so
+    the caller's optimistic loop retries), then write the tip hint and
+    any due checkpoint sidecar.
+
+    ``manifest`` always carries the FULL file list (writers build it in
+    memory anyway — list/pointer work, not serialization). ``delta``
+    opts the STORED form down to O(changed files): `{"vs": version,
+    "add": [entries], "remove": [paths]}` such that
+    materialize(vs).files - remove + add == manifest["files"]. Overwrite
+    commits pass delta=None — their file list IS the delta, so the full
+    form is already minimal and doubles as a natural checkpoint."""
+    if delta is None:
+        stored = manifest
+    else:
+        stored = {k: v for k, v in manifest.items() if k != "files"}
+        stored["delta"] = delta
+    tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(stored, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    os.unlink(tmp)
+    if delta is not None:
+        # pre-warm the memo so the next committer folds forward instead
+        # of replaying the chain
+        _cache_put(
+            os.path.abspath(_manifest_path(table, version)), dict(manifest)
+        )
+        # full commits are natural checkpoints — only delta commits need
+        # the periodic sidecar to bound their chains
+        _maybe_write_checkpoint(table, version, manifest)
+    _write_tip_hint(table, version)
+    return True
 
 
 def _entries(manifest: dict) -> list[dict]:
@@ -325,8 +579,7 @@ def write_snapshot(
         raise exc
 
     for _ in range(max_retries):
-        existing = _versions(table)
-        parent = existing[-1] if existing else None
+        parent = _tip(table)
         if expected_parent is not _UNSET and parent != expected_parent:
             _abort(
                 SnapshotConflict(
@@ -337,9 +590,10 @@ def write_snapshot(
         version = (parent or 0) + 1
         files = list(new_entries)
         commit_schema_json = schema_json
+        delta = None
         if mode == "append" and parent is not None:
             base = parent if base_version is None else base_version
-            if base not in existing:
+            if not os.path.exists(_manifest_path(table, base)):
                 _abort(
                     FileNotFoundError(
                         f"append base_version v{base} not found at {table}"
@@ -387,6 +641,9 @@ def write_snapshot(
                     )
                 )
             files = _entries(pm) + files
+            # stored form is O(increment): the new entries relative to
+            # the folded base (exactly what the in-memory fold added)
+            delta = {"vs": base, "add": new_entries, "remove": []}
         # A rogue/misconfigured vacuum may have reclaimed the stage while
         # we raced: never link a manifest naming files that are not there.
         gone = [
@@ -417,18 +674,10 @@ def write_snapshot(
             )
         if cdf is not None:
             manifest["cdf"] = cdf
-        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            # create-exclusive: exactly one writer wins each version
-            os.link(tmp, _manifest_path(table, version))
-            os.unlink(tmp)
+        # create-exclusive: exactly one writer wins each version; a lost
+        # race re-reads the log and retries
+        if _commit_manifest(table, version, manifest, delta=delta):
             return version
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — re-read the log and retry
     raise RuntimeError(
         f"snapshot commit lost {max_retries} races on {table}; giving up"
     )
@@ -492,8 +741,8 @@ def merge_snapshot(
     spark = df.sparkSession
     last_exc: Exception | None = None
     for _ in range(max_conflict_retries):
-        versions = _versions(table)
-        if not versions:
+        base = _tip(table)
+        if base is None:
             try:
                 return write_snapshot(
                     df, table, mode="overwrite", expected_parent=None
@@ -501,7 +750,6 @@ def merge_snapshot(
             except SnapshotConflict as exc:  # rival bootstrapped the table
                 last_exc = exc
                 continue
-        base = versions[-1]
         man = _read_manifest(table, base)
         pb = man.get("partition_by", [])
         current = read_snapshot(spark, table, version=base)
@@ -639,13 +887,12 @@ def replace_partitions(
         )
 
     for _ in range(max_retries):
-        existing = _versions(table)
-        if not existing:
+        parent = _tip(table)
+        if parent is None:
             shutil.rmtree(stage_dir, ignore_errors=True)
             raise FileNotFoundError(
                 f"replace_partitions needs an existing snapshot at {table}"
             )
-        parent = existing[-1]
         pm = _read_manifest(table, parent)
         if pm.get("partition_by", []) != [partition_col]:
             shutil.rmtree(stage_dir, ignore_errors=True)
@@ -706,17 +953,16 @@ def replace_partitions(
                 "added": [e["path"] for e in new_entries],
             },
         }
-        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, _manifest_path(table, version))
-            os.unlink(tmp)
+        # stored form is O(touched partitions): replaced paths out, staged
+        # entries in — carried partitions never serialize again
+        if _commit_manifest(
+            table,
+            version,
+            manifest,
+            delta={"vs": parent, "add": new_entries, "remove": removed},
+        ):
             return version
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — recompute against the new tip
+        # lost the race — recompute against the new tip
     raise RuntimeError(
         f"replace_partitions lost {max_retries} races on {table}; giving up"
     )
@@ -748,10 +994,9 @@ def delete_from_snapshot(
     merge/compact: a concurrent commit between read and link re-runs the
     whole prune-rewrite against the new tip."""
     for _ in range(max_conflict_retries):
-        versions = _versions(table)
-        if not versions:
+        base = _tip(table)
+        if base is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-        base = versions[-1]
         man = _read_manifest(table, base)
         schema = StructType.fromJson(json.loads(man["schema"]))
         pb = man.get("partition_by", [])
@@ -819,22 +1064,25 @@ def delete_from_snapshot(
             "committed_at": time.time(),
             "cdf": {"kind": "rows", "dir": cdf_stage},
         }
-        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, _manifest_path(table, version))
-            os.unlink(tmp)
+        # stored form is O(touched files): the pruned-and-rewritten paths
+        # out, their replacements in — carried files never serialize again
+        if _commit_manifest(
+            table,
+            version,
+            manifest,
+            delta={
+                "vs": base,
+                "add": new_entries,
+                "remove": [e["path"] for e in touched],
+            },
+        ):
             return version, n_del
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — recompute against the new tip
-            shutil.rmtree(stage_dir, ignore_errors=True)
-            shutil.rmtree(
-                os.path.join(table, _FILES_DIR, cdf_stage),
-                ignore_errors=True,
-            )
+        # lost the race — recompute against the new tip
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(table, _FILES_DIR, cdf_stage),
+            ignore_errors=True,
+        )
     raise RuntimeError(
         f"delete lost {max_conflict_retries} concurrent commits on {table}"
     )
@@ -875,10 +1123,9 @@ def update_snapshot(
     from pyspark.sql import Column
 
     for _ in range(max_conflict_retries):
-        versions = _versions(table)
-        if not versions:
+        base = _tip(table)
+        if base is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-        base = versions[-1]
         man = _read_manifest(table, base)
         schema = StructType.fromJson(json.loads(man["schema"]))
         pb = man.get("partition_by", [])
@@ -968,22 +1215,24 @@ def update_snapshot(
             "committed_at": time.time(),
             "cdf": {"kind": "rows", "dir": cdf_stage},
         }
-        tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, _manifest_path(table, version))
-            os.unlink(tmp)
+        # same O(touched files) stored form as DELETE
+        if _commit_manifest(
+            table,
+            version,
+            manifest,
+            delta={
+                "vs": base,
+                "add": new_entries,
+                "remove": [e["path"] for e in touched],
+            },
+        ):
             return version, n_upd
-        except FileExistsError:
-            os.unlink(tmp)  # lost the race — recompute against the new tip
-            shutil.rmtree(stage_dir, ignore_errors=True)
-            shutil.rmtree(
-                os.path.join(table, _FILES_DIR, cdf_stage),
-                ignore_errors=True,
-            )
+        # lost the race — recompute against the new tip
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(table, _FILES_DIR, cdf_stage),
+            ignore_errors=True,
+        )
     raise RuntimeError(
         f"update lost {max_conflict_retries} concurrent commits on {table}"
     )
@@ -1083,7 +1332,7 @@ def _committed_at(table: str, version: int) -> float:
     """Commit wall-clock of a version: the manifest's recorded
     `committed_at`, falling back to the manifest file's mtime for
     manifests written before the field existed."""
-    m = _read_manifest(table, version)
+    m = _read_stored(table, version)  # committed_at needs no file list
     ts = m.get("committed_at")
     if ts is not None:
         return float(ts)
@@ -1119,11 +1368,12 @@ def version_as_of(table: str, ts) -> int:
 
 def latest_version(table: str) -> int:
     """The current tip version (raises on an empty table) — resolve once
-    and pass `version=` to reads that must agree on one commit."""
-    versions = _versions(table)
-    if not versions:
+    and pass `version=` to reads that must agree on one commit. O(1)
+    amortized: tip-hint + forward probe, never a directory listing."""
+    tip = _tip(table)
+    if tip is None:
         raise FileNotFoundError(f"no committed snapshots at {table}")
-    return versions[-1]
+    return tip
 
 
 def snapshot_schema(table: str, version: int | None = None) -> StructType:
@@ -1159,12 +1409,11 @@ def read_snapshot(
         if version is not None:
             raise ValueError("pass version= or as_of_ts=, not both")
         version = version_as_of(table, as_of_ts)
-    versions = _versions(table)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots at {table}")
     if version is None:
-        version = versions[-1]
-    elif version not in versions:
+        version = _tip(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshots at {table}")
+    elif not os.path.exists(_manifest_path(table, version)):
         raise FileNotFoundError(f"snapshot v{version} not found at {table}")
     manifest = _read_manifest(table, version)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -1189,14 +1438,41 @@ def read_snapshot(
     return df
 
 
-def net_changes(changes: DataFrame, keys) -> DataFrame:
+def net_changes(changes: DataFrame, keys, strict: bool = True) -> DataFrame:
     """Latest-commit-wins net-out of a change-feed frame: at most one row
     per key survives (within one commit the insert post-image beats its
     own delete pre-image), so any consumer applies a multi-commit range
     as one keyed pass. Shared by the JDBC CDC apply and the lake replica
-    apply."""
+    apply.
+
+    Keyed application REQUIRES the source to be key-unique per commit:
+    if one commit carries two inserts for the same key (an append of a
+    non-key-unique batch, or a merge whose df repeated a key), "the row
+    for this key" is undefined and any survivor choice silently diverges
+    the replica from the source. ``strict`` (default) detects that and
+    raises instead — one delta-sized aggregation, the price of replication
+    that fails loudly rather than nondeterministically (ADVICE r11). Pass
+    strict=False only for feeds already proven key-unique per commit."""
     from pyspark.sql import Window
 
+    if strict:
+        dup = (
+            changes.filter(F.col("_change_type") == "insert")
+            .groupBy(*keys, "_commit_version")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                "change feed is not key-unique per commit: commit "
+                f"v{r['_commit_version']} carries {r['count']} inserts for "
+                f"key {tuple(r[k] for k in keys)} — keyed application is "
+                "undefined for a non-key-unique source (dedupe upstream, "
+                "or choose keys that are actually unique)"
+            )
     w = Window.partitionBy(*keys).orderBy(
         F.col("_commit_version").desc(), F.col("_change_type").desc()
     )
@@ -1222,8 +1498,12 @@ def apply_changes_to_snapshot(
     change files — a replica's feed is itself consumable, so replication
     chains compose.
 
-    Replay-idempotent: the same range applied twice converges to the same
-    content (the anti-join + union is keyed). Bootstrap: applying a feed
+    Replay-idempotent IN VERSION HISTORY too, not just content: a range
+    whose net application would not change the replica's rows (the
+    at-least-once redelivery case) short-circuits to the unchanged tip
+    instead of publishing a no-op commit — so chained replicas and
+    serving consumers see zero spurious change rows on replay. Bootstrap:
+    applying a feed
     from version 0 into an empty table materializes the source. An empty
     net delta commits nothing. Lost-update safe via the optimistic
     expected_parent loop (concurrent replica writers re-run against the
@@ -1243,8 +1523,8 @@ def apply_changes_to_snapshot(
     inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
     last_exc: Exception | None = None
     for _ in range(max_conflict_retries):
-        versions = _versions(table)
-        if not versions:
+        base = _tip(table)
+        if base is None:
             if inserts.limit(1).count() == 0:
                 raise FileNotFoundError(
                     f"no committed snapshots at {table} and the feed "
@@ -1258,8 +1538,7 @@ def apply_changes_to_snapshot(
                 last_exc = exc
                 continue
         if net.limit(1).count() == 0:
-            return versions[-1]
-        base = versions[-1]
+            return base
         man = _read_manifest(table, base)
         pb = man.get("partition_by", [])
         schema = StructType.fromJson(json.loads(man["schema"]))
@@ -1274,6 +1553,17 @@ def apply_changes_to_snapshot(
         # the replica's own change record: its matched pre-images as
         # deletes + the net inserts — O(delta + matched), like merge
         matched = current.join(deletes_keys, keys, "left_semi")
+        # Replaying an already-applied range (the documented at-least-once
+        # case) must CONVERGE, not churn: if the matched pre-images equal
+        # the net inserts as multisets, the apply is a content no-op —
+        # publishing it would emit spurious delete+insert change rows that
+        # chained second-hop replicas and serving tables re-apply forever
+        # (ADVICE r11). Two delta-sized anti-joins decide it.
+        if (
+            matched.exceptAll(inserts).limit(1).count() == 0
+            and inserts.exceptAll(matched).limit(1).count() == 0
+        ):
+            return base
         out_changes = matched.withColumn(
             "_change_type", F.lit("delete")
         ).unionByName(inserts.withColumn("_change_type", F.lit("insert")))
@@ -1335,10 +1625,9 @@ def compact_snapshot(
     against the new tip rather than silently discarding it."""
     last_exc: Exception | None = None
     for _ in range(max_conflict_retries):
-        versions = _versions(table)
-        if not versions:
+        base = _tip(table)
+        if base is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-        base = versions[-1]
         pb = _read_manifest(table, base).get("partition_by", [])
         current = read_snapshot(spark, table, version=base)
         if zorder_by is not None:
@@ -1408,13 +1697,19 @@ def snapshot_changes(
     Every version in (since, until] must be an append commit: an overwrite
     or merge in the range rewrites history, so the delta is not derivable
     from files — that raises instead of silently returning wrong rows."""
-    versions = _versions(table)
     if until is None:
-        until = versions[-1] if versions else 0
+        until = _tip(table) or 0
     # validate BEFORE the empty-range early return: on an empty table or a
-    # vacuumed `until` the range is not resolvable — raising the range
-    # error beats a raw FileNotFoundError from the manifest open below
-    if since not in versions or until not in versions or since > until:
+    # vacuumed endpoint the range is not resolvable — raising the range
+    # error beats a raw FileNotFoundError from the manifest open below.
+    # Committed versions are dense integers (each commit is parent+1), so
+    # endpoint existence + the per-version walk below cover membership
+    # without ever listing the log directory.
+    if (
+        since > until
+        or not os.path.exists(_manifest_path(table, until))
+        or not os.path.exists(_manifest_path(table, since))
+    ):
         raise FileNotFoundError(
             f"snapshot range ({since}, {until}] not resolvable at {table}"
         )
@@ -1423,8 +1718,15 @@ def snapshot_changes(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(man["schema"]))
         )
-    for v in versions:
-        if since < v <= until and _read_manifest(table, v)["mode"] != "append":
+    for v in range(since + 1, until + 1):
+        try:
+            mode = _read_stored(table, v)["mode"]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot range ({since}, {until}] not resolvable at "
+                f"{table}: v{v} was vacuumed"
+            ) from None
+        if mode != "append":
             raise ValueError(
                 f"version {v} at {table} is not an append — the range "
                 f"({since}, {until}] rewrites history; re-read the full "
@@ -1446,31 +1748,30 @@ def lineage_chain(table: str, since: int, until: int | None = None) -> list[int]
     external pin never landed) whose rows are not in `until`'s state and
     must not surface. For ordinary tables the chain is simply every
     version in the range. Raises FileNotFoundError when the range is not
-    resolvable from the retained versions (the feed horizon)."""
-    versions = _versions(table)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots at {table}")
+    resolvable from the retained versions (the feed horizon). The walk
+    reads stored commit files only (mode + pointers) — no manifest
+    materialization and no directory listing."""
     if until is None:
-        until = versions[-1]
-    if (
-        until not in versions
-        or since > until
-        or (since != 0 and since not in versions)
-    ):
+        until = _tip(table)
+        if until is None:
+            raise FileNotFoundError(f"no committed snapshots at {table}")
+    exists = lambda v: os.path.exists(_manifest_path(table, v))  # noqa: E731
+    if not exists(until) or since > until or (since != 0 and not exists(since)):
         raise FileNotFoundError(
             f"snapshot range ({since}, {until}] not resolvable at {table}"
         )
     chain: list[int] = []
     v: int | None = until
     while v is not None and v > since:
-        if v not in versions:
+        try:
+            man = _read_stored(table, v)
+        except FileNotFoundError:
             raise FileNotFoundError(
                 f"version {v} in the lineage of ({since}, {until}] at "
                 f"{table} was vacuumed; the feed horizon passed — re-read "
                 "the full snapshot"
-            )
+            ) from None
         chain.append(v)
-        man = _read_manifest(table, v)
         v = (
             man.get("append_base", man.get("parent"))
             if man["mode"] == "append"
@@ -1546,10 +1847,18 @@ def snapshot_change_feed(
             ))
         elif man["mode"] == "append":
             base = man.get("append_base", parent)
-            base_files = {
-                e["path"] for e in _entries(_read_manifest(table, base))
-            }
-            new = [e for e in _entries(man) if e["path"] not in base_files]
+            stored = _read_stored(table, v)
+            if "delta" in stored and stored["delta"]["vs"] == base:
+                # O(increment) in metadata too: the stored delta records
+                # exactly the appended entries — no base materialization
+                new = stored["delta"]["add"]
+            else:
+                base_files = {
+                    e["path"] for e in _entries(_read_manifest(table, base))
+                }
+                new = [
+                    e for e in _entries(man) if e["path"] not in base_files
+                ]
             pieces.append(_tag(
                 _scan_entries(spark, table, new, schema, pb), "insert"
             ))
@@ -1624,7 +1933,7 @@ def snapshots(table: str) -> list[dict]:
     against)."""
     out = []
     for v in _versions(table):
-        m = _read_manifest(table, v)
+        m = _read_stored(table, v)  # log fields only — no materialization
         row = {k: m[k] for k in ("version", "parent", "mode", "num_files")}
         ts = m.get("committed_at")  # inline: avoid a second manifest read
         row["committed_at"] = (
@@ -1653,6 +1962,7 @@ def vacuum(
         raise ValueError("keep_last must be >= 1")
     versions = _versions(table)
     keep = versions[-keep_last:]
+    cut = keep[0] if keep else 0
     referenced: set[str] = set()
     for v in keep:
         m = _read_manifest(table, v)
@@ -1662,8 +1972,41 @@ def vacuum(
         if cdf.get("kind") == "rows":
             # a retained merge commit's change files stay feed-readable
             referenced.add(cdf["dir"])
+        # A retained delta commit whose chain reaches BELOW the cut (the
+        # oldest kept version always; a base_version append possibly)
+        # must stay materializable after its chain is unlinked: persist
+        # its full state as a checkpoint sidecar first. Kept versions
+        # whose chain stays at/above the cut resolve through these.
+        stored = _read_stored(table, v)
+        if (
+            "delta" in stored
+            and stored["delta"]["vs"] < cut
+            and not os.path.exists(_checkpoint_path(table, v))
+        ):
+            os.makedirs(os.path.join(table, _CHECKPOINT_DIR), exist_ok=True)
+            tmp = os.path.join(
+                table, _CHECKPOINT_DIR, f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, _checkpoint_path(table, v))
+            except FileExistsError:
+                pass
+            os.unlink(tmp)
     for v in versions[:-keep_last]:
         os.unlink(_manifest_path(table, v))
+    # checkpoint sidecars of unlinked versions are themselves superseded
+    cp_dir = os.path.join(table, _CHECKPOINT_DIR)
+    if os.path.isdir(cp_dir):
+        keep_set = set(keep)
+        for name in sorted(os.listdir(cp_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            if int(name[1:-5]) not in keep_set:
+                os.unlink(os.path.join(cp_dir, name))
     deleted = []
     now = time.time()
     files_root = os.path.join(table, _FILES_DIR)

@@ -101,10 +101,19 @@ def _partitions_for_range(
             out += _file_parts(m._entries(man), "insert")
         elif man["mode"] == "append":
             base = man.get("append_base", parent)
-            base_files = {
-                e["path"] for e in m._entries(m._read_manifest(table, base))
-            }
-            new = [e for e in m._entries(man) if e["path"] not in base_files]
+            stored = m._read_stored(table, v)
+            if "delta" in stored and stored["delta"]["vs"] == base:
+                # the stored delta records exactly the appended entries —
+                # no base materialization (manifest.py's feed does the same)
+                new = stored["delta"]["add"]
+            else:
+                base_files = {
+                    e["path"]
+                    for e in m._entries(m._read_manifest(table, base))
+                }
+                new = [
+                    e for e in m._entries(man) if e["path"] not in base_files
+                ]
             out += _file_parts(new, "insert")
         elif cdf.get("kind") == "noop":
             continue
@@ -224,6 +233,23 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
             StructType.fromJson(json.loads(self._schema_json))
         )
         src = pq.read_table(partition.path)
+        # A schema-evolution commit landing MID-STREAM widens the table
+        # past the schema this stream was planned under; projecting the
+        # new column away would silently diverge from the batch feed
+        # (ADVICE r11). Fail loudly with the remedy instead: restart the
+        # stream so it re-plans under the widened schema (the checkpoint
+        # resumes from the same offset, so no changes are lost).
+        known = set(target.names) | set(partition.partition_values) | {
+            "_change_type"
+        }
+        widened = [c for c in src.column_names if c not in known]
+        if widened:
+            raise ValueError(
+                f"change file {partition.path} carries columns {widened} "
+                "beyond the schema this stream started under — a schema-"
+                "evolution commit landed mid-stream. Restart the streaming "
+                "query (same checkpoint) to pick up the widened schema."
+            )
         n = src.num_rows
         cols = []
         for fld in target:

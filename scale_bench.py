@@ -1005,6 +1005,61 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Manifest delta log (VERDICT r11 #2): per-append COMMIT cost must be
+    # ~flat in the live-file count now that streaming/CDC paths commit
+    # once per micro-batch. Two signals, ×10 apart in live files: wall
+    # time per single-file append (includes the amortized checkpoint
+    # sidecar every CHECKPOINT_INTERVAL-th commit) and the stored commit
+    # JSON size (noise-free O() evidence — delta commits serialize the
+    # increment, never the table).
+    from clinical_search_data_pipeline_spark.sinks import manifest as _m
+
+    def _timed_commits(n_files: int, n_appends: int = 12):
+        root = tempfile.mkdtemp(prefix=f"csdp_mlog_{n_files}_")
+        table = root + "/t"
+        prefill = (
+            spark.range(0, n_files)
+            .selectExpr("id", "id * 2 AS v")
+            .repartition(n_files)
+        )
+        _m.write_snapshot(prefill, table)
+        one = spark.range(0, 1).selectExpr(
+            "id + 10000000 AS id", "id * 2 AS v"
+        ).coalesce(1)
+        sizes = []
+        t0 = time.perf_counter()
+        for _ in range(n_appends):
+            v = _m.write_snapshot(one, table, mode="append")
+            sizes.append(os.path.getsize(_m._manifest_path(table, v)))
+        sec = time.perf_counter() - t0
+        tip = _m.latest_version(table)
+        assert _m._read_manifest(table, tip)["num_files"] == n_files + n_appends
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        return round(sec / n_appends, 4), max(sizes)
+
+    base_sec_per, base_bytes = _timed_commits(100)
+    scaled_sec_per, scaled_bytes = _timed_commits(1000)
+    results["manifest_commit"] = {
+        "base_live_files": 100,
+        "scaled_live_files": 1000,
+        "base_append_sec": base_sec_per,
+        "scaled_append_sec": scaled_sec_per,
+        "ratio": round(scaled_sec_per / max(base_sec_per, 1e-9), 2),
+        "base_commit_bytes": base_bytes,
+        "scaled_commit_bytes": scaled_bytes,
+        "bytes_ratio": round(scaled_bytes / max(base_bytes, 1), 2),
+    }
+    print(
+        f"# manifest_commit: {base_sec_per:.3f}s/append at 100 files -> "
+        f"{scaled_sec_per:.3f}s at 1000 "
+        f"(x{results['manifest_commit']['ratio']}); stored JSON "
+        f"{base_bytes}B -> {scaled_bytes}B "
+        f"(x{results['manifest_commit']['bytes_ratio']})",
+        file=sys.stderr,
+    )
+
     payload = {
         "metric": "scale_growth",
         "factor": factor,

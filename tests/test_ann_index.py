@@ -19,9 +19,14 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def persisted(spark, tmp_path_factory):
+    # train_rounds=0: this fixture backs the frozen-SEED equivalence pins
+    # (persisted path == on-the-fly ann_ivfpq_topk, which quantizes with
+    # the seed slice). The TRAINED default is pinned separately by
+    # test_trained_add_equals_trained_rebuild and driver-verified via
+    # q_ann_index_topk's unrolled-Lloyd oracle.
     root = str(tmp_path_factory.mktemp("ann") / "index")
     emb = read_table(spark, SF, "embeddings")
-    ai.write_ann_index(ai.build_ann_index(emb), root)
+    ai.write_ann_index(ai.build_ann_index(emb, train_rounds=0), root)
     return root, emb
 
 
@@ -108,7 +113,9 @@ def test_incremental_add_equals_full_rebuild(spark, tmp_path):
     emb = read_table(spark, SF, "embeddings")
     root = str(tmp_path / "index")
     initial = emb.filter(F.col("vec_id") < 300)  # includes all training rows
-    ai.write_ann_index(ai.build_ann_index(initial), root)
+    # train_rounds=0: this pin compares against the seed-quantizer
+    # on-the-fly path; the trained twin is pinned separately below
+    ai.write_ann_index(ai.build_ann_index(initial, train_rounds=0), root)
     pre_cells = {
         e["path"]
         for e in m._entries(
@@ -140,7 +147,7 @@ def test_remove_masks_then_compact_applies(spark, tmp_path):
     all. Unknown ids and re-adds of tombstoned ids refuse."""
     emb = read_table(spark, SF, "embeddings")
     root = str(tmp_path / "index")
-    ai.write_ann_index(ai.build_ann_index(emb), root)
+    ai.write_ann_index(ai.build_ann_index(emb, train_rounds=0), root)
     queries = emb.filter(F.col("vec_id") < 8)
     baseline = ai.ann_index_topk(ai.read_ann_index(spark, root), queries)
     victim = int(baseline.collect()[0].neighbor_id)
@@ -174,7 +181,9 @@ def test_add_then_compact_equals_fresh_rebuild(spark, tmp_path):
     emb = read_table(spark, SF, "embeddings")
     root = str(tmp_path / "index")
     ai.write_ann_index(
-        ai.build_ann_index(emb.filter(F.col("vec_id") < 300)), root
+        ai.build_ann_index(
+            emb.filter(F.col("vec_id") < 300), train_rounds=0
+        ), root
     )
     ai.add_to_ann_index(
         spark, root,
@@ -185,7 +194,7 @@ def test_add_then_compact_equals_fresh_rebuild(spark, tmp_path):
     man = m._read_manifest(f"{root}/cells", v["cells"])
     assert man["num_files"] <= 2  # small files collapsed
     idx = ai.read_ann_index(spark, root)
-    fresh = ai.build_ann_index(emb)
+    fresh = ai.build_ann_index(emb, train_rounds=0)
     assert _rows(idx["cells"]) == _rows(fresh["cells"])
     assert _rows(idx["codes"]) == _rows(fresh["codes"])
     queries = emb.filter(F.col("vec_id") < 8)
@@ -203,13 +212,15 @@ def test_crashed_add_orphan_never_duplicates(spark, tmp_path):
     emb = read_table(spark, SF, "embeddings")
     root = str(tmp_path / "index")
     ai.write_ann_index(
-        ai.build_ann_index(emb.filter(F.col("vec_id") < 300)), root
+        ai.build_ann_index(
+            emb.filter(F.col("vec_id") < 300), train_rounds=0
+        ), root
     )
     increment = emb.filter(F.col("vec_id") >= 300)
     # simulate the crash: stage the increment's cells/codes appends on the
     # tips exactly as add_to_ann_index would, but never pin meta
     idx = ai.read_ann_index(spark, root)
-    crashed = ai.build_ann_index(emb)  # same frozen quantizers
+    crashed = ai.build_ann_index(emb, train_rounds=0)  # same frozen quantizers
     m.write_snapshot(
         crashed["cells"].join(idx["cells"], "vec_id", "left_anti"),
         f"{root}/cells", mode="append", collect_stats=False,
@@ -230,3 +241,27 @@ def test_crashed_add_orphan_never_duplicates(spark, tmp_path):
     assert _rows(
         ai.ann_index_topk(ai.read_ann_index(spark, root), queries)
     ) == _rows(ann_ivfpq_topk(emb))
+
+
+def test_trained_add_equals_trained_rebuild(spark, tmp_path):
+    """The r12 default: build_ann_index TRAINS the coarse quantizer
+    (ANN_TRAIN_ROUNDS fixed Lloyd rounds). FAISS's train/add contract
+    still holds — freeze the quantizer on a training set, add increments,
+    and the result is bit-equal to a fresh build whose quantizer trained
+    on the SAME set (train_on=): trained cells change WHERE vectors live,
+    never the frozen-quantizer add semantics."""
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    initial = emb.filter(F.col("vec_id") < 300)  # includes training rows
+    ai.write_ann_index(ai.build_ann_index(initial), root)  # trained default
+    ai.add_to_ann_index(spark, root, emb.filter(F.col("vec_id") >= 300))
+    idx = ai.read_ann_index(spark, root)
+    fresh = ai.build_ann_index(emb, train_on=initial)  # same frozen quantizer
+    assert _rows(idx["centroids"]) == _rows(fresh["centroids"])
+    assert _rows(idx["cells"]) == _rows(fresh["cells"])
+    queries = emb.filter(F.col("vec_id") < 8)
+    fresh_root = str(tmp_path / "fresh")
+    ai.write_ann_index(fresh, fresh_root)
+    assert _rows(ai.ann_index_topk(idx, queries)) == _rows(
+        ai.ann_index_topk(ai.read_ann_index(spark, fresh_root), queries)
+    )

@@ -790,3 +790,67 @@ def test_update_snapshot_on_evolved_table(spark, tmp_path):
         r.id: (r.v, r.score) for r in m.read_snapshot(spark, table).collect()
     }
     assert rows == {0: (0, 7.0), 1: (2, 7.0), 2: (4, None), 10: (20, 0.5)}
+
+
+# --------------------------------------------- ADVICE r12 hardening
+
+
+def test_net_changes_rejects_duplicate_key_inserts_per_commit(spark):
+    """Keyed application of a non-key-unique source must fail loudly, not
+    pick an arbitrary survivor (ADVICE r11): two inserts for one key in
+    ONE commit is undefined under latest-commit-wins; across commits it
+    is the normal upsert shape and stays legal."""
+    rows = [
+        (1, 10, "insert", 3),
+        (1, 11, "insert", 3),  # same key, same commit — ambiguous
+    ]
+    changes = spark.createDataFrame(
+        rows, "id long, v long, _change_type string, _commit_version int"
+    )
+    with pytest.raises(ValueError, match="not key-unique per commit"):
+        m.net_changes(changes, ["id"]).collect()
+    # strict=False restores the old pick-one behavior for proven feeds
+    assert m.net_changes(changes, ["id"], strict=False).count() == 1
+    # the legal cross-commit shape: later commit wins, no error
+    rows2 = [
+        (1, 10, "insert", 3),
+        (1, 10, "delete", 4),
+        (1, 99, "insert", 4),
+    ]
+    changes2 = spark.createDataFrame(
+        rows2, "id long, v long, _change_type string, _commit_version int"
+    )
+    out = m.net_changes(changes2, ["id"]).collect()
+    assert len(out) == 1 and out[0].v == 99
+
+
+def test_replay_of_applied_range_is_version_noop(spark, tmp_path):
+    """ADVICE r11: at-least-once redelivery must converge in VERSION
+    HISTORY, not only content — re-applying an already-applied range
+    publishes no new replica commit and emits no spurious change rows
+    for chained consumers."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    m.write_snapshot(_df(spark, 0, 4), src)
+    m.merge_snapshot(
+        spark.range(2, 6).selectExpr("id", "id * 7 AS v"), src, keys=["id"]
+    )
+    feed = m.snapshot_change_feed(spark, src, since=0)
+    v1 = m.apply_changes_to_snapshot(feed, dst, keys=["id"])
+    # replay the SAME range: content converged, so no new version
+    v2 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert v2 == v1
+    assert [s["version"] for s in m.snapshots(dst)] == [v1]
+    # and the replica's own feed carries no replay-era change rows
+    assert m.snapshot_change_feed(spark, dst, since=v1).count() == 0
+    # a genuinely new source commit still applies and bumps the version
+    m.write_snapshot(_df(spark, 50, 52), src, mode="append")
+    v3 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert v3 == v1 + 1
+    assert _ids(m.read_snapshot(spark, dst)) == _ids(
+        m.read_snapshot(spark, src)
+    )

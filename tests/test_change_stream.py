@@ -311,3 +311,35 @@ def test_streamed_replication_equals_batch(spark, tmp_path):
     )
     assert wm2 == m.latest_version(src) > wm
     assert _snap_rows(spark, d_stream) == _snap_rows(spark, src)
+
+
+def test_mid_stream_schema_evolution_fails_loudly(spark, tmp_path):
+    """ADVICE r11: a schema-evolution commit landing AFTER the stream
+    planned its schema must not silently project the new column away
+    (batch and streamed consumers would disagree until restart) — read()
+    detects the widened change file and raises with restart guidance.
+    A restarted reader (fresh schema pin) consumes the same commit fine."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)  # v1
+    pinned = _feed_schema(table)  # stream plans under the NARROW schema
+    r = SnapshotChangeStreamReader(pinned, {"table": table, "since": "1"})
+    # evolution commit lands mid-stream
+    m.write_snapshot(
+        spark.createDataFrame([(10, 20, 0.5)], "id long, v long, score double"),
+        table, mode="append", allow_new_columns=True,
+    )  # v2
+    parts = r.partitions({"version": 1}, {"version": 2})
+    data_parts = [p for p in parts if p.path]
+    assert data_parts, "expected at least one change-file partition"
+    with pytest.raises(ValueError, match="Restart the streaming query"):
+        for p in data_parts:
+            list(r.read(p))
+    # restart: the fresh reader pins the widened schema and reads cleanly
+    r2 = SnapshotChangeStreamReader(
+        _feed_schema(table), {"table": table, "since": "1"}
+    )
+    rows = []
+    for p in r2.partitions({"version": 1}, {"version": 2}):
+        if p.path:
+            rows += list(r2.read(p))
+    assert sum(b.num_rows for b in rows) == 1

@@ -1182,3 +1182,69 @@ def test_incremental_refresh_replayed_fold_does_not_duplicate(spark, tmp_path):
     corpus = m.read_snapshot(spark, corpus_table, version=new_pin)
     assert corpus.filter(F.col("doc_id") == b_id).count() == 1
     assert corpus.filter(F.col("doc_id") == a_id).count() == 1
+
+
+def test_mart_meta_pin_gives_all_old_or_all_new(spark, tmp_path):
+    """VERDICT r11 #4: the four marts must tell ONE story. mart_etl_job
+    lands a `_mart_meta` pin AFTER every mart commits; readers resolving
+    through it see the complete old set mid-ETL (a torn rebuild — some
+    marts re-published, pin not yet landed — is invisible), the complete
+    new set after, never a mix. A crash before the pin leaves the old set
+    live."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    written = pipelines.mart_etl_job(events, out, snapshot=True)
+    v1 = pipelines.resolve_mart_versions(spark, out)
+    assert v1 == {t: 1 for t in written}
+
+    # simulate a torn rebuild / crash before the pin: HALF the marts get
+    # a new (here: visibly different) version, the pin is never updated
+    tables = sorted(written)
+    torn = tables[: len(tables) // 2]
+    for t in torn:
+        one = m.read_snapshot(spark, f"{out}/{t}").limit(1)
+        m.write_snapshot(one, f"{out}/{t}", mode="overwrite")
+    # the pinned read still ships v1 of EVERY mart — all-old, no mix
+    recorded: dict[str, int] = {}
+    loaded = pipelines.mart_load_job(
+        spark, out, tuple(tables),
+        sink=lambda df, table: recorded.__setitem__(table, df.count()),
+        snapshot=True,
+    )
+    assert loaded == written == recorded
+    assert pipelines.resolve_mart_versions(spark, out) == v1
+
+    # the next complete ETL lands a new pin; readers flip to all-new
+    pipelines.mart_etl_job(events, out, snapshot=True)
+    v2 = pipelines.resolve_mart_versions(spark, out)
+    assert all(v2[t] > v1[t] for t in tables)
+    loaded2 = pipelines.mart_load_job(
+        spark, out, tuple(tables),
+        sink=lambda df, table: None,
+        snapshot=True,
+    )
+    assert loaded2 == written
+
+
+def test_mart_incremental_backfill_updates_pin(spark, tmp_path):
+    """The one-day backfill (replace_partitions per dated mart) refreshes
+    the pin too, carrying the untouched global marts' versions forward —
+    the consistent set stays complete across incremental publishes."""
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    pipelines.mart_etl_job(events, out, snapshot=True)
+    v1 = pipelines.resolve_mart_versions(spark, out)
+    day = events.selectExpr("min(event_date) AS d").collect()[0].d
+    written = pipelines.mart_etl_incremental_job(
+        events, out, (str(day),), snapshot=True
+    )
+    assert written  # at least the dated marts were backfilled
+    v2 = pipelines.resolve_mart_versions(spark, out)
+    assert set(v2) == set(v1)
+    for t in v1:
+        if t in written:
+            assert v2[t] == v1[t] + 1, t
+        else:
+            assert v2[t] == v1[t], t  # untouched mart carried forward

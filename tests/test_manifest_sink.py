@@ -87,7 +87,7 @@ def test_commit_aborts_if_stage_vacuumed_under_writer(spark, tmp_path, monkeypat
 
     table = str(tmp_path / "t")
     m.write_snapshot(_df(spark, 0, 3), table)
-    real_versions = m._versions
+    real_tip = m._tip
 
     def vacuum_midway(t):
         # runs inside write_snapshot's commit loop, after staging
@@ -98,9 +98,9 @@ def test_commit_aborts_if_stage_vacuumed_under_writer(spark, tmp_path, monkeypat
                 for e in m._entries(m._read_manifest(t, 1))
             ):
                 _sh.rmtree(d)
-        return real_versions(t)
+        return real_tip(t)
 
-    monkeypatch.setattr(m, "_versions", vacuum_midway)
+    monkeypatch.setattr(m, "_tip", vacuum_midway)
     with pytest.raises(RuntimeError, match="vanished"):
         m.write_snapshot(_df(spark, 10, 12), table, mode="append")
     monkeypatch.undo()
@@ -524,3 +524,160 @@ def test_replace_partitions_relinks_untouched_files(spark, tmp_path):
         m.replace_partitions(patch, str(tmp_path / "missing"), "day")
     with pytest.raises(ValueError, match="append"):
         m.snapshot_changes(spark, table, since=1)  # replace rewrote history
+
+
+# ---------------------------------------------------------------------------
+# Delta log: per-commit delta manifests, checkpoint sidecars, tip pointer
+# (VERDICT r11 #2 — commit metadata cost must be O(changed files) now that
+# the streaming/CDC paths commit per micro-batch)
+
+
+def _stored(table, v):
+    return m._read_stored(table, v)
+
+
+def test_appends_store_deltas_and_periodic_checkpoints(
+    spark, tmp_path, monkeypatch
+):
+    """N appends produce N delta commit files (O(increment) JSON each)
+    plus floor(N/K) checkpoint sidecars; every version still reads
+    identically to the full-manifest design."""
+    monkeypatch.setattr(m, "CHECKPOINT_INTERVAL", 3)
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)  # v1: full (first commit)
+    n_appends = 7
+    for i in range(n_appends):  # v2..v8
+        m.write_snapshot(
+            _df(spark, 10 * (i + 1), 10 * (i + 1) + 2), table, mode="append"
+        )
+    assert "files" in _stored(table, 1)  # first commit is full
+    for v in range(2, 2 + n_appends):  # every append stored as a delta
+        st = _stored(table, v)
+        assert "files" not in st and "delta" in st, f"v{v} not a delta"
+        assert st["delta"]["vs"] == v - 1
+        assert st["delta"]["remove"] == []
+        assert len(st["delta"]["add"]) >= 1
+    # sidecars at the K-multiples among the delta commits: v3, v6
+    cps = sorted(os.listdir(os.path.join(table, "_checkpoints")))
+    assert cps == ["v00000003.json", "v00000006.json"]
+    # materialization through the chain is exact at every version
+    for v in range(1, 2 + n_appends):
+        want = [0, 1] + [
+            x for i in range(v - 1) for x in (10 * (i + 1), 10 * (i + 1) + 1)
+        ]
+        assert _ids(m.read_snapshot(spark, table, version=v)) == sorted(want)
+
+
+def test_delta_commit_json_is_o_increment(spark, tmp_path):
+    """The scale property itself: append commit JSON size must not grow
+    with the live-file count — a table with many live files appends the
+    same few bytes as a small one."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)
+    sizes = []
+    for i in range(6):
+        v = m.write_snapshot(
+            _df(spark, 100 + i, 101 + i).repartition(4),
+            table,
+            mode="append",
+        )
+        sizes.append(os.path.getsize(m._manifest_path(table, v)))
+    # live files grow ~4x per append; stored JSON stays flat (each append
+    # stages the same number of files)
+    assert max(sizes) <= sizes[0] * 1.5, sizes
+
+
+def test_tip_pointer_resolves_without_listing(spark, tmp_path, monkeypatch):
+    """Tip resolution goes through the hint + forward probe: with the
+    directory listing disabled entirely, reads and appends still work."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+
+    def no_listing(t):
+        raise AssertionError("hot path listed the manifest directory")
+
+    monkeypatch.setattr(m, "_versions", no_listing)
+    assert m.latest_version(table) == 2
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 10, 11]
+    v3 = m.write_snapshot(_df(spark, 20, 21), table, mode="append")
+    assert v3 == 3
+    monkeypatch.undo()
+
+
+def test_tip_hint_lags_probe_recovers(spark, tmp_path):
+    """The hint is an accelerator, not truth: a stale (lagging) hint must
+    not hide newer committed versions."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")
+    hint = os.path.join(table, "_manifests", "_tip.json")
+    with open(hint, "w") as f:
+        json.dump({"version": 1}, f)  # regress the hint
+    assert m._tip(table) == 2  # forward probe recovers
+    with open(hint, "w") as f:
+        f.write("not json")  # corrupt hint falls back to listing
+    assert m._tip(table) == 2
+
+
+def test_vacuum_checkpoints_retained_delta_then_reclaims_chain(
+    spark, tmp_path, monkeypatch
+):
+    """Vacuum about to unlink a retained delta commit's chain writes the
+    checkpoint sidecar first: the kept versions stay fully readable, the
+    superseded delta commit files and stale sidecars are reclaimed."""
+    monkeypatch.setattr(m, "CHECKPOINT_INTERVAL", 100)  # no cadence help
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)
+    for i in range(5):  # v2..v6, all deltas chaining to v1
+        m.write_snapshot(_df(spark, 10 + i, 11 + i), table, mode="append")
+    assert all("delta" in _stored(table, v) for v in range(2, 7))
+    m.vacuum(table, keep_last=2, retention_seconds=0)
+    # v1..v4 commit files gone, v5/v6 retained
+    assert sorted(
+        n for n in os.listdir(os.path.join(table, "_manifests"))
+        if n.startswith("v")
+    ) == ["v00000005.json", "v00000006.json"]
+    # v5 (oldest kept, a delta whose chain was cut) got a sidecar
+    assert os.path.exists(m._checkpoint_path(table, 5))
+    # both retained versions still read exactly
+    m._MATERIALIZE_CACHE.clear()  # force resolution from disk
+    assert _ids(m.read_snapshot(spark, table, version=5)) == [
+        0, 1, 10, 11, 12, 13,
+    ]
+    assert _ids(m.read_snapshot(spark, table, version=6)) == [
+        0, 1, 10, 11, 12, 13, 14,
+    ]
+    # a second vacuum with keep_last=1 reclaims v5's now-superseded sidecar
+    m.vacuum(table, keep_last=1, retention_seconds=0)
+    assert not os.path.exists(m._checkpoint_path(table, 5))
+    assert os.path.exists(m._checkpoint_path(table, 6))
+    m._MATERIALIZE_CACHE.clear()
+    assert _ids(m.read_snapshot(spark, table)) == [
+        0, 1, 10, 11, 12, 13, 14,
+    ]
+
+
+def test_delete_update_replace_store_touched_file_deltas(spark, tmp_path):
+    """The O(touched-files) DML commits store deltas too: removed paths +
+    replacement entries, never the carried file list."""
+    table = str(tmp_path / "t")
+    m.write_snapshot(
+        _df(spark, 0, 100).repartition(8), table
+    )
+    v, n = m.delete_from_snapshot(spark, table, where={"id": (0, 4)})
+    assert n == 5
+    st = _stored(table, v)
+    assert "delta" in st and "files" not in st
+    assert len(st["delta"]["remove"]) < 8  # only stats-touched files
+    v, n = m.update_snapshot(
+        spark, table, where={"id": (90, 94)}, set={"v": 0}
+    )
+    assert n == 5
+    st = _stored(table, v)
+    assert "delta" in st and "files" not in st
+    # merge rewrites the table: full commit (its own natural checkpoint)
+    v = m.merge_snapshot(
+        _df(spark, 5, 7), table, keys=["id"]
+    )
+    assert "files" in _stored(table, v)

@@ -206,3 +206,38 @@ def test_unbounded_broadcast_hint_flagged(spark):
     )
     ok_topk = docs.join(F.broadcast(topk), F.col("doc_id") == F.col("d2"))
     assert not any("broadcast() hint" in f for f in scale_lint(ok_topk))
+
+
+def test_corpus_slice_filter_does_not_silence_hint_lint(spark):
+    """ADVICE r11: the bounded-filter rule must not be satisfied by ANY
+    literal numeric comparison — `n_tokens > 0` selects a corpus-
+    proportional slice, so a broadcast hint on it is still a 100x
+    scale-killer and must flag. Genuine id/rank windows stay silent."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+
+    # the false-negative class the advice named: corpus-sized side with a
+    # quality filter on a measure column (n_chars)
+    nonempty = docs.filter(F.col("n_chars") > 0).select(
+        F.col("doc_id").alias("d2")
+    )
+    bad = docs.join(F.broadcast(nonempty), F.col("doc_id") == F.col("d2"))
+    assert any("broadcast() hint" in f for f in scale_lint(bad))
+
+    # still silent: a literal id window (fixed query set)
+    queries = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("d2")
+    )
+    ok = docs.join(F.broadcast(queries), F.col("doc_id") == F.col("d2"))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok))
+
+    # still silent: per-group top-k rank filter
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    topk = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select(F.col("doc_id").alias("d2"))
+    )
+    ok2 = docs.join(F.broadcast(topk), F.col("doc_id") == F.col("d2"))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok2))
