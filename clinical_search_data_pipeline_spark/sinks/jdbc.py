@@ -18,6 +18,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from clinical_search_data_pipeline_spark.plans.introspect import (
+    collect_stream_lint,
+)
+
 
 @dataclass(frozen=True)
 class JdbcConfig:
@@ -126,6 +130,11 @@ def apply_changes_to_jdbc(
     net = net_changes(changes, list(keys))
     deletes = net.filter(F.col("_change_type") == "delete").select(*keys)
     inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
+    # the CDC consumers' plans run through the same streaming lint sweep
+    # as the admission gates (no-op unless a collector is active): the
+    # netting window + staged splits ARE the per-micro-batch plan
+    collect_stream_lint(deletes)
+    collect_stream_lint(inserts)
     stage_del = f"{table}{staging_suffix}_del"
     stage_ins = f"{table}{staging_suffix}"
     stage_writer(deletes, stage_del)

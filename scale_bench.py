@@ -1060,6 +1060,66 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # CDC catch-up handoff (VERDICT r11 #6): the evidence behind
+    # pipelines.CDC_CATCHUP_THRESHOLD. One 1000-row backlog (50 append
+    # commits x 20 rows) drained two ways into a lake replica: the JVM
+    # batch feed (snapshot_change_feed + one apply) vs the Python
+    # streaming source (read_change_stream, availableNow) — the ratio is
+    # the Python-boundary tax a deep-backlog restart pays without the
+    # handoff.
+    from clinical_search_data_pipeline_spark.jobs import pipelines as _pl
+
+    def _timed_catchup():
+        root = tempfile.mkdtemp(prefix="csdp_cdcb_")
+        src = root + "/src"
+        _m.write_snapshot(
+            spark.range(0, 20).selectExpr("id", "id * 2 AS v"), src
+        )
+        for i in range(1, 50):
+            _m.write_snapshot(
+                spark.range(20 * i, 20 * i + 20).selectExpr(
+                    "id", "id * 2 AS v"
+                ),
+                src,
+                mode="append",
+            )
+        t0 = time.perf_counter()
+        _pl.replicate_snapshot_job(
+            spark, src, root + "/d_batch", ("id",), since=0
+        )
+        batch_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _pl.replicate_snapshot_job(
+            spark, src, root + "/d_stream", ("id",), since=0,
+            streaming=True, catchup_threshold=None,
+            state_path=root + "/wm.json",
+        )
+        stream_sec = time.perf_counter() - t0
+        n = _m.read_snapshot(spark, root + "/d_stream").count()
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        return round(batch_sec, 3), round(stream_sec, 3), n
+
+    batch_sec, stream_sec, backlog_rows = _timed_catchup()
+    results["cdc_catchup"] = {
+        "backlog_rows": backlog_rows,
+        "backlog_commits": 50,
+        "batch_feed_sec": batch_sec,
+        "python_source_sec": stream_sec,
+        "stream_over_batch_ratio": round(
+            stream_sec / max(batch_sec, 1e-9), 2
+        ),
+        "threshold": _pl.CDC_CATCHUP_THRESHOLD,
+    }
+    print(
+        f"# cdc_catchup: batch feed {batch_sec:.2f}s vs python source "
+        f"{stream_sec:.2f}s over a {backlog_rows}-row/50-commit backlog "
+        f"(x{results['cdc_catchup']['stream_over_batch_ratio']}); "
+        f"threshold {_pl.CDC_CATCHUP_THRESHOLD}",
+        file=sys.stderr,
+    )
+
     payload = {
         "metric": "scale_growth",
         "factor": factor,

@@ -681,3 +681,92 @@ def test_delete_update_replace_store_touched_file_deltas(spark, tmp_path):
         _df(spark, 5, 7), table, keys=["id"]
     )
     assert "files" in _stored(table, v)
+
+
+# ---------------------------------------------------------------------------
+# Write-time expectations (VERDICT r11 #5 — the reference's GE TODO)
+
+
+def test_expectation_fail_refuses_publish_old_version_live(spark, tmp_path):
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table, expect={"id_nonneg": "id >= 0"})
+    # the passing publish recorded zero violations (evidence it ran)
+    assert m._read_stored(table, 1)["expectations"] == {"id_nonneg": 0}
+    bad = spark.createDataFrame([(5, 10), (-1, -2)], "id long, v long")
+    with pytest.raises(m.ExpectationViolation, match="id_nonneg"):
+        m.write_snapshot(
+            bad, table, mode="append", expect={"id_nonneg": "id >= 0"}
+        )
+    # nothing committed: the previous version stays live and is the tip
+    assert m.latest_version(table) == 1
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2]
+
+
+def test_expectation_null_counts_as_violation(spark, tmp_path):
+    """Stricter than SQL CHECK on purpose: a NULL predicate result is a
+    violation — a quality gate that lets NULL slide ships null keys."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2), (None, 4)], "id long, v long")
+    with pytest.raises(m.ExpectationViolation):
+        m.write_snapshot(df, table, expect={"id_pos": "id > 0"})
+
+
+def test_expectation_quarantine_captures_exactly_violators(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    v = m.write_snapshot(
+        df,
+        table,
+        expect={"id_small": F.col("id") < 7, "v_even": "v % 2 = 0"},
+        on_violation="quarantine",
+    )
+    # passing rows published; counts recorded in the manifest
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 3, 4, 5, 6]
+    assert m._read_stored(table, v)["expectations"] == {
+        "id_small": 3, "v_even": 0,
+    }
+    q = m.read_snapshot(spark, m.quarantine_table(table))
+    rows = {r.id: list(r._violations) for r in q.collect()}
+    assert rows == {7: ["id_small"], 8: ["id_small"], 9: ["id_small"]}
+    # a second violating publish APPENDS to the quarantine
+    df2 = spark.createDataFrame([(100, 1)], "id long, v long")
+    m.write_snapshot(
+        df2, table, mode="append",
+        expect={"id_small": F.col("id") < 7, "v_even": "v % 2 = 0"},
+        on_violation="quarantine",
+    )
+    q2 = m.read_snapshot(spark, m.quarantine_table(table))
+    assert q2.count() == 4
+    both = {r.id: sorted(r._violations) for r in q2.collect()}
+    assert both[100] == ["id_small", "v_even"]
+    # the main table is unchanged by the all-violating append
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_expectation_survives_schema_evolution(spark, tmp_path):
+    """An expectation on a pre-evolution column keeps gating after an
+    allow_new_columns append widens the schema — and quarantining keeps
+    working across the evolution too."""
+    table = str(tmp_path / "t")
+    expect = {"v_nonneg": "v >= 0"}
+    m.write_snapshot(_df(spark, 0, 3), table, expect=expect)
+    widened = spark.createDataFrame(
+        [(10, 20, 0.5), (11, -1, 0.9)], "id long, v long, score double"
+    )
+    v = m.write_snapshot(
+        widened, table, mode="append", allow_new_columns=True,
+        expect=expect, on_violation="quarantine",
+    )
+    assert m._read_stored(table, v)["expectations"] == {"v_nonneg": 1}
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 10]
+    q = m.read_snapshot(spark, m.quarantine_table(table))
+    assert [r.id for r in q.collect()] == [11]
+    # fail-mode on the widened table still refuses atomically
+    with pytest.raises(m.ExpectationViolation):
+        m.write_snapshot(
+            spark.createDataFrame([(12, -5, 0.1)], widened.schema),
+            table, mode="append", allow_new_columns=True, expect=expect,
+        )
+    assert m.latest_version(table) == v

@@ -241,3 +241,47 @@ def test_corpus_slice_filter_does_not_silence_hint_lint(spark):
     )
     ok2 = docs.join(F.broadcast(topk), F.col("doc_id") == F.col("d2"))
     assert not any("broadcast() hint" in f for f in scale_lint(ok2))
+
+
+def test_cdc_consumers_lint_clean(spark, tmp_path):
+    """VERDICT r11 #7: the CDC consumers' per-micro-batch apply plans run
+    through the same streaming lint hook as the admission gates —
+    serve_changes_stream_job's JDBC apply (netting window + staged
+    splits) and replicate_snapshot_job's lake apply both report to an
+    active collector, and both come back clean."""
+    import duckdb
+
+    from clinical_search_data_pipeline_spark.jobs import pipelines as pl
+    from clinical_search_data_pipeline_spark.plans import introspect
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+    from tests.test_change_stream import _duck_serving
+
+    src = str(tmp_path / "src")
+    m.write_snapshot(
+        spark.range(0, 6).selectExpr("id", "id * 2 AS v"), src
+    )
+    m.merge_snapshot(
+        spark.range(1, 3).selectExpr("id", "id * 100 AS v"), src, keys=["id"]
+    )
+
+    con = duckdb.connect()
+    introspect.begin_stream_lint()
+    try:
+        pl.serve_changes_stream_job(
+            spark, src, "serving", ("id",), since=0,
+            state_path=str(tmp_path / "w.json"),
+            **_duck_serving(con, "serving"),
+        )
+    finally:
+        serve_findings = introspect.end_stream_lint()
+    assert serve_findings == [], serve_findings
+
+    introspect.begin_stream_lint()
+    try:
+        pl.replicate_snapshot_job(
+            spark, src, str(tmp_path / "dst"), ("id",), since=0,
+            streaming=True, state_path=str(tmp_path / "w2.json"),
+        )
+    finally:
+        replica_findings = introspect.end_stream_lint()
+    assert replica_findings == [], replica_findings
