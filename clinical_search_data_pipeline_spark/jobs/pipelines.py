@@ -91,6 +91,7 @@ def mart_etl_job(
     builders: Mapping[str, Callable[[DataFrame], DataFrame]] = COLD_MART_BUILDERS,
     partition_col: str | None = "event_date",
     snapshot: bool = False,
+    expect: Mapping[str, Mapping[str, object]] | None = None,
 ) -> dict[str, int]:
     """Silver -> four cold marts, overwrite (reference
     etl_to_analytics_mart.py:57-207). The input is cached across the four
@@ -109,7 +110,13 @@ def mart_etl_job(
     marts, never new daily_traffic joined to old popular_documents; a
     crash before the pin leaves the previous complete set live (the ANN
     index's META_TABLE pattern, operators/ann_index.py, generalized).
-    `mart_load_job(..., snapshot=True)` is the matching reader."""
+    `mart_load_job(..., snapshot=True)` is the matching reader.
+
+    ``expect`` (snapshot path only) maps mart name -> {expectation name ->
+    predicate} enforced at publish time (`write_snapshot(expect=...)`):
+    a mart rebuild violating its declared quality expectations raises
+    with the previous version — and the previous consistent pin — still
+    live, so BI keeps serving the last good set."""
     events = events.cache()
     written: dict[str, int] = {}
     versions: dict[str, int] = {}
@@ -127,8 +134,15 @@ def mart_etl_job(
                     if partition_col and partition_col in mart.columns
                     else None
                 )
+                # per-mart write-time expectations (snapshot path only):
+                # a violating mart rebuild is REFUSED with the previous
+                # version — and the previous consistent pin — left live
                 versions[name] = manifest_sink.write_snapshot(
-                    mart, path, mode="overwrite", partition_by=pb
+                    mart,
+                    path,
+                    mode="overwrite",
+                    partition_by=pb,
+                    expect=dict((expect or {}).get(name) or {}) or None,
                 )
             elif partition_col and partition_col in mart.columns:
                 pq_sink.write_partitioned(mart, path, partition_col, mode="overwrite")
@@ -146,16 +160,26 @@ MART_META_TABLE = "_mart_meta"  # (table, version) pin rows — committed LAST
 
 
 def _pin_mart_versions(
-    spark: SparkSession, out_dir: str, versions: Mapping[str, int]
+    spark: SparkSession,
+    out_dir: str,
+    versions: Mapping[str, int],
+    expected_parent=manifest_sink._UNSET,
 ) -> int:
     """Land the consistent-read pin: one snapshot commit whose rows name
     the exact per-mart versions of this publish. Committed AFTER every
-    mart — the pin either names a complete new set or never lands."""
+    mart — the pin either names a complete new set or never lands.
+    ``expected_parent`` forwards the snapshot sink's CAS for read-modify-
+    write pinners (the incremental backfill); the full ETL overwrites
+    unconditionally — its set is complete by construction, so
+    last-writer-wins between two full publishes is safe."""
     pins = spark.createDataFrame(
         sorted(versions.items()), "table string, version int"
     )
     return manifest_sink.write_snapshot(
-        pins, f"{out_dir}/{MART_META_TABLE}", mode="overwrite"
+        pins,
+        f"{out_dir}/{MART_META_TABLE}",
+        mode="overwrite",
+        expected_parent=expected_parent,
     )
 
 
@@ -220,12 +244,51 @@ def mart_etl_incremental_job(
                 )
             written[name] = mart.count()
         if snapshot and versions:
-            # the backfill touches only the partitioned marts; the pin
+            # The backfill touches only the partitioned marts; the pin
             # carries the untouched marts' previous versions forward so
-            # the consistent set stays complete
+            # the consistent set stays complete. Read-modify-write, so
+            # the fold pins the prior set's VERSION and CAS-commits
+            # against it: a concurrent full ETL's pin landing in between
+            # raises SnapshotConflict and the fold re-reads — without
+            # this, {**stale_prior, **versions} could silently roll the
+            # rival's marts back and pin a mixed story (code review r12).
             spark = events.sparkSession
-            prior = resolve_mart_versions(spark, out_dir) or {}
-            _pin_mart_versions(spark, out_dir, {**prior, **versions})
+            meta = f"{out_dir}/{MART_META_TABLE}"
+            for _ in range(5):
+                try:
+                    pin_v = manifest_sink.latest_version(meta)
+                except FileNotFoundError:
+                    pin_v = None
+                prior = (
+                    {
+                        r.table: r.version
+                        for r in manifest_sink.read_snapshot(
+                            spark, meta, version=pin_v
+                        ).collect()
+                    }
+                    if pin_v is not None
+                    else {}
+                )
+                # per-table versions are monotone, so max() never rolls a
+                # rival's newer commit back to this backfill's older one
+                folded = {
+                    **prior,
+                    **{
+                        k: max(v, prior.get(k, 0))
+                        for k, v in versions.items()
+                    },
+                }
+                try:
+                    _pin_mart_versions(
+                        spark, out_dir, folded, expected_parent=pin_v
+                    )
+                    break
+                except manifest_sink.SnapshotConflict:
+                    continue  # rival pinned between read and write
+            else:
+                raise RuntimeError(
+                    f"mart meta pin at {out_dir} lost 5 concurrent updates"
+                )
     finally:
         scoped.unpersist()
     return written
@@ -1116,6 +1179,7 @@ def ingest_admission_job(
     staging_dir: str | None = None,
     gate_index_root: str | None = None,
     incremental_refresh: bool = False,
+    expect: Mapping[str, object] | None = None,
 ) -> Mapping[str, int]:
     """Ingest-time admission over a document stream: ALL SEVEN gates run
     inside ONE foreachBatch — near-dup vs the standing corpus
@@ -1460,8 +1524,17 @@ def ingest_admission_job(
                 verdicts.filter("admitted").select("doc_id"), "doc_id"
             ).select(*(f.name for f in schema.fields))
             if admitted.limit(1).count() > 0:
+                # `expect` gates the lake publish itself (VERDICT r11 #5
+                # integrated into the reference ingest path): rows that
+                # pass the seven ADMISSION gates but violate a declared
+                # SCHEMA/quality expectation quarantine instead of
+                # landing in the curated lake
                 manifest_sink.write_snapshot(
-                    admitted, snapshot_table, mode="append"
+                    admitted,
+                    snapshot_table,
+                    mode="append",
+                    expect=dict(expect) if expect else None,
+                    on_violation="quarantine",
                 )
         finally:
             verdicts.unpersist()

@@ -165,13 +165,23 @@ def _bounding_filter(node: str) -> bool:
     cardinality? True only for (a) an upper bound / equality against a
     literal on an id- or rank-shaped column (`_rn <= 4`, `vec_id <
     cast(40 ...)`, `doc_id = 7`, `40 >= vec_id`), or (b) a literal
-    IN-list on such a column. Residual false negatives this rule accepts:
+    IN-list on such a column — and only when the comparison is not
+    inside a NOT / OR context (NOT inverts the bound — `doc_id != 0` is
+    the corpus minus one row — and an OR-ed bound guarantees nothing
+    about the other branch), where this rule conservatively declines and
+    the lint flags. Residual false negatives this rule accepts:
     an id window can still be large (`id < 10_000_000` bounds to 10M —
     "bounded" is not "small"), and a rank column aliased to a
     non-rank-shaped name escapes the pattern; both classes stay on the
     reviewer, as does anything the allowlists in tests/test_scale_lint.py
     name explicitly."""
     import re
+
+    # conservative: a negated or disjunctive predicate never proves a
+    # bound (false-positive direction is safe — the lint flags and the
+    # reviewer decides; code review r12 on ADVICE r11's tightening)
+    if "NOT " in node or " OR " in node:
+        return False
 
     def _idish(col: str) -> bool:
         low = col.lower()

@@ -225,16 +225,13 @@ def _enforce_expectations(
         .withColumn("_violations", violations)
         .withColumn("_quarantined_at", F.current_timestamp())
     )
+    # append unconditionally: a first append to an empty table commits a
+    # valid v1, and an existence-checked overwrite would let two racing
+    # first-time quarantiners hide each other's rows (code review r12)
     write_snapshot(
         bad,
         quarantine_table(table),
-        mode=(
-            "append"
-            if os.path.isdir(
-                os.path.join(quarantine_table(table), _MANIFEST_DIR)
-            )
-            else "overwrite"
-        ),
+        mode="append",
         # the quarantine follows the main table's schema evolution
         allow_new_columns=True,
     )
@@ -278,7 +275,9 @@ def _tip(table: str) -> int | None:
             hinted = int(json.load(f)["version"])
         if os.path.exists(_manifest_path(table, hinted)):
             v = hinted
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: valid JSON that is not an object (null, a list) —
+        # the hint is best-effort, so ANY unreadable form falls back
         v = None
     if v is None:
         versions = _versions(table)
@@ -417,14 +416,16 @@ def _read_manifest(table: str, version: int) -> dict:
     return out
 
 
-def _maybe_write_checkpoint(table: str, version: int, manifest: dict) -> None:
-    """Checkpoint sidecar cadence: after every CHECKPOINT_INTERVAL-th
-    commit, persist the full materialized manifest so delta chains stay
-    short. Best-effort and idempotent (tmp + create-exclusive link; a
-    racing duplicate loses harmlessly) — a missed checkpoint only
-    lengthens the next materialization walk."""
-    if version % CHECKPOINT_INTERVAL != 0:
-        return
+def _write_checkpoint(
+    table: str, version: int, manifest: dict, best_effort: bool
+) -> None:
+    """Persist the full materialized manifest as the version's sidecar —
+    idempotent (tmp + fsync + create-exclusive link; a racing duplicate
+    loses harmlessly). ``best_effort`` swallows I/O errors for the
+    cadence path (a missed sidecar only lengthens the next
+    materialization walk); vacuum passes False because it is about to
+    unlink the chain — a silently missing sidecar there would strand the
+    retained version."""
     path = _checkpoint_path(table, version)
     if os.path.exists(path):
         return
@@ -439,12 +440,22 @@ def _maybe_write_checkpoint(table: str, version: int, manifest: dict) -> None:
     except FileExistsError:
         pass
     except OSError:
-        return
+        if not best_effort:
+            raise
     finally:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _maybe_write_checkpoint(table: str, version: int, manifest: dict) -> None:
+    """Checkpoint sidecar cadence: after every CHECKPOINT_INTERVAL-th
+    commit, persist the full materialized manifest so delta chains stay
+    short."""
+    if version % CHECKPOINT_INTERVAL != 0:
+        return
+    _write_checkpoint(table, version, manifest, best_effort=True)
 
 
 def _commit_manifest(
@@ -601,6 +612,7 @@ def write_snapshot(
     cdf: dict | None = None,
     expect: dict | None = None,
     on_violation: str = "fail",
+    manifest_extra: dict | None = None,
 ) -> int:
     """Publish `df` as a new snapshot of `table`; returns the version.
 
@@ -658,20 +670,36 @@ def write_snapshot(
         if c not in df.columns:
             raise ValueError(f"partition column {c!r} not in dataframe")
     expectation_counts: dict[str, int] | None = None
+    gated = None
     if expect:
-        df, expectation_counts = _enforce_expectations(
-            df, table, expect, on_violation
-        )
+        # Pin ONE evaluation of the frame across the gate's three uses
+        # (counts agg, quarantine split, staged write): an unpinned
+        # nondeterministic lineage could pass the count yet write
+        # violating rows — the gate must see the rows it publishes
+        # (code review r12). Also removes the 2-3x re-scan per gated
+        # publish.
+        gated = df.persist()
+        try:
+            df, expectation_counts = _enforce_expectations(
+                gated, table, expect, on_violation
+            )
+        except BaseException:
+            gated.unpersist()
+            raise
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     # Stage data under a writer-unique name first: the snapshot version is
     # only decided at commit time, so two racing writers never write into
     # the same directory.
     stage = f"stage-{uuid.uuid4().hex}"
     stage_dir = os.path.join(table, _FILES_DIR, stage)
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(stage_dir)
+    try:
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage_dir)
+    finally:
+        if gated is not None:
+            gated.unpersist()
     new_entries = []
     for rel in _list_part_files(stage_dir):
         rows, stats = (
@@ -789,6 +817,11 @@ def write_snapshot(
             )
         if cdf is not None:
             manifest["cdf"] = cdf
+        if manifest_extra:
+            # caller-owned commit metadata (e.g. the CDC apply's
+            # applied_source_tip watermark); survives delta storage like
+            # every other manifest field
+            manifest.update(manifest_extra)
         if expectation_counts is not None:
             # evidence the gate ran: per-expectation violation counts
             # (zeros under on_violation='fail'; quarantined row counts
@@ -1618,11 +1651,16 @@ def apply_changes_to_snapshot(
     change files — a replica's feed is itself consumable, so replication
     chains compose.
 
-    Replay-idempotent IN VERSION HISTORY too, not just content: a range
-    whose net application would not change the replica's rows (the
-    at-least-once redelivery case) short-circuits to the unchanged tip
-    instead of publishing a no-op commit — so chained replicas and
-    serving consumers see zero spurious change rows on replay. Bootstrap:
+    Replay-idempotent IN VERSION HISTORY too, not just content: every
+    apply records the feed's max `_commit_version` in the replica's
+    manifest (`applied_source_tip`), and a range whose tip is at or
+    below the recorded watermark (the at-least-once redelivery case)
+    short-circuits to the unchanged replica tip in O(1) metadata —
+    so chained replicas and serving consumers see zero spurious change
+    rows on replay, and the steady-state apply never pays a replica
+    scan to find that out. (Assumes the replica is fed from ONE source
+    feed, the function's contract anyway — commit versions from two
+    different sources are not comparable.) Bootstrap:
     applying a feed
     from version 0 into an empty table materializes the source. An empty
     net delta commits nothing. Lost-update safe via the optimistic
@@ -1641,6 +1679,16 @@ def apply_changes_to_snapshot(
     ]
     deletes_keys = net.select(*keys).distinct()
     inserts = net.filter(F.col("_change_type") == "insert").select(*data_cols)
+    # the feed range's high-water mark — one O(delta) scalar, recorded in
+    # the commit and compared on the next apply for replay detection
+    incoming_tip = changes.agg(
+        F.max("_commit_version").alias("t")
+    ).collect()[0].t
+    watermark = (
+        {"applied_source_tip": int(incoming_tip)}
+        if incoming_tip is not None
+        else None
+    )
     last_exc: Exception | None = None
     for _ in range(max_conflict_retries):
         base = _tip(table)
@@ -1652,7 +1700,11 @@ def apply_changes_to_snapshot(
                 )
             try:
                 return write_snapshot(
-                    inserts, table, mode="overwrite", expected_parent=None
+                    inserts,
+                    table,
+                    mode="overwrite",
+                    expected_parent=None,
+                    manifest_extra=watermark,
                 )
             except SnapshotConflict as exc:
                 last_exc = exc
@@ -1660,6 +1712,16 @@ def apply_changes_to_snapshot(
         if net.limit(1).count() == 0:
             return base
         man = _read_manifest(table, base)
+        applied = man.get("applied_source_tip")
+        if (
+            applied is not None
+            and incoming_tip is not None
+            and int(incoming_tip) <= int(applied)
+        ):
+            # at-least-once redelivery of an already-applied range: the
+            # keyed apply would converge to identical content, so skip
+            # the commit entirely — O(1) metadata, no replica scan
+            return base
         pb = man.get("partition_by", [])
         schema = StructType.fromJson(json.loads(man["schema"]))
         if [f.name for f in schema.fields] != data_cols:
@@ -1680,17 +1742,6 @@ def apply_changes_to_snapshot(
         )
 
         collect_stream_lint(merged)
-        # Replaying an already-applied range (the documented at-least-once
-        # case) must CONVERGE, not churn: if the matched pre-images equal
-        # the net inserts as multisets, the apply is a content no-op —
-        # publishing it would emit spurious delete+insert change rows that
-        # chained second-hop replicas and serving tables re-apply forever
-        # (ADVICE r11). Two delta-sized anti-joins decide it.
-        if (
-            matched.exceptAll(inserts).limit(1).count() == 0
-            and inserts.exceptAll(matched).limit(1).count() == 0
-        ):
-            return base
         out_changes = matched.withColumn(
             "_change_type", F.lit("delete")
         ).unionByName(inserts.withColumn("_change_type", F.lit("insert")))
@@ -1706,6 +1757,7 @@ def apply_changes_to_snapshot(
                 partition_by=pb,
                 expected_parent=base,
                 cdf={"kind": "rows", "dir": cdf_stage},
+                manifest_extra=watermark,
             )
         except SnapshotConflict as exc:
             shutil.rmtree(
@@ -2105,24 +2157,11 @@ def vacuum(
         # its full state as a checkpoint sidecar first. Kept versions
         # whose chain stays at/above the cut resolve through these.
         stored = _read_stored(table, v)
-        if (
-            "delta" in stored
-            and stored["delta"]["vs"] < cut
-            and not os.path.exists(_checkpoint_path(table, v))
-        ):
-            os.makedirs(os.path.join(table, _CHECKPOINT_DIR), exist_ok=True)
-            tmp = os.path.join(
-                table, _CHECKPOINT_DIR, f".tmp-{uuid.uuid4().hex}"
-            )
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, _checkpoint_path(table, v))
-            except FileExistsError:
-                pass
-            os.unlink(tmp)
+        if "delta" in stored and stored["delta"]["vs"] < cut:
+            # must succeed (best_effort=False): the chain below the cut
+            # is about to be unlinked, and without the sidecar this
+            # retained version would become unmaterializable
+            _write_checkpoint(table, v, m, best_effort=False)
     for v in versions[:-keep_last]:
         os.unlink(_manifest_path(table, v))
     # checkpoint sidecars of unlinked versions are themselves superseded

@@ -1248,3 +1248,50 @@ def test_mart_incremental_backfill_updates_pin(spark, tmp_path):
             assert v2[t] == v1[t] + 1, t
         else:
             assert v2[t] == v1[t], t  # untouched mart carried forward
+
+
+def test_mart_etl_expectations_refuse_bad_rebuild(spark, tmp_path):
+    """mart_etl_job(expect=...): a mart rebuild violating its declared
+    expectation is refused with the previous version AND the previous
+    consistent pin still live — BI keeps serving the last good set."""
+    import pytest
+
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out = str(tmp_path / "gold")
+    events = load_events(spark, SF_SMOKE)
+    good = {"mart_daily_traffic": {"events_nonneg": "total_events >= 0"}}
+    pipelines.mart_etl_job(events, out, snapshot=True, expect=good)
+    v1 = pipelines.resolve_mart_versions(spark, out)
+    assert m._read_stored(f"{out}/mart_daily_traffic", 1)["expectations"] == {
+        "events_nonneg": 0
+    }
+    bad = {"mart_daily_traffic": {"impossible": "total_events < 0"}}
+    with pytest.raises(m.ExpectationViolation):
+        pipelines.mart_etl_job(events, out, snapshot=True, expect=bad)
+    # the violating rebuild left version AND pin untouched
+    assert pipelines.resolve_mart_versions(spark, out) == v1
+    assert m.latest_version(f"{out}/mart_daily_traffic") == 1
+
+
+def test_ingest_admission_expectations_quarantine(spark, tmp_path):
+    """ingest_admission_job(expect=...): rows passing the seven admission
+    gates but violating a declared lake expectation quarantine instead of
+    landing in the curated snapshot."""
+    from clinical_search_data_pipeline_spark.sinks import manifest as m
+
+    out = str(tmp_path / "verdicts")
+    lake = str(tmp_path / "lake")
+    summary = pipelines.ingest_admission_job(
+        spark, SF_SMOKE, out,
+        snapshot_table=lake,
+        expect={"has_text": "length(text) > 0"},
+    )
+    assert summary["docs_admitted"] > 0
+    lake_rows = m.read_snapshot(spark, lake)
+    assert lake_rows.filter("length(text) = 0").count() == 0
+    # every commit carries the evidence the gate ran
+    for s in m.snapshots(lake):
+        assert "has_text" in m._read_stored(lake, s["version"]).get(
+            "expectations", {}
+        )

@@ -285,3 +285,23 @@ def test_cdc_consumers_lint_clean(spark, tmp_path):
     finally:
         replica_findings = introspect.end_stream_lint()
     assert replica_findings == [], replica_findings
+
+
+def test_negated_or_disjunctive_bounds_do_not_silence_hint_lint(spark):
+    """Code review r12 on the ADVICE r11 tightening: a NOT-ed or OR-ed
+    id comparison proves nothing — `doc_id != 0` is the corpus minus one
+    row, and an OR branch can be unbounded — so the bounded-filter rule
+    must decline and the hint must flag."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+
+    not_zero = docs.filter(F.col("doc_id") != 0).select(
+        F.col("doc_id").alias("d2")
+    )
+    bad = docs.join(F.broadcast(not_zero), F.col("doc_id") == F.col("d2"))
+    assert any("broadcast() hint" in f for f in scale_lint(bad))
+
+    ored = docs.filter(
+        (F.col("doc_id") < 5) | (F.col("n_chars") > 0)
+    ).select(F.col("doc_id").alias("d2"))
+    bad2 = docs.join(F.broadcast(ored), F.col("doc_id") == F.col("d2"))
+    assert any("broadcast() hint" in f for f in scale_lint(bad2))
