@@ -443,7 +443,7 @@ def _catchup_versions_behind(table_path: str, since: int) -> int:
 # A restarting CDC consumer further behind than this many commits catches
 # up with ONE JVM-side batch feed read before handing off to the Python
 # streaming source. Evidence (BENCH_scale `cdc_catchup`, 1000-row backlog
-# over 50 commits): the batch feed applies the whole backlog ~1.4x faster
+# over 50 commits): the batch feed applies the whole backlog ~1.5x faster
 # than the Python source drains it — the per-change-file pyarrow boundary
 # plus the source's offset/partition machinery tax the backlog, while the
 # JVM feed scans the same files natively in one plan; the gap widens with

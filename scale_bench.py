@@ -1018,11 +1018,14 @@ def main() -> None:
         root = tempfile.mkdtemp(prefix=f"csdp_mlog_{n_files}_")
         table = root + "/t"
         prefill = (
-            spark.range(0, n_files)
+            spark.range(0, n_files * 4)  # 4 rows/partition: no empties
             .selectExpr("id", "id * 2 AS v")
             .repartition(n_files)
         )
         _m.write_snapshot(prefill, table)
+        # the writer may skip empty round-robin partitions — measure the
+        # live-file count from the committed manifest, don't assume it
+        n_live = _m._read_manifest(table, 1)["num_files"]
         one = spark.range(0, 1).selectExpr(
             "id + 10000000 AS id", "id * 2 AS v"
         ).coalesce(1)
@@ -1033,17 +1036,18 @@ def main() -> None:
             sizes.append(os.path.getsize(_m._manifest_path(table, v)))
         sec = time.perf_counter() - t0
         tip = _m.latest_version(table)
-        assert _m._read_manifest(table, tip)["num_files"] == n_files + n_appends
+        got = _m._read_manifest(table, tip)["num_files"]
+        assert got == n_live + n_appends, (got, n_live, n_appends)
         import shutil as _sh
 
         _sh.rmtree(root, ignore_errors=True)
-        return round(sec / n_appends, 4), max(sizes)
+        return round(sec / n_appends, 4), max(sizes), n_live
 
-    base_sec_per, base_bytes = _timed_commits(100)
-    scaled_sec_per, scaled_bytes = _timed_commits(1000)
+    base_sec_per, base_bytes, base_live = _timed_commits(100)
+    scaled_sec_per, scaled_bytes, scaled_live = _timed_commits(1000)
     results["manifest_commit"] = {
-        "base_live_files": 100,
-        "scaled_live_files": 1000,
+        "base_live_files": base_live,
+        "scaled_live_files": scaled_live,
         "base_append_sec": base_sec_per,
         "scaled_append_sec": scaled_sec_per,
         "ratio": round(scaled_sec_per / max(base_sec_per, 1e-9), 2),
