@@ -136,11 +136,12 @@ def main() -> None:
             print(
                 f"| {label} | 1 | {hits} | 40 | {bp} | {bp / 100:.2f}% |"
             )
-        # The persisted index (r12: coarse quantizer trained with
-        # ANN_TRAIN_ROUNDS fixed Lloyd rounds) measured end to end —
-        # build -> commit -> read back -> search. Compare with ivfpq_p1
-        # (the seed-quantizer IVFADC) to read the training uplift on the
-        # artifact a deployment actually serves from.
+        # The persisted index (r12: BOTH quantizers trained — coarse
+        # cells via ANN_TRAIN_ROUNDS fixed Lloyd rounds, PQ codebook via
+        # one pinned round) measured end to end — build -> commit ->
+        # read back -> search. Compare with ivfpq_p1 (the all-seed
+        # IVFADC) to read the training uplift on the artifact a
+        # deployment actually serves from.
         hits = _index_hits(spark, sf_dir)
         bp = hits * 10000 // 40
         print(
@@ -172,17 +173,18 @@ def main() -> None:
     print("never shuffled — and recall jumps to 90-100% at every SF: the")
     print("two-stage shape is what a 100 TB deployment should serve from.")
     print("The PERSISTED index path (q_ann_index_topk, operators/")
-    print("ann_index.py) trains its coarse quantizer — ANN_TRAIN_ROUNDS")
-    print("fixed Lloyd rounds, hash-verified end to end by an oracle that")
-    print("unrolls the same rounds in SQL — so its ivfadc_trained_index")
-    print("row reads directly against ivfpq_p1 (the seed-quantizer")
-    print("IVFADC at the same nprobe=1 plan shape): the gap between the")
-    print("two rows IS the training uplift on the served artifact")
-    print("(+750 bp at sf0.01, +500 bp at sf0.1). The sf0.001 row dips")
-    print("below its seed baseline — 250 vectors across 8 cells is too")
-    print("small for Lloyd means to beat the seed slice, the same small-")
-    print("fixture quirk ivf_p1_lloyd1 shows; training decisions read the")
-    print("sf0.1 row.")
+    print("ann_index.py) trains BOTH quantizers — the coarse cells with")
+    print("ANN_TRAIN_ROUNDS fixed Lloyd rounds and the PQ codebook with")
+    print("one pinned Lloyd round — hash-verified end to end by an oracle")
+    print("that composes the same training in SQL. Its")
+    print("ivfadc_trained_index row reads directly against ivfpq_p1 (the")
+    print("all-seed IVFADC at the same nprobe=1 plan shape): the gap")
+    print("between the two rows IS the training uplift on the served")
+    print("artifact (+1000 bp at sf0.01, +1750 bp at sf0.1 — 12.5% to")
+    print("30%). The sf0.001 row sits at its seed baseline — 250 vectors")
+    print("across 8 cells is too small for Lloyd means to beat the seed")
+    print("slice, the same small-fixture quirk ivf_p1_lloyd1 shows;")
+    print("training decisions read the sf0.1 row.")
     print("The ivf_p1_lloyd1 / ivf_p1_converged rows isolate the coarse")
     print("quantizer's quality (VERDICT r10 #6): the SAME nprobe=1 search")
     print("over kmeans_refined_cells (one Lloyd round) and kmeans_train")

@@ -37,12 +37,14 @@ and meet in an equi-join; everything query-sided (queries, centroids,
 codebook, distance tables) is broadcast. Search cost per query is
 ~ nprobe / n_centroids of the codes, exactly the on-the-fly
 `similarity.ann_ivfpq_topk` plan with the derivation scans amortized to
-zero. The coarse quantizer is TRAINED (ANN_TRAIN_ROUNDS fixed Lloyd
-rounds, VERDICT r11 #3 — at sf0.1 trained cells put 12/40 true top-5
-neighbors in the probed cell vs the seed slice's 7/40); the driver
-hash-verifies the trained index against an oracle that unrolls the same
-rounds in SQL (clustering.duck_lloyd_ctes), so index and oracle cannot
-drift.
+zero. BOTH quantizers are TRAINED by default (FAISS's train() step,
+VERDICT r11 #3): the coarse quantizer with ANN_TRAIN_ROUNDS fixed Lloyd
+rounds and the PQ codebook with one order-pinned Lloyd round
+(similarity.pq_train_codebooks(pinned=True)) — at sf0.1 the trained
+index returns 12/40 true top-5 neighbors vs the all-seed index's 7/40.
+The driver hash-verifies the trained index against an oracle composing
+the same training in SQL (clustering.duck_lloyd_ctes +
+similarity._DUCK_PQ_TRAINED_CTE), so index and oracle cannot drift.
 """
 
 from __future__ import annotations
@@ -78,13 +80,15 @@ TOMBSTONE_TABLE = "tombstones"  # (vec_id) rows pending physical removal
 # Lloyd rounds the persisted index trains its coarse quantizer with
 # (VERDICT r11 #3). Measured at sf0.1: seed cells put 7/40 true top-5
 # neighbors in the probed cell, 2 rounds put 12/40, full convergence
-# (8 rounds) 13/40; end to end (with the PQ/ADC loss compounded) the
-# trained index scores 9/40 vs the seed index's 7/40 at sf0.1 and 9/40
-# vs 6/40 at sf0.01 (ANN_RECALL.md ivfadc_trained_index row; the sf0.001
-# row dips — 250 vectors over 8 cells is too small for Lloyd means, the
-# same quirk ivf_p1_lloyd1 shows). Two rounds buy most of the converged
-# uplift while keeping the cross-engine oracle two unrolled CTEs deep.
-# Fixed rounds, not early-stopped: see clustering.trained_quantizer.
+# (8 rounds) 13/40. End to end — coarse training (2 rounds) PLUS the
+# one-round trained PQ codebook, with the ADC loss compounded — the
+# persisted index scores 12/40 vs the all-seed index's 7/40 at sf0.1
+# and 10/40 vs 6/40 at sf0.01 (ANN_RECALL.md ivfadc_trained_index row;
+# the sf0.001 row sits at its seed baseline — 250 vectors over 8 cells
+# is too small for Lloyd means to help, the same quirk ivf_p1_lloyd1
+# shows). Two coarse rounds buy most of the converged uplift while
+# keeping the cross-engine oracle two unrolled CTEs deep. Fixed rounds,
+# not early-stopped: see clustering.trained_quantizer.
 ANN_TRAIN_ROUNDS = 2
 
 
@@ -92,6 +96,7 @@ def build_ann_index(
     emb: DataFrame,
     train_rounds: int = ANN_TRAIN_ROUNDS,
     train_on: DataFrame | None = None,
+    train_pq: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Derive the four IVFADC index relations from the corpus vectors.
 
@@ -112,9 +117,23 @@ def build_ann_index(
         _assign,
         trained_quantizer,
     )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
 
+    if train_pq is None:
+        # by default both quantizers train together (FAISS trains the
+        # coarse quantizer AND the PQ codebooks in one train() call) and
+        # the seed path keeps both frozen for the equivalence fixtures
+        train_pq = train_rounds > 0
     subs = pq_subvectors(emb)
-    cb = pq_codebook(subs)
+    if train_pq:
+        # one order-pinned Lloyd round per subspace over the sliced init
+        # (pq_train_codebooks(pinned=True)) — the exact training round
+        # q_ann_pq_trained_topk's oracle replays bit-exactly in SQL
+        cb = pq_train_codebooks(train_on or emb, rounds=1, pinned=True)
+    else:
+        cb = pq_codebook(subs)
     base = vectors_with_norms(emb)
     if train_rounds > 0:
         centroids, _ = trained_quantizer(train_on or emb, train_rounds)
@@ -489,22 +508,24 @@ def ann_index_topk(
 
 
 def _q_ann_index_oracle() -> str:
-    """IVFADC under the TRAINED coarse quantizer: the same PQ/ADC scoring
-    SQL as q_ann_ivfpq_topk, with the seed cents/cells CTEs replaced by
+    """IVFADC under the FULLY trained index: the coarse cells come from
     ANN_TRAIN_ROUNDS unrolled Lloyd rounds (clustering.duck_lloyd_ctes —
-    the bit-exact order-pinned folds q_kmeans_refine already verifies),
-    so the oracle trains exactly what build_ann_index trains."""
+    the bit-exact order-pinned folds q_kmeans_refine already verifies)
+    and the PQ codes/distance tables from the trained codebook chain
+    (similarity._DUCK_PQ_TRAINED_CTE — the round q_ann_pq_trained_topk
+    already hash-verifies), so the oracle trains exactly what
+    build_ann_index trains, both quantizers."""
     from clinical_search_data_pipeline_spark.operators.clustering import (
         duck_lloyd_ctes,
     )
     from clinical_search_data_pipeline_spark.operators.similarity import (
-        _DUCK_PQ_CTE,
+        _DUCK_PQ_TRAINED_CTE,
     )
 
     r = ANN_TRAIN_ROUNDS
     return f"""
 WITH {_DUCK_BASE_CTE},
-{_DUCK_PQ_CTE.lstrip()},
+{_DUCK_PQ_TRAINED_CTE.lstrip()},
 {duck_lloyd_ctes(r)},
 q AS (SELECT vec_id AS query_id, cell AS qcell
       FROM cells_r{r} WHERE vec_id < {N_QUERIES}),
@@ -512,8 +533,8 @@ ivf_adc AS (
   SELECT q.query_id, c.vec_id, c.cell, sum(t.d) AS adist
   FROM cells_r{r} c
   JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
-  JOIN codes s ON s.vec_id = c.vec_id
-  JOIN dt t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
+  JOIN codes1 s ON s.vec_id = c.vec_id
+  JOIN dt1 t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
   GROUP BY 1, 2, 3
 )
 SELECT query_id, vec_id AS neighbor_id, cell,

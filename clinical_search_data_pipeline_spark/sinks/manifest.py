@@ -165,6 +165,29 @@ def quarantine_table(table: str) -> str:
     return table + QUARANTINE_SUFFIX
 
 
+def _enforce_agg_expectations(
+    df: DataFrame, table: str, expect_agg: dict
+) -> dict[str, int]:
+    """Table-level expectations: each value is a boolean AGGREGATE over
+    the publishing frame (`count(DISTINCT k) = count(k)`, `count(*) >=
+    100`, ...). All evaluate in ONE aggregation; any false/NULL refuses
+    the publish (`ExpectationViolation`; nothing staged). Returns
+    {name: 0} for the manifest — the recorded zero is the evidence the
+    gate ran and held."""
+    from pyspark.sql import Column
+
+    aggs = []
+    for name, p in expect_agg.items():
+        col = F.expr(p) if isinstance(p, str) else p
+        assert isinstance(col, Column)
+        aggs.append(F.coalesce(col, F.lit(False)).alias(name))
+    row = df.agg(*aggs).collect()[0]
+    failed = {name: 1 for name in expect_agg if not row[name]}
+    if failed:
+        raise ExpectationViolation(table, failed)
+    return {name: 0 for name in expect_agg}
+
+
 def _enforce_expectations(
     df: DataFrame, table: str, expect: dict, on_violation: str
 ):
@@ -612,6 +635,7 @@ def write_snapshot(
     cdf: dict | None = None,
     expect: dict | None = None,
     on_violation: str = "fail",
+    expect_agg: dict | None = None,
     manifest_extra: dict | None = None,
 ) -> int:
     """Publish `df` as a new snapshot of `table`; returns the version.
@@ -660,7 +684,17 @@ def write_snapshot(
     `ExpectationViolation` with nothing committed; under ``'quarantine'``
     the violating rows land in ``<table>__quarantine`` and the passing
     rows publish, with per-expectation counts recorded in the manifest
-    either way."""
+    either way.
+
+    ``expect_agg`` maps expectation name -> a TABLE-LEVEL boolean
+    aggregate (SQL string or Column), e.g. ``"count(*) > 0"`` or the
+    key-uniqueness gate ``"count(DISTINCT k) = count(k)"`` — the
+    replication precondition `net_changes` enforces downstream, checked
+    at the source instead. Evaluated in ONE aggregation over the
+    (row-gated) frame; false or NULL refuses the publish outright —
+    there is no quarantine for a table-level property, so these fail
+    even under ``on_violation='quarantine'``. Recorded in the manifest
+    as 0 (held) per name."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported snapshot mode: {mode}")
     if base_version is not None and mode != "append":
@@ -671,7 +705,7 @@ def write_snapshot(
             raise ValueError(f"partition column {c!r} not in dataframe")
     expectation_counts: dict[str, int] | None = None
     gated = None
-    if expect:
+    if expect or expect_agg:
         # Pin ONE evaluation of the frame across the gate's three uses
         # (counts agg, quarantine split, staged write): an unpinned
         # nondeterministic lineage could pass the count yet write
@@ -680,9 +714,18 @@ def write_snapshot(
         # publish.
         gated = df.persist()
         try:
-            df, expectation_counts = _enforce_expectations(
-                gated, table, expect, on_violation
-            )
+            expectation_counts = {}
+            if expect:
+                df, row_counts = _enforce_expectations(
+                    gated, table, expect, on_violation
+                )
+                expectation_counts.update(row_counts)
+            if expect_agg:
+                # table-level gates see the frame that will PUBLISH (the
+                # row-gated survivors under quarantine mode)
+                expectation_counts.update(
+                    _enforce_agg_expectations(df, table, expect_agg)
+                )
         except BaseException:
             gated.unpersist()
             raise

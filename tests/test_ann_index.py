@@ -258,6 +258,7 @@ def test_trained_add_equals_trained_rebuild(spark, tmp_path):
     idx = ai.read_ann_index(spark, root)
     fresh = ai.build_ann_index(emb, train_on=initial)  # same frozen quantizer
     assert _rows(idx["centroids"]) == _rows(fresh["centroids"])
+    assert _rows(idx["codebook"]) == _rows(fresh["codebook"])  # trained PQ too
     assert _rows(idx["cells"]) == _rows(fresh["cells"])
     queries = emb.filter(F.col("vec_id") < 8)
     fresh_root = str(tmp_path / "fresh")

@@ -770,3 +770,66 @@ def test_expectation_survives_schema_evolution(spark, tmp_path):
             table, mode="append", allow_new_columns=True, expect=expect,
         )
     assert m.latest_version(table) == v
+
+
+def test_agg_expectations_gate_table_level_properties(spark, tmp_path):
+    """Table-level expectations: boolean aggregates over the publishing
+    frame — the key-uniqueness replication precondition checked at the
+    SOURCE. False (or NULL) refuses outright even under quarantine mode
+    (no row subset can fix a table-level property)."""
+    table = str(tmp_path / "t")
+    unique = {"keys_unique": "count(DISTINCT id) = count(id)"}
+    v = m.write_snapshot(_df(spark, 0, 5), table, expect_agg=unique)
+    assert m._read_stored(table, v)["expectations"] == {"keys_unique": 0}
+    dup = spark.createDataFrame([(1, 2), (1, 3)], "id long, v long")
+    with pytest.raises(m.ExpectationViolation, match="keys_unique"):
+        m.write_snapshot(dup, table, mode="append", expect_agg=unique)
+    with pytest.raises(m.ExpectationViolation, match="keys_unique"):
+        m.write_snapshot(
+            dup, table, mode="append", expect_agg=unique,
+            on_violation="quarantine",  # no quarantine for table-level
+        )
+    assert m.latest_version(table) == v  # nothing committed
+    # row-level + table-level compose: the agg gate sees the row-gated
+    # survivors, so quarantining the dup row lets the publish pass
+    mixed = spark.createDataFrame(
+        [(7, 1), (8, 1), (8, -1)], "id long, v long"
+    )
+    v2 = m.write_snapshot(
+        mixed, table, mode="append",
+        expect={"v_pos": "v > 0"}, on_violation="quarantine",
+        expect_agg=unique,
+    )
+    st = m._read_stored(table, v2)["expectations"]
+    assert st == {"v_pos": 1, "keys_unique": 0}
+    assert _ids(m.read_snapshot(spark, table)) == [0, 1, 2, 3, 4, 7, 8]
+
+
+def test_concurrent_appends_single_winner_per_version(spark, tmp_path):
+    """The delta log under real concurrency: racing threads appending to
+    one table each win exactly one version (create-exclusive link +
+    retry), versions stay dense, and the materialized tip folds every
+    thread's increment exactly once."""
+    import concurrent.futures
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 2), table)
+
+    def append(i):
+        df = spark.range(100 * (i + 1), 100 * (i + 1) + 3).selectExpr(
+            "id", "id * 2 AS v"
+        )
+        return m.write_snapshot(df, table, mode="append")
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        versions = sorted(ex.map(append, range(8)))
+    assert versions == list(range(2, 10))  # one winner per version
+    want = [0, 1] + [
+        x for i in range(8) for x in range(100 * (i + 1), 100 * (i + 1) + 3)
+    ]
+    m._MATERIALIZE_CACHE.clear()  # resolve purely from the on-disk chain
+    assert _ids(m.read_snapshot(spark, table)) == sorted(want)
+    # every append stored as a delta vs its actual parent
+    for v in range(2, 10):
+        st = m._read_stored(table, v)
+        assert st["delta"]["vs"] == v - 1
