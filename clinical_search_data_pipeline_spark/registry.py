@@ -63,8 +63,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # stay; their chained/streamed twins defer). The 13 leftover r9 names are
 # deferred to r13 under the in-window exemption (ROUND_BACKLOG below,
 # DEFERRED_IN = 12; the backlog-neglect test hard-fails r13 if it
-# forgets). New registrations this round are held to the judge's <=2
-# guidance and documented where they claim slots.
+# forgets). ZERO new query registrations this round — the round's new
+# surface (delta-log manifests, trained index, mart pin, expectations,
+# CDC handoff) lands under existing queries and pytest pins, so the
+# full slot budget went to rotation.
 ROUND_PRIORITY: tuple[str, ...] = (
     # (a) the 13 MANDATORY names: deferred in r11, latest driver row r8,
     # at the staleness bound exactly this round.
