@@ -116,7 +116,17 @@ def mart_etl_job(
     predicate} enforced at publish time (`write_snapshot(expect=...)`):
     a mart rebuild violating its declared quality expectations raises
     with the previous version — and the previous consistent pin — still
-    live, so BI keeps serving the last good set."""
+    live, so BI keeps serving the last good set. Only the snapshot sink
+    can refuse-and-keep-previous, so `expect` with ``snapshot=False``
+    raises immediately — silently skipping a declared quality gate is
+    the one failure mode a quality feature must not have (ADVICE r12)."""
+    if expect and not snapshot:
+        raise ValueError(
+            "mart_etl_job(expect=...) requires snapshot=True: the plain "
+            "parquet path has no publish gate, and dropping declared "
+            "expectations silently would let a caller believe a quality "
+            "gate ran when it did not"
+        )
     events = events.cache()
     written: dict[str, int] = {}
     versions: dict[str, int] = {}

@@ -159,6 +159,12 @@ def _tree_depth(line: str) -> int:
 # must not silence the lint (ADVICE r11).
 _RANKISH = ("_rn", "rn", "rank", "_rank")
 
+# Largest upper-bound literal a bounding filter may accept: an id/rank
+# window above this is "bounded" only in theory — at 100 TB a forced
+# broadcast of a 10^9-id window is exactly the failure the lint exists
+# to catch, so large-literal windows stay flagged (ADVICE r12).
+_MAX_BOUNDED_LITERAL = 65_536
+
 
 def _bounding_filter(node: str) -> bool:
     """Does this analyzed-plan Filter line provably bound the subtree's
@@ -169,12 +175,16 @@ def _bounding_filter(node: str) -> bool:
     inside a NOT / OR context (NOT inverts the bound — `doc_id != 0` is
     the corpus minus one row — and an OR-ed bound guarantees nothing
     about the other branch), where this rule conservatively declines and
-    the lint flags. Residual false negatives this rule accepts:
-    an id window can still be large (`id < 10_000_000` bounds to 10M —
-    "bounded" is not "small"), and a rank column aliased to a
-    non-rank-shaped name escapes the pattern; both classes stay on the
-    reviewer, as does anything the allowlists in tests/test_scale_lint.py
-    name explicitly."""
+    the lint flags. "Id-shaped" means the `id`/`idx`/`rn`/`rank` suffix
+    as a TOKEN (`vec_id`, `id`, `_rn`), never a mere letter suffix —
+    `valid`, `paid`, `centroid` must not silence the lint (ADVICE r12).
+    An upper-bound literal additionally has to be small enough that the
+    window is actually broadcastable (`_MAX_BOUNDED_LITERAL`): `user_id
+    < 10**9` bounds the subtree in theory and kills the broadcast in
+    practice, so it stays flagged. Residual false negative: a rank
+    column aliased to a non-rank-shaped name escapes the pattern; that
+    class stays on the reviewer, as does anything the allowlists in
+    tests/test_scale_lint.py name explicitly."""
     import re
 
     # conservative: a negated or disjunctive predicate never proves a
@@ -185,21 +195,31 @@ def _bounding_filter(node: str) -> bool:
 
     def _idish(col: str) -> bool:
         low = col.lower()
-        return low in _RANKISH or low.endswith(("_rn", "_rank", "id", "_idx"))
+        return (
+            low in _RANKISH
+            or low in ("id", "idx")
+            or low.endswith(("_rn", "_rank", "_id", "_idx"))
+        )
+
+    def _small(lit: str) -> bool:
+        try:
+            return abs(int(lit)) <= _MAX_BOUNDED_LITERAL
+        except ValueError:
+            return False
 
     # col OP literal  (OP an upper bound or equality; literal may be cast)
-    for col, op in re.findall(
-        r"(\w+)#\d+L? (<=?|=) (?:cast\()?-?\d", node
+    for col, op, lit in re.findall(
+        r"(\w+)#\d+L? (<=?|=) (?:cast\()?(-?\d+)", node
     ):
-        if _idish(col):
+        if _idish(col) and (op == "=" or _small(lit)):
             return True
     # literal OP col  (reversed: 40 >= vec_id)
-    for op, col in re.findall(
-        r"-?\d+(?:\.\d+)?\)? (>=?|=) (\w+)#\d+", node
+    for lit, op, col in re.findall(
+        r"(-?\d+)(?:\.\d+)?\)? (>=?|=) (\w+)#\d+", node
     ):
-        if _idish(col):
+        if _idish(col) and (op == "=" or _small(lit)):
             return True
-    # col IN (literal list)
+    # col IN (literal list) — a fixed enumeration, magnitude-irrelevant
     for col in re.findall(r"(\w+)#\d+L? IN \(", node):
         if _idish(col):
             return True

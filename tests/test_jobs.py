@@ -1274,6 +1274,22 @@ def test_mart_etl_expectations_refuse_bad_rebuild(spark, tmp_path):
     assert m.latest_version(f"{out}/mart_daily_traffic") == 1
 
 
+def test_mart_etl_expect_requires_snapshot(spark, tmp_path):
+    """ADVICE r12: only the snapshot sink can refuse-and-keep-previous,
+    so declaring expectations on the plain-parquet path must raise
+    loudly instead of silently skipping the gate."""
+    import pytest
+
+    events = load_events(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="snapshot=True"):
+        pipelines.mart_etl_job(
+            events,
+            str(tmp_path / "gold"),
+            snapshot=False,
+            expect={"mart_daily_traffic": {"x": "total_events >= 0"}},
+        )
+
+
 def test_ingest_admission_expectations_quarantine(spark, tmp_path):
     """ingest_admission_job(expect=...): rows passing the seven admission
     gates but violating a declared lake expectation quarantine instead of

@@ -305,3 +305,44 @@ def test_negated_or_disjunctive_bounds_do_not_silence_hint_lint(spark):
     ).select(F.col("doc_id").alias("d2"))
     bad2 = docs.join(F.broadcast(ored), F.col("doc_id") == F.col("d2"))
     assert any("broadcast() hint" in f for f in scale_lint(bad2))
+
+
+def test_letter_suffix_and_large_literal_do_not_silence_hint_lint(spark):
+    """ADVICE r12: 'id-shaped' must mean the id/idx/rn/rank suffix as a
+    TOKEN — a column merely ENDING in the letters 'id' (valid, paid,
+    centroid) must not silence the lint — and an id window bounded only
+    by a huge literal (`doc_id < 10**9`) kills the broadcast in practice,
+    so it must stay flagged too. Genuine small id windows stay silent."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+
+    # letters-only suffix: `paid < 3000` is a measure filter, not an id
+    # window — corpus-proportional build side must flag
+    lettered = (
+        docs.withColumnRenamed("n_chars", "paid")
+        .filter(F.col("paid") < 3000)
+        .select(F.col("doc_id").alias("d2"))
+    )
+    bad = docs.join(F.broadcast(lettered), F.col("doc_id") == F.col("d2"))
+    assert any("broadcast() hint" in f for f in scale_lint(bad))
+
+    # large-literal id window: bounded in theory, 10^9 rows in practice
+    huge = docs.filter(F.col("doc_id") < 10**9).select(
+        F.col("doc_id").alias("d2")
+    )
+    bad2 = docs.join(F.broadcast(huge), F.col("doc_id") == F.col("d2"))
+    assert any("broadcast() hint" in f for f in scale_lint(bad2))
+
+    # still silent: a genuinely small id window and a bare `id` column
+    small = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("d2")
+    )
+    ok = docs.join(F.broadcast(small), F.col("doc_id") == F.col("d2"))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok))
+
+    bare = (
+        docs.select(F.col("doc_id").alias("id"))
+        .filter(F.col("id") <= 7)
+        .select(F.col("id").alias("d2"))
+    )
+    ok2 = docs.join(F.broadcast(bare), F.col("doc_id") == F.col("d2"))
+    assert not any("broadcast() hint" in f for f in scale_lint(ok2))
