@@ -117,6 +117,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from clinical_search_data_pipeline_spark.sinks.commitstore import (
+    CommitStore,
+    PosixCommitStore,
+)
+
 _MANIFEST_DIR = "_manifests"
 _CHECKPOINT_DIR = "_checkpoints"
 _TIP_HINT = "_tip.json"
@@ -261,16 +266,53 @@ def _enforce_expectations(
     return df.filter(ok), counts
 
 
+# Every metadata-log read/write goes through ONE CommitStore (VERDICT r12
+# #2): the POSIX backend by default; swap for an object-store backend with
+# `set_commit_store` / the `commit_store` context manager. Data files are
+# NOT in scope — Spark writes them, and they become visible only through
+# the log (see sinks/commitstore.py module docs).
+_STORE: CommitStore = PosixCommitStore()
+
+
+def get_commit_store() -> CommitStore:
+    return _STORE
+
+
+def set_commit_store(store: CommitStore) -> CommitStore:
+    """Install the commit-log backend for this process; returns the
+    previous one. The materialized-manifest memo is cleared — its
+    fingerprints are backend-specific."""
+    global _STORE
+    prev = _STORE
+    _STORE = store
+    _MATERIALIZE_CACHE.clear()
+    return prev
+
+
+class commit_store:
+    """``with commit_store(MemoryCommitStore()): ...`` — scoped backend
+    swap for tests and embedded runs."""
+
+    def __init__(self, store: CommitStore) -> None:
+        self._store = store
+        self._prev: CommitStore | None = None
+
+    def __enter__(self) -> CommitStore:
+        self._prev = set_commit_store(self._store)
+        return self._store
+
+    def __exit__(self, *exc) -> None:
+        assert self._prev is not None
+        set_commit_store(self._prev)
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
 def _versions(table: str) -> list[int]:
-    mdir = os.path.join(table, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return []
     out = []
-    for name in os.listdir(mdir):
+    for name in _STORE.list(os.path.join(table, _MANIFEST_DIR)):
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
@@ -294,10 +336,11 @@ def _tip(table: str) -> int | None:
     hint_path = os.path.join(table, _MANIFEST_DIR, _TIP_HINT)
     v: int | None = None
     try:
-        with open(hint_path) as f:
-            hinted = int(json.load(f)["version"])
-        if os.path.exists(_manifest_path(table, hinted)):
-            v = hinted
+        raw = _STORE.get(hint_path)
+        if raw is not None:
+            hinted = int(json.loads(raw)["version"])
+            if _STORE.exists(_manifest_path(table, hinted)):
+                v = hinted
     except (OSError, ValueError, KeyError, TypeError):
         # TypeError: valid JSON that is not an object (null, a list) —
         # the hint is best-effort, so ANY unreadable form falls back
@@ -307,68 +350,70 @@ def _tip(table: str) -> int | None:
         if not versions:
             return None
         v = versions[-1]
-    while os.path.exists(_manifest_path(table, v + 1)):
+    while _STORE.exists(_manifest_path(table, v + 1)):
         v += 1
     return v
 
 
 def _write_tip_hint(table: str, version: int) -> None:
-    """Best-effort tip accelerator (atomic rename, last-writer-wins). A
-    racing older writer may briefly regress the hint; `_tip`'s forward
-    probe recovers, so correctness never depends on this file."""
-    tmp = os.path.join(table, _MANIFEST_DIR, f".tip-{uuid.uuid4().hex}")
+    """Best-effort tip accelerator (last-writer-wins whole-object put).
+    A racing older writer may briefly regress the hint; `_tip`'s forward
+    probe recovers, so correctness never depends on this object."""
     try:
-        with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(tmp, os.path.join(table, _MANIFEST_DIR, _TIP_HINT))
+        _STORE.put(
+            os.path.join(table, _MANIFEST_DIR, _TIP_HINT),
+            json.dumps({"version": version}).encode(),
+        )
     except OSError:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        pass
 
 
-# Materialized-manifest memo: manifest/checkpoint files are immutable once
-# linked (create-exclusive; vacuum only ever UNLINKS), so a (path ->
-# materialized dict) cache is coherent as long as the path still names the
-# same inode — entries carry the inode and a hit revalidates with one
-# stat(), so a table directory torn down and recreated at the same path
-# (tests do this) can never serve another table's manifests. Bounded FIFO:
-# delta replay re-materializes on miss, so eviction costs time, never
-# correctness.
-_MATERIALIZE_CACHE: dict[str, tuple[int, dict]] = {}
+# Materialized-manifest memo: manifest/checkpoint objects are immutable
+# once published (create-exclusive; vacuum only ever DELETES), so a (path
+# -> materialized dict) cache is coherent as long as the path still names
+# the same object — entries carry the backend's fingerprint (POSIX:
+# (st_ino, st_mtime_ns, st_size) — inode alone is NOT enough, ext4 reuses
+# inodes after unlink, ADVICE r12; object stores: etag/generation) and a
+# hit revalidates with one stat()/HEAD. Bounded FIFO: delta replay
+# re-materializes on miss, so eviction costs time, never correctness.
+# Concurrency: committers race through here (test_concurrent_appends runs
+# 8 threads), so every removal is a tolerant .pop(key, None) — two threads
+# may both observe a stale entry, and the dict itself is GIL-atomic per op.
+_MATERIALIZE_CACHE: dict[str, tuple[object, dict]] = {}
 _MATERIALIZE_CACHE_MAX = 64
 
 
 def _cache_put(path: str, man: dict) -> None:
-    try:
-        ino = os.stat(path).st_ino
-    except OSError:
-        return  # racing an unlink — not cacheable
-    if len(_MATERIALIZE_CACHE) >= _MATERIALIZE_CACHE_MAX:
-        _MATERIALIZE_CACHE.pop(next(iter(_MATERIALIZE_CACHE)))
-    _MATERIALIZE_CACHE[path] = (ino, man)
+    fp = _STORE.fingerprint(path)
+    if fp is None:
+        return  # racing a delete — not cacheable
+    while len(_MATERIALIZE_CACHE) >= _MATERIALIZE_CACHE_MAX:
+        try:
+            victim = next(iter(_MATERIALIZE_CACHE))
+        except StopIteration:  # rival threads emptied it under us
+            break
+        _MATERIALIZE_CACHE.pop(victim, None)
+    _MATERIALIZE_CACHE[path] = (fp, man)
 
 
 def _cache_get(path: str) -> dict | None:
     hit = _MATERIALIZE_CACHE.get(path)
     if hit is None:
         return None
-    ino, man = hit
-    try:
-        if os.stat(path).st_ino == ino:
-            return man
-    except OSError:
-        pass
-    del _MATERIALIZE_CACHE[path]
+    fp, man = hit
+    if _STORE.fingerprint(path) == fp:
+        return man
+    _MATERIALIZE_CACHE.pop(path, None)
     return None
 
 
 def _read_stored(table: str, version: int) -> dict:
-    """The commit file exactly as stored: full (has 'files') or delta
+    """The commit object exactly as stored: full (has 'files') or delta
     (has 'delta': {'vs', 'add', 'remove'})."""
-    with open(_manifest_path(table, version)) as f:
-        return json.load(f)
+    raw = _STORE.get(_manifest_path(table, version))
+    if raw is None:
+        raise FileNotFoundError(_manifest_path(table, version))
+    return json.loads(raw)
 
 
 def _read_manifest(table: str, version: int) -> dict:
@@ -389,10 +434,9 @@ def _read_manifest(table: str, version: int) -> dict:
         return stored  # full commit: nothing to materialize or cache
     # a sidecar for the requested version short-circuits entirely (and is
     # the only resolution path once vacuum has unlinked its chain)
-    cp = _checkpoint_path(table, version)
-    if os.path.exists(cp):
-        with open(cp) as f:
-            man = json.load(f)
+    raw = _STORE.get(_checkpoint_path(table, version))
+    if raw is not None:
+        man = json.loads(raw)
         _cache_put(key, man)
         return man
     # walk the delta chain back to something resolvable
@@ -408,10 +452,9 @@ def _read_manifest(table: str, version: int) -> dict:
         if cached is not None:
             base = cached
             break
-        cp = _checkpoint_path(table, vs)
-        if os.path.exists(cp):
-            with open(cp) as f:
-                base = json.load(f)
+        raw = _STORE.get(_checkpoint_path(table, vs))
+        if raw is not None:
+            base = json.loads(raw)
             _cache_put(vs_key, base)
             break
         try:
@@ -443,33 +486,19 @@ def _write_checkpoint(
     table: str, version: int, manifest: dict, best_effort: bool
 ) -> None:
     """Persist the full materialized manifest as the version's sidecar —
-    idempotent (tmp + fsync + create-exclusive link; a racing duplicate
-    loses harmlessly). ``best_effort`` swallows I/O errors for the
-    cadence path (a missed sidecar only lengthens the next
-    materialization walk); vacuum passes False because it is about to
-    unlink the chain — a silently missing sidecar there would strand the
-    retained version."""
+    idempotent (create-exclusive publish; a racing duplicate loses
+    harmlessly). ``best_effort`` swallows I/O errors for the cadence path
+    (a missed sidecar only lengthens the next materialization walk);
+    vacuum passes False because it is about to unlink the chain — a
+    silently missing sidecar there would strand the retained version."""
     path = _checkpoint_path(table, version)
-    if os.path.exists(path):
-        return
-    os.makedirs(os.path.join(table, _CHECKPOINT_DIR), exist_ok=True)
-    tmp = os.path.join(table, _CHECKPOINT_DIR, f".tmp-{uuid.uuid4().hex}")
     try:
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.link(tmp, path)
-    except FileExistsError:
-        pass
+        if _STORE.exists(path):
+            return
+        _STORE.put_if_absent(path, json.dumps(manifest).encode())
     except OSError:
         if not best_effort:
             raise
-    finally:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
 
 
 def _maybe_write_checkpoint(table: str, version: int, manifest: dict) -> None:
@@ -487,10 +516,10 @@ def _commit_manifest(
     manifest: dict,
     delta: dict | None = None,
 ) -> bool:
-    """The single commit point every writer funnels through: link the
-    version's JSON create-exclusively (returns False on a lost race so
-    the caller's optimistic loop retries), then write the tip hint and
-    any due checkpoint sidecar.
+    """The single commit point every writer funnels through: publish the
+    version's JSON create-exclusively through the CommitStore (returns
+    False on a lost race so the caller's optimistic loop retries), then
+    write the tip hint and any due checkpoint sidecar.
 
     ``manifest`` always carries the FULL file list (writers build it in
     memory anyway — list/pointer work, not serialization). ``delta``
@@ -504,17 +533,10 @@ def _commit_manifest(
     else:
         stored = {k: v for k, v in manifest.items() if k != "files"}
         stored["delta"] = delta
-    tmp = os.path.join(table, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(stored, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(table, version))
-    except FileExistsError:
-        os.unlink(tmp)
+    if not _STORE.put_if_absent(
+        _manifest_path(table, version), json.dumps(stored).encode()
+    ):
         return False
-    os.unlink(tmp)
     if delta is not None:
         # pre-warm the memo so the next committer folds forward instead
         # of replaying the chain
@@ -526,6 +548,24 @@ def _commit_manifest(
         _maybe_write_checkpoint(table, version, manifest)
     _write_tip_hint(table, version)
     return True
+
+
+def _carry_watermark(base_man: dict) -> dict | None:
+    """CDC replay watermark to carry into a maintenance commit.
+
+    `apply_changes_to_snapshot` records `applied_source_tip` in the
+    commit it publishes and short-circuits redelivered ranges by reading
+    the field off the replica's TIP manifest. Maintenance commits between
+    applies (compact, DELETE, UPDATE, merge, replace_partitions) build
+    fresh manifests — if they dropped the field, the next redelivery
+    would re-apply and emit spurious change rows in the replica's own
+    feed (ADVICE r12). They carry it forward instead: maintenance
+    reshapes the replica's content, it does not un-apply the source
+    range. A plain overwrite (write_snapshot direct) still drops it on
+    purpose — wholesale replacement really does sever the replica from
+    the feed's history."""
+    tip = base_man.get("applied_source_tip")
+    return {"applied_source_tip": tip} if tip is not None else None
 
 
 def _entries(manifest: dict) -> list[dict]:
@@ -729,7 +769,6 @@ def write_snapshot(
         except BaseException:
             gated.unpersist()
             raise
-    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     # Stage data under a writer-unique name first: the snapshot version is
     # only decided at commit time, so two racing writers never write into
     # the same directory.
@@ -779,7 +818,7 @@ def write_snapshot(
         delta = None
         if mode == "append" and parent is not None:
             base = parent if base_version is None else base_version
-            if not os.path.exists(_manifest_path(table, base)):
+            if not _STORE.exists(_manifest_path(table, base)):
                 _abort(
                     FileNotFoundError(
                         f"append base_version v{base} not found at {table}"
@@ -1003,6 +1042,7 @@ def merge_snapshot(
                 partition_by=pb,
                 expected_parent=base,
                 cdf={"kind": "rows", "dir": cdf_stage},
+                manifest_extra=_carry_watermark(man),
             )
         except SnapshotConflict as exc:
             shutil.rmtree(
@@ -1149,6 +1189,7 @@ def replace_partitions(
                 "added": [e["path"] for e in new_entries],
             },
         }
+        manifest.update(_carry_watermark(pm) or {})
         # stored form is O(touched partitions): replaced paths out, staged
         # entries in — carried partitions never serialize again
         if _commit_manifest(
@@ -1260,6 +1301,7 @@ def delete_from_snapshot(
             "committed_at": time.time(),
             "cdf": {"kind": "rows", "dir": cdf_stage},
         }
+        manifest.update(_carry_watermark(man) or {})
         # stored form is O(touched files): the pruned-and-rewritten paths
         # out, their replacements in — carried files never serialize again
         if _commit_manifest(
@@ -1411,6 +1453,7 @@ def update_snapshot(
             "committed_at": time.time(),
             "cdf": {"kind": "rows", "dir": cdf_stage},
         }
+        manifest.update(_carry_watermark(man) or {})
         # same O(touched files) stored form as DELETE
         if _commit_manifest(
             table,
@@ -1532,7 +1575,7 @@ def _committed_at(table: str, version: int) -> float:
     ts = m.get("committed_at")
     if ts is not None:
         return float(ts)
-    return os.path.getmtime(_manifest_path(table, version))
+    return _STORE.mtime(_manifest_path(table, version))
 
 
 def version_as_of(table: str, ts) -> int:
@@ -1609,7 +1652,7 @@ def read_snapshot(
         version = _tip(table)
         if version is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-    elif not os.path.exists(_manifest_path(table, version)):
+    elif not _STORE.exists(_manifest_path(table, version)):
         raise FileNotFoundError(f"snapshot v{version} not found at {table}")
     manifest = _read_manifest(table, version)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -1701,7 +1744,10 @@ def apply_changes_to_snapshot(
     short-circuits to the unchanged replica tip in O(1) metadata —
     so chained replicas and serving consumers see zero spurious change
     rows on replay, and the steady-state apply never pays a replica
-    scan to find that out. (Assumes the replica is fed from ONE source
+    scan to find that out. Maintenance commits between applies
+    (compact / DELETE / UPDATE / merge / replace_partitions) carry the
+    watermark forward (`_carry_watermark`), so the short-circuit
+    survives them; only a wholesale manual overwrite drops it. (Assumes the replica is fed from ONE source
     feed, the function's contract anyway — commit versions from two
     different sources are not comparable.) Bootstrap:
     applying a feed
@@ -1850,7 +1896,8 @@ def compact_snapshot(
         base = _tip(table)
         if base is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-        pb = _read_manifest(table, base).get("partition_by", [])
+        man = _read_manifest(table, base)
+        pb = man.get("partition_by", [])
         current = read_snapshot(spark, table, version=base)
         if zorder_by is not None:
             if pb:
@@ -1897,6 +1944,7 @@ def compact_snapshot(
                 # a compaction/ZORDER rewrite is data-equivalent: the
                 # change feed across it is exactly zero rows
                 cdf={"kind": "noop"},
+                manifest_extra=_carry_watermark(man),
             )
         except SnapshotConflict as exc:
             last_exc = exc
@@ -1929,8 +1977,8 @@ def snapshot_changes(
     # without ever listing the log directory.
     if (
         since > until
-        or not os.path.exists(_manifest_path(table, until))
-        or not os.path.exists(_manifest_path(table, since))
+        or not _STORE.exists(_manifest_path(table, until))
+        or not _STORE.exists(_manifest_path(table, since))
     ):
         raise FileNotFoundError(
             f"snapshot range ({since}, {until}] not resolvable at {table}"
@@ -1977,7 +2025,7 @@ def lineage_chain(table: str, since: int, until: int | None = None) -> list[int]
         until = _tip(table)
         if until is None:
             raise FileNotFoundError(f"no committed snapshots at {table}")
-    exists = lambda v: os.path.exists(_manifest_path(table, v))  # noqa: E731
+    exists = lambda v: _STORE.exists(_manifest_path(table, v))  # noqa: E731
     if not exists(until) or since > until or (since != 0 and not exists(since)):
         raise FileNotFoundError(
             f"snapshot range ({since}, {until}] not resolvable at {table}"
@@ -2161,7 +2209,7 @@ def snapshots(table: str) -> list[dict]:
         row["committed_at"] = (
             float(ts)
             if ts is not None
-            else os.path.getmtime(_manifest_path(table, v))
+            else _STORE.mtime(_manifest_path(table, v))
         )
         out.append(row)
     return out
@@ -2206,16 +2254,15 @@ def vacuum(
             # retained version would become unmaterializable
             _write_checkpoint(table, v, m, best_effort=False)
     for v in versions[:-keep_last]:
-        os.unlink(_manifest_path(table, v))
+        _STORE.delete(_manifest_path(table, v))
     # checkpoint sidecars of unlinked versions are themselves superseded
     cp_dir = os.path.join(table, _CHECKPOINT_DIR)
-    if os.path.isdir(cp_dir):
-        keep_set = set(keep)
-        for name in sorted(os.listdir(cp_dir)):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            if int(name[1:-5]) not in keep_set:
-                os.unlink(os.path.join(cp_dir, name))
+    keep_set = set(keep)
+    for name in _STORE.list(cp_dir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        if int(name[1:-5]) not in keep_set:
+            _STORE.delete(os.path.join(cp_dir, name))
     deleted = []
     now = time.time()
     files_root = os.path.join(table, _FILES_DIR)

@@ -17,6 +17,29 @@ def _df(spark, lo, hi):
     return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
 
 
+@pytest.fixture(autouse=True, params=["posix", "memory"])
+def commit_backend(request):
+    """Every test in this module runs under BOTH commit-log backends
+    (VERDICT r12 #2): the default PosixCommitStore (create-exclusive
+    os.link) and the S3-semantics MemoryCommitStore (conditional PUT,
+    read-after-write GET/HEAD/LIST — no link, no rename, no POSIX
+    primitive at all). A test passing under "memory" proves the sink's
+    protocol never smuggles a filesystem assumption past the CommitStore
+    interface. Data files stay on the real filesystem either way — only
+    the metadata log is backend-routed, the exact scope an S3 deployment
+    needs (sinks/commitstore.py module docs)."""
+    if request.param == "posix":
+        yield request.param
+    else:
+        from clinical_search_data_pipeline_spark.sinks.commitstore import (
+            MemoryCommitStore,
+        )
+
+        with m.commit_store(MemoryCommitStore()):
+            yield request.param
+
+
+
 def _ids(df):
     return sorted(r.id for r in df.collect())
 
@@ -854,3 +877,68 @@ def test_replay_of_applied_range_is_version_noop(spark, tmp_path):
     assert _ids(m.read_snapshot(spark, dst)) == _ids(
         m.read_snapshot(spark, src)
     )
+
+
+def test_replay_noop_survives_maintenance_commits(spark, tmp_path):
+    """ADVICE r12: a maintenance commit between applies (compact, DELETE,
+    UPDATE) must carry `applied_source_tip` forward — otherwise a
+    redelivered range re-applies on the replica and emits spurious change
+    rows in its own feed. The watermark lives on the tip manifest after
+    each maintenance op, and the replay short-circuit keeps holding."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    m.write_snapshot(_df(spark, 0, 6), src)
+    feed = m.snapshot_change_feed(spark, src, since=0)
+    v1 = m.apply_changes_to_snapshot(feed, dst, keys=["id"])
+
+    # three maintenance commits: compact, DELETE, UPDATE
+    v2 = m.compact_snapshot(spark, dst, target_files=2)
+    v3, n_del = m.delete_from_snapshot(spark, dst, {"id": 5})
+    assert n_del == 1
+    from pyspark.sql import functions as F
+
+    v4, n_upd = m.update_snapshot(
+        spark, dst, {"id": 0}, {"v": F.col("v") + 100}
+    )
+    assert n_upd == 1
+    assert v2 == v1 + 1 and v3 == v2 + 1 and v4 == v3 + 1
+    # every maintenance tip still names the applied watermark
+    for v in (v2, v3, v4):
+        assert "applied_source_tip" in m._read_stored(dst, v), v
+
+    # replay of the SAME source range: still a version no-op
+    tip_changes_before = m.snapshot_change_feed(spark, dst, since=v4).count()
+    v5 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert v5 == v4
+    assert m.snapshot_change_feed(spark, dst, since=v4).count() == (
+        tip_changes_before
+    )
+
+    # a genuinely NEW source commit still applies
+    m.write_snapshot(_df(spark, 50, 52), src, mode="append")
+    v6 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert v6 == v4 + 1
+
+
+def test_manual_overwrite_drops_replay_watermark(spark, tmp_path):
+    """The flip side of the carry-forward: a wholesale overwrite severs
+    the replica from the feed's history, so the watermark must NOT
+    survive it — the next apply re-applies rather than wrongly skipping."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    m.write_snapshot(_df(spark, 0, 4), src)
+    v1 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert "applied_source_tip" in m._read_stored(dst, v1)
+    v2 = m.write_snapshot(_df(spark, 90, 93), dst, mode="overwrite")
+    assert "applied_source_tip" not in m._read_stored(dst, v2)
+    # the redelivered range now re-applies (content reconverges)
+    v3 = m.apply_changes_to_snapshot(
+        m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
+    )
+    assert v3 == v2 + 1

@@ -16,6 +16,29 @@ def _df(spark, lo, hi):
     return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
 
 
+@pytest.fixture(autouse=True, params=["posix", "memory"])
+def commit_backend(request):
+    """Every test in this module runs under BOTH commit-log backends
+    (VERDICT r12 #2): the default PosixCommitStore (create-exclusive
+    os.link) and the S3-semantics MemoryCommitStore (conditional PUT,
+    read-after-write GET/HEAD/LIST — no link, no rename, no POSIX
+    primitive at all). A test passing under "memory" proves the sink's
+    protocol never smuggles a filesystem assumption past the CommitStore
+    interface. Data files stay on the real filesystem either way — only
+    the metadata log is backend-routed, the exact scope an S3 deployment
+    needs (sinks/commitstore.py module docs)."""
+    if request.param == "posix":
+        yield request.param
+    else:
+        from clinical_search_data_pipeline_spark.sinks.commitstore import (
+            MemoryCommitStore,
+        )
+
+        with m.commit_store(MemoryCommitStore()):
+            yield request.param
+
+
+
 def _ids(df):
     return sorted(r.id for r in df.collect())
 
@@ -123,8 +146,9 @@ def test_commit_race_single_winner_and_retry(spark, tmp_path):
         "files": m._read_manifest(table, 1)["files"],
         "num_files": 1,
     }
-    with open(m._manifest_path(table, 2), "w") as f:
-        json.dump(rival, f)
+    assert m.get_commit_store().put_if_absent(
+        m._manifest_path(table, 2), json.dumps(rival).encode()
+    )
     v = m.write_snapshot(_df(spark, 50, 52), table)
     assert v == 3
     assert _ids(m.read_snapshot(spark, table)) == [50, 51]
@@ -558,7 +582,7 @@ def test_appends_store_deltas_and_periodic_checkpoints(
         assert st["delta"]["remove"] == []
         assert len(st["delta"]["add"]) >= 1
     # sidecars at the K-multiples among the delta commits: v3, v6
-    cps = sorted(os.listdir(os.path.join(table, "_checkpoints")))
+    cps = m.get_commit_store().list(os.path.join(table, "_checkpoints"))
     assert cps == ["v00000003.json", "v00000006.json"]
     # materialization through the chain is exact at every version
     for v in range(1, 2 + n_appends):
@@ -581,7 +605,7 @@ def test_delta_commit_json_is_o_increment(spark, tmp_path):
             table,
             mode="append",
         )
-        sizes.append(os.path.getsize(m._manifest_path(table, v)))
+        sizes.append(len(m.get_commit_store().get(m._manifest_path(table, v))))
     # live files grow ~4x per append; stored JSON stays flat (each append
     # stages the same number of files)
     assert max(sizes) <= sizes[0] * 1.5, sizes
@@ -612,11 +636,10 @@ def test_tip_hint_lags_probe_recovers(spark, tmp_path):
     m.write_snapshot(_df(spark, 0, 2), table)
     m.write_snapshot(_df(spark, 10, 12), table, mode="append")
     hint = os.path.join(table, "_manifests", "_tip.json")
-    with open(hint, "w") as f:
-        json.dump({"version": 1}, f)  # regress the hint
+    store = m.get_commit_store()
+    store.put(hint, json.dumps({"version": 1}).encode())  # regress the hint
     assert m._tip(table) == 2  # forward probe recovers
-    with open(hint, "w") as f:
-        f.write("not json")  # corrupt hint falls back to listing
+    store.put(hint, b"not json")  # corrupt hint falls back to listing
     assert m._tip(table) == 2
 
 
@@ -635,11 +658,11 @@ def test_vacuum_checkpoints_retained_delta_then_reclaims_chain(
     m.vacuum(table, keep_last=2, retention_seconds=0)
     # v1..v4 commit files gone, v5/v6 retained
     assert sorted(
-        n for n in os.listdir(os.path.join(table, "_manifests"))
+        n for n in m.get_commit_store().list(os.path.join(table, "_manifests"))
         if n.startswith("v")
     ) == ["v00000005.json", "v00000006.json"]
     # v5 (oldest kept, a delta whose chain was cut) got a sidecar
-    assert os.path.exists(m._checkpoint_path(table, 5))
+    assert m.get_commit_store().exists(m._checkpoint_path(table, 5))
     # both retained versions still read exactly
     m._MATERIALIZE_CACHE.clear()  # force resolution from disk
     assert _ids(m.read_snapshot(spark, table, version=5)) == [
@@ -650,8 +673,8 @@ def test_vacuum_checkpoints_retained_delta_then_reclaims_chain(
     ]
     # a second vacuum with keep_last=1 reclaims v5's now-superseded sidecar
     m.vacuum(table, keep_last=1, retention_seconds=0)
-    assert not os.path.exists(m._checkpoint_path(table, 5))
-    assert os.path.exists(m._checkpoint_path(table, 6))
+    assert not m.get_commit_store().exists(m._checkpoint_path(table, 5))
+    assert m.get_commit_store().exists(m._checkpoint_path(table, 6))
     m._MATERIALIZE_CACHE.clear()
     assert _ids(m.read_snapshot(spark, table)) == [
         0, 1, 10, 11, 12, 13, 14,
