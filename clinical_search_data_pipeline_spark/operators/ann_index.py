@@ -49,6 +49,8 @@ similarity._DUCK_PQ_TRAINED_CTE), so index and oracle cannot drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -424,6 +426,8 @@ def ann_index_topk(
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int = 1,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC top-k over the PERSISTED index: `queries` is a raw vector
     relation (vec_id, ..., embedding) — typically tiny — and everything
@@ -433,7 +437,23 @@ def ann_index_topk(
     (query_id, neighbor_id, cell, rank, adist): the ADC table entries are
     the same order-pinned 9dp-rounded DECIMAL folds, the cell choice the
     same max-cosine/lowest-cell rule, so the persisted path is
-    hash-interchangeable with the on-the-fly one."""
+    hash-interchangeable with the on-the-fly one.
+
+    ``rerank=R`` adds FAISS's refine step (IndexRefineFlat; VERDICT r12
+    #4): the ADC stage proposes its top-R pool per query, then ONLY those
+    R rows are re-scored with the exact cosine against ``vectors`` (the
+    full-precision relation) and cut to the final top-k — output then
+    matches `similarity.ann_pq_rerank_topk`'s shape (query_id,
+    neighbor_id, rank, score). Recall@k is provably >= the ADC-alone
+    top-k at the same nprobe: the pool is a superset of ADC's own top-k,
+    and any exact-top-k member in the pool outranks every other pool row
+    under exact scoring. Scale shape: the candidate pairs (n_queries x R
+    rows) BROADCAST into the join against `vectors`, so the
+    full-precision relation is never shuffled and never scanned beyond
+    the candidate probe — on a snapshot-committed corpus sorted by
+    vec_id, footer-stats pruning makes that probe sub-scan too."""
+    if rerank is not None and vectors is None:
+        raise ValueError("rerank needs the full-precision `vectors` relation")
     qsubs = pq_subvectors(queries).select(
         F.col("vec_id").alias("query_id"), "m", F.col("su").alias("qsu")
     )
@@ -494,15 +514,48 @@ def ann_index_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "cell",
+                "rank",
+                F.round(F.col("adist").cast("double"), 6).alias("adist"),
+            )
+        )
+    pool = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    base = vectors_with_norms(vectors)
+    rescored = (
+        base.join(F.broadcast(pool), "vec_id")
+        .join(
+            F.broadcast(
+                qvecs  # the same (query_id, qv, qnorm) stage-1 used
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "score",
+            F.expr(_spark_dot("v", "qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "cell",
             "rank",
-            F.round(F.col("adist").cast("double"), 6).alias("adist"),
+            F.round("score", 4).alias("score"),
         )
     )
 
@@ -567,3 +620,202 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest.vacuum(f"{root}/{name}", keep_last=1, retention_seconds=0)
     index = read_ann_index(spark, root)
     return ann_index_topk(index, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings source (file names + sizes +
+    mtimes): keys the serve-path index cache, so a regenerated fixture can
+    never be served a stale index."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root_, _dirs, names in sorted(os.walk(src)):
+            for name in sorted(names):
+                full = os.path.join(root_, name)
+                st = os.stat(full)
+                parts.append(f"{os.path.relpath(full, src)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join([sf_dir, *parts]).encode()).hexdigest()[:12]
+
+
+def serve_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build-IF-ABSENT persisted index for the serving path (VERDICT r12
+    #6): the first caller per (source content) trains, commits, and reads
+    back; every later caller — the probe/rerank queries below, and every
+    bench iteration — resolves the committed artifacts and pays probe
+    cost only. That is the FAISS deployment split the end-to-end
+    `q_ann_index_topk` deliberately does NOT make (it rebuilds every run
+    so the driver hash-verifies training itself). The cache key is a
+    content fingerprint of the source, so a regenerated fixture rebuilds
+    instead of serving stale artifacts; concurrent first-callers race
+    safely through the snapshot sink (both publish, the pin resolves one
+    complete set)."""
+    import shutil
+
+    cache_root = "/tmp/csdp_ann_index_serve"
+    root = f"{cache_root}/{_source_fingerprint(sf_dir)}"
+    try:
+        return read_ann_index(spark, root)
+    except FileNotFoundError:
+        pass
+    # stale fingerprints are dead weight — reclaim before building
+    if os.path.isdir(cache_root):
+        for name in os.listdir(cache_root):
+            if os.path.join(cache_root, name) != root:
+                shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
+    emb = read_table(spark, sf_dir, "embeddings")
+    write_ann_index(build_ann_index(emb), root)
+    return read_ann_index(spark, root)
+
+
+def _q_ann_index_probe_oracle() -> str:
+    """Trained-index IVFADC at nprobe=2: query cells are the TWO best
+    trained centroids (assign_r{r}'s rank — the same max-cosine /
+    lowest-cell rule ann_index_topk's window applies), candidates the
+    union of both probed cells, scoring the trained-codebook ADC chain."""
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        duck_lloyd_ctes,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        _DUCK_PQ_TRAINED_CTE,
+    )
+
+    r = ANN_TRAIN_ROUNDS
+    return f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_TRAINED_CTE.lstrip()},
+{duck_lloyd_ctes(r)},
+q AS (SELECT vec_id AS query_id, cell AS qcell
+      FROM assign_r{r} WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+ivf_adc AS (
+  SELECT q.query_id, c.vec_id, c.cell, sum(t.d) AS adist
+  FROM cells_r{r} c
+  JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+  JOIN codes1 s ON s.vec_id = c.vec_id
+  JOIN dt1 t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, vec_id AS neighbor_id, cell,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, vec_id ASC) AS rank,
+       round(CAST(adist AS DOUBLE), 6) AS adist
+FROM ivf_adc QUALIFY rank <= {TOP_K}
+"""
+
+
+def _q_ann_index_rerank_oracle() -> str:
+    """Trained-index IVFADC (nprobe=2) pool refined by exact cosine —
+    the composed FAISS IndexRefineFlat oracle: the ADC stage is the probe
+    oracle's chain widened to the RERANK_POOL, the refine stage the exact
+    order-pinned dot q_ann_rerank already hash-verifies."""
+    from clinical_search_data_pipeline_spark.operators.clustering import (
+        duck_lloyd_ctes,
+    )
+    from clinical_search_data_pipeline_spark.operators.fragments import (
+        _duck_dot,
+    )
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        RERANK_POOL,
+        _DUCK_PQ_TRAINED_CTE,
+    )
+
+    r = ANN_TRAIN_ROUNDS
+    return f"""
+WITH {_DUCK_BASE_CTE},
+{_DUCK_PQ_TRAINED_CTE.lstrip()},
+{duck_lloyd_ctes(r)},
+q AS (SELECT vec_id AS query_id, cell AS qcell
+      FROM assign_r{r} WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+ivf_adc AS (
+  SELECT q.query_id, c.vec_id, sum(t.d) AS adist
+  FROM cells_r{r} c
+  JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+  JOIN codes1 s ON s.vec_id = c.vec_id
+  JOIN dt1 t ON t.query_id = q.query_id AND t.m = s.m AND t.code = s.code
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, vec_id ASC) AS rn
+    FROM ivf_adc
+  ) WHERE rn <= {RERANK_POOL}
+),
+qv AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+rescored AS (
+  SELECT p.query_id, p.vec_id AS neighbor_id,
+         {_duck_dot('n.v', 'qv.qv')} / (n.norm * qv.qnorm) AS raw
+  FROM pool p
+  JOIN n ON n.vec_id = p.vec_id
+  JOIN qv ON qv.query_id = p.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY raw DESC, neighbor_id ASC) AS rank,
+       round(raw, 4) AS score
+FROM rescored QUALIFY rank <= {TOP_K}
+"""
+
+
+@register(
+    "q_ann_index_probe",
+    oracle=_q_ann_index_probe_oracle(),
+    tags=("similarity", "northstar", "ivf", "pq", "index", "serve"),
+)
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-ONLY search of the persisted trained index at nprobe=2
+    (VERDICT r12 #6): `serve_index` resolves the committed artifacts —
+    building them only if this source has never been indexed — so the
+    timed work is what a deployment's query path actually pays: broadcast
+    centroids/codebook/distance tables against the cell-pruned
+    cells ⋈ codes equi-join. The end-to-end build+train+search twin is
+    `q_ann_index_topk`; this row is the serving latency the bench tracks
+    round over round."""
+    index = serve_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+    )
+
+    return ann_index_topk(
+        index, emb.filter(F.col("vec_id") < N_QUERIES), nprobe=IVF_NPROBE
+    )
+
+
+@register(
+    "q_ann_index_rerank",
+    oracle=_q_ann_index_rerank_oracle(),
+    tags=("similarity", "northstar", "ivf", "pq", "index", "rerank", "serve"),
+)
+def q_ann_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS refine over the persisted index (VERDICT r12 #4): the
+    trained-index ADC stage proposes RERANK_POOL candidates per query at
+    nprobe=2, then exact cosine re-scores ONLY those (candidate pairs
+    broadcast into the full-precision join — no corpus scan) and cuts to
+    the final top-k. Recall@k is provably >= the probe-only top-k at the
+    same nprobe (pool-superset argument, see ann_index_topk), measured in
+    ANN_RECALL.md's ivfadc_index_rerank_p2 row against ivfpq_p2."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        RERANK_POOL,
+    )
+
+    index = serve_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_index_topk(
+        index,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        nprobe=IVF_NPROBE,
+        rerank=RERANK_POOL,
+        vectors=emb,
+    )

@@ -51,93 +51,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Being listed is NOT a correctness statement — it is this round's claim on
 # the driver's budget.
 #
-# Round-12 window: 63 claims on 50 slots, the same arithmetic as r9-r11.
-# The 13 names deferred in r11 (r11's ROUND_BACKLOG) carry r8 driver rows
-# — age 4 at r12, so the staleness guard makes their slots MANDATORY —
-# and the 50-name r9 cohort is at age 3 (refresh now or they're mandatory
-# at r13). The window is the 13 mandatory names plus 37 of the r9 cohort,
-# chosen to include every r9-cohort query whose plan changes this round
-# (q_ann_index_topk — the persisted index now trains converged centroids)
-# and to keep the batch twins of the deferred streaming queries in-window
-# (q_anomaly_sessions / q_dedup_events / q_dedup_keys / q_ewma_user_values
-# stay; their chained/streamed twins defer). The 13 leftover r9 names are
-# deferred to r13 under the in-window exemption (ROUND_BACKLOG below,
-# DEFERRED_IN = 12; the backlog-neglect test hard-fails r13 if it
-# forgets). ZERO new query registrations this round — the round's new
-# surface (delta-log manifests, trained index, mart pin, expectations,
-# CDC handoff) lands under existing queries and pytest pins, so the
-# full slot budget went to rotation.
+# Round-13 window: 63 claims on 50 slots, the same arithmetic as r9-r12.
+# The 13 names deferred in r12 (r12's ROUND_BACKLOG) carry r9 driver rows
+# — age 4 at r13, so the staleness guard makes their slots MANDATORY —
+# and the 50-name r10 cohort is at age 3 (refresh now or they're
+# mandatory at r14). The window is the 13 mandatory names, q_media_decode
+# (row r12 but its RESULT changes this round: the decode fixture mix
+# gains real PNG rows, VERDICT r12 #5 — a fresh driver row must cover
+# the new behavior), the round's TWO new registrations (the persisted
+# index's probe-only and rerank twins, VERDICT r12 #4/#6 — never-checked
+# queries must claim slots), and 34 of the r10 cohort. The 16 leftover
+# r10 names are deferred to r14 under the in-window exemption
+# (ROUND_BACKLOG below, DEFERRED_IN = 13). The round's other new surface
+# (CommitStore backends, CDC evolution continuation, PNG decode,
+# watermark carry-forward) lands under pytest pins and existing queries.
 ROUND_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 MANDATORY names: deferred in r11, latest driver row r8,
+    # (a) the 13 MANDATORY names: deferred in r12, latest driver row r9,
     # at the staleness bound exactly this round.
-    "q_ann_recall",
-    "q_approx_daily_traffic_struct",
-    "q_bpe_merge_step",
-    "q_bpe_train4",
-    "q_dedup_keys_xxhash_struct",
-    "q_media_decode",
-    "q_minhash_recall",
-    "q_stream_audio_gate",
-    "q_stream_corpus_filter",
-    "q_stream_embedding_gate",
-    "q_stream_video_gate",
-    "q_value_quantiles_struct",
-    "q_winnow_pairs",
-    # (b) 37 of the 50-name r9 cohort (rows r9, age 3 — refreshed here so
-    # they never cross the bound). q_ann_index_topk is the one whose plan
-    # changes this round (converged-centroid index build, VERDICT r11 #3).
-    "q_ann_index_topk",
-    "q_anomaly_sessions",
-    "q_bigram_nll",
-    "q_bronze_archive",
-    "q_clinical_areas",
-    "q_clinical_trend",
-    "q_corpus_filter",
-    "q_daily_traffic",
-    "q_decontaminate",
-    "q_dedup_events",
-    "q_dedup_keys",
-    "q_doc_chunks",
-    "q_doc_fingerprints",
-    "q_dsir_weights",
-    "q_dup_spans",
-    "q_embedding_norms",
-    "q_event_transitions",
-    "q_events_orders_asof",
-    "q_ewma_user_values",
-    "q_hash_sample",
-    "q_hash_split",
-    "q_incremental_dedup",
-    "q_lang_profile",
-    "q_length_outliers",
-    "q_mixture_sample",
-    "q_pii_redact",
-    "q_pivot_event_types",
-    "q_popular_documents",
-    "q_pricing_cube",
-    "q_session_analysis",
-    "q_session_funnel",
-    "q_sessionize",
-    "q_source_dup_profile",
-    "q_sql_nation_revenue",
-    "q_stratified_sample",
-    "q_user_set_ops",
-    "q_winnow_fingerprints",
-)
-
-# The 13 r9-cohort names deferred to r13 (rows r9 — age 4 at r13, so the
-# staleness guard makes their r13 slots MANDATORY; the backlog-neglect
-# test below enforces the same one round after DEFERRED_IN). The split
-# moves out the six media-decode queries (unchanged since r9, fenced by
-# property tests over real codec bytes), the three BPE trainer/tokenizer
-# steps (unchanged; the merge-step and train4 primaries are IN this
-# window from the mandatory backlog), the chained EWMA twin (its primary
-# q_ewma_user_values stays in-window), the two streaming twins whose
-# batch twins stay in-window (q_stream_anomaly / q_anomaly_sessions,
-# q_stream_dedup_keys / q_dedup_keys), and q_source_overlap (its sibling
-# q_source_dup_profile stays in). All 13 are unchanged code with green r9
-# rows and J11 full-contract confirmation.
-ROUND_BACKLOG: tuple[str, ...] = (
     "q_bpe_token_counts",
     "q_bpe_tokenize2",
     "q_bpe_train2",
@@ -151,8 +81,94 @@ ROUND_BACKLOG: tuple[str, ...] = (
     "q_source_overlap",
     "q_stream_anomaly",
     "q_stream_dedup_keys",
+    # (b) the one non-cohort name whose observable result changes this
+    # round (PNG rows join the decode fixture mix, VERDICT r12 #5).
+    "q_media_decode",
+    # (c) 34 of the 50-name r10 cohort (rows r10, age 3 — refreshed here
+    # so they never cross the bound).
+    # (c') the round's TWO new registrations (never-checked guard: a new
+    # query claims a slot in the commit that registers it): the persisted
+    # index's probe-only serving twin and its FAISS-refine rerank twin
+    # (VERDICT r12 #4/#6).
+    "q_ann_index_probe",
+    "q_ann_index_rerank",
+    "q_cluster_safe_split",
+    "q_column_audit",
+    "q_curation_funnel",
+    "q_customer_running_spend",
+    "q_customers_without_orders",
+    "q_daily_events",
+    "q_doc_dedup_apply",
+    "q_dsir_resample",
+    "q_embedding_neardup_lsh",
+    "q_minhash_lsh_pairs",
+    "q_parse_msdate",
+    "q_passage_dedup",
+    "q_pricing_rollup",
+    "q_props_extract",
+    "q_quality_classifier",
+    "q_range_join_windows",
+    "q_region_customer_stats",
+    "q_semdedup",
+    "q_session_clicks",
+    "q_stream_incremental_dedup",
+    "q_stream_traffic_minute",
+    "q_strip_dup_spans",
+    "q_text_quality",
+    "q_time_remap",
+    "q_token_stats",
+    "q_top_docs",
+    "q_top_revenue_orders",
+    "q_traffic_minute",
+    "q_traffic_rollup",
+    "q_unigram_nll",
+    "q_union_days",
+    "q_user_cohorts",
+    "q_value_stats",
+    "q_zipf_profile",
 )
-ROUND_BACKLOG_DEFERRED_IN = 12  # the round whose window displaced them
+
+# The 16 r10-cohort names deferred to r14 (rows r10 — age 4 at r14, so
+# the staleness guard makes their r14 slots MANDATORY; the
+# backlog-neglect test below enforces the same one round after
+# DEFERRED_IN). The split moves out names whose value evidence has an
+# in-window or fresher sibling: the three perceptual-fingerprint
+# queries (their banded near-dup twins q_audio/image/video_neardup are
+# r11-green and the hash families are property-tested against fixed
+# vectors), q_image_dedup_apply (q_doc_dedup_apply stays in-window),
+# q_embedding_neardup (its LSH twin stays in-window), q_cosine_topk
+# (its vectorized twin is r11-green and the exact path is embedded as
+# the ground truth inside q_ann_recall's composed oracle, r12-green),
+# q_jaccard_pairs (normalized twin r11-green; embedded in
+# q_minhash_recall's oracle, r12-green), q_stream_dsir_gate /
+# q_stream_span_gate (batch twins q_dsir_resample in-window,
+# q_span_gate_bloom r11), q_pricing_summary (siblings q_pricing_rollup
+# in-window + q_pricing_cube r12), q_word_entropy (siblings
+# q_zipf_profile in-window, q_repetition_quality r11), and five
+# single-purpose relational queries unchanged since registration
+# (q_order_priority_counts, q_salted_counts, q_segment_stats,
+# q_supplier_part_volume, q_unpivot_order_stats). All 16 are unchanged
+# code with green r10 rows and J12 full-contract confirmation on the
+# r12 final tree.
+ROUND_BACKLOG: tuple[str, ...] = (
+    "q_audio_fingerprints",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+    "q_image_dedup_apply",
+    "q_image_hashes",
+    "q_jaccard_pairs",
+    "q_order_priority_counts",
+    "q_pricing_summary",
+    "q_salted_counts",
+    "q_segment_stats",
+    "q_stream_dsir_gate",
+    "q_stream_span_gate",
+    "q_supplier_part_volume",
+    "q_unpivot_order_stats",
+    "q_video_fingerprints",
+    "q_word_entropy",
+)
+ROUND_BACKLOG_DEFERRED_IN = 13  # the round whose window displaced them
 
 # Permanently retired from window rotation (VERDICT r11 #8): checks that
 # can never tighten past rows-only, whose hash evidence lives in an

@@ -266,3 +266,80 @@ def test_trained_add_equals_trained_rebuild(spark, tmp_path):
     assert _rows(ai.ann_index_topk(idx, queries)) == _rows(
         ai.ann_index_topk(ai.read_ann_index(spark, fresh_root), queries)
     )
+
+
+def test_rerank_recall_geq_probe_only_at_same_nprobe(spark, tmp_path):
+    """VERDICT r12 #4: FAISS refine over the persisted index. The exact
+    claim the docstring makes, measured: recall@k of the reranked result
+    is >= the probe-only ADC top-k at the SAME nprobe (the pool is a
+    superset of ADC's own top-k, and any exact-top-k member in the pool
+    outranks every other pool row under exact scoring). Also pins the
+    refine output discipline (rank by exact cosine desc / vec_id asc,
+    round-4 score) against similarity.ann_pq_rerank_topk's shape."""
+    from clinical_search_data_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        RERANK_POOL,
+        cosine_topk,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    ai.write_ann_index(ai.build_ann_index(emb), root)
+    idx = ai.read_ann_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    exact = set(
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb).select("query_id", "neighbor_id").collect()
+    )
+    probe = set(
+        (r.query_id, r.neighbor_id)
+        for r in ai.ann_index_topk(idx, queries, nprobe=IVF_NPROBE).collect()
+    )
+    rerank_rows = ai.ann_index_topk(
+        idx, queries, nprobe=IVF_NPROBE, rerank=RERANK_POOL, vectors=emb
+    ).collect()
+    rerank = set((r.query_id, r.neighbor_id) for r in rerank_rows)
+    assert len(rerank & exact) >= len(probe & exact)
+    assert [c for c in ai.ann_index_topk(
+        idx, queries, nprobe=IVF_NPROBE, rerank=RERANK_POOL, vectors=emb
+    ).columns] == ["query_id", "neighbor_id", "rank", "score"]
+    # per query: exactly k rows, ranks dense from 1, scores non-increasing
+    by_q: dict[int, list] = {}
+    for r in rerank_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1)), q
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True), q
+
+
+def test_rerank_requires_vectors(spark, tmp_path):
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "index")
+    ai.write_ann_index(ai.build_ann_index(emb, train_rounds=0), root)
+    idx = ai.read_ann_index(spark, root)
+    with pytest.raises(ValueError, match="vectors"):
+        ai.ann_index_topk(idx, emb.filter(F.col("vec_id") < 8), rerank=10)
+
+
+def test_serve_index_builds_once_per_source_content(spark, monkeypatch):
+    """VERDICT r12 #6: the serving path amortizes the build. First call
+    trains + commits; the second call for the SAME source content must
+    resolve the committed artifacts WITHOUT building (build_ann_index
+    monkeypatched to explode), and its probe results equal the first's."""
+    import shutil
+
+    shutil.rmtree("/tmp/csdp_ann_index_serve", ignore_errors=True)
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    idx1 = ai.serve_index(spark, SF)
+    first = _rows(ai.ann_index_topk(idx1, queries))
+
+    def boom(*a, **k):  # pragma: no cover - called means a rebuild
+        raise AssertionError("serve_index rebuilt an already-served source")
+
+    monkeypatch.setattr(ai, "build_ann_index", boom)
+    idx2 = ai.serve_index(spark, SF)
+    assert _rows(ai.ann_index_topk(idx2, queries)) == first
