@@ -311,3 +311,113 @@ def read_change_stream(
             "max_versions_per_trigger", str(max_versions_per_trigger)
         )
     return reader.load()
+
+
+# The executor-side raise a mid-stream schema-evolution commit produces
+# (read() above). The restart helper matches on this marker — it is part
+# of the error contract, so keep the message and the constant in sync.
+EVOLUTION_ERROR_MARKER = "schema-evolution commit landed mid-stream"
+
+
+def is_evolution_error(exc: BaseException) -> bool:
+    """Does this (possibly Py4J/StreamingQueryException-wrapped) error
+    carry the mid-stream schema-evolution marker?"""
+    seen = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if EVOLUTION_ERROR_MARKER in str(cur):
+            return True
+        cur = cur.__cause__ or cur.__context__
+    return False
+
+
+def run_change_stream_with_restart(
+    spark,
+    table: str,
+    apply,
+    since: int = 0,
+    max_versions_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+    trigger: dict | None = None,
+    on_evolution: str = "fail",
+    checkpoint_location: str | None = None,
+    max_restarts: int = 3,
+    stream=None,
+    resume_since=None,
+) -> int:
+    """Drive `apply` per micro-batch over the change stream, optionally
+    surviving mid-stream schema evolution (VERDICT r12 #7).
+
+    A streaming query's schema is fixed at plan time, so a widened commit
+    landing mid-run can only fail the query (the loud raise in `read()` —
+    the r11 ADVICE fix; silently projecting the new column away would
+    diverge from the batch feed). ``on_evolution="fail"`` (default) keeps
+    exactly that behavior. ``on_evolution="restart"`` automates the
+    documented remedy for a long-running consumer: catch the evolution
+    error, re-plan the reader — the new plan resolves the WIDENED schema
+    from the tip manifest — and restart, replaying the failed range once
+    under the widened schema (pre-evolution files null-fill the new
+    columns exactly as the batch feed does). Restarts are bounded by
+    ``max_restarts`` (each legitimate evolution consumes one; anything
+    else re-raises).
+
+    Restart position: this source's durable progress is the CONSUMER's
+    watermark, not Spark's checkpoint — offsets are commit versions, so
+    ``resume_since()`` (e.g. ``lambda: progress["wm"]`` in the serving
+    jobs) names the last successfully APPLIED version and the restarted
+    reader replays exactly the unapplied range; omitted, the restart
+    replays from the original ``since`` (safe for the same reason every
+    crash-replay here is: the CDC applies are idempotent). The restart
+    deliberately does NOT reuse the failed attempt's Spark checkpoint:
+    under availableNow, Python data sources fall back to single-batch
+    execution, and Spark documents that a resumed run "may not guarantee
+    processing new data if there is an uncommitted batch" — measured
+    here, the uncommitted failed batch is SKIPPED on checkpoint reuse,
+    which would silently drop the evolution commit's own rows. A fresh
+    checkpoint + version-watermark resume replays it instead.
+
+    ``stream`` optionally supplies the first attempt's already-planned
+    DataFrame — the long-running-consumer shape, where the plan predates
+    the evolution commit; when omitted the first attempt plans fresh.
+    Each attempt gets ``timeout_sec``. Returns the number of restarts
+    consumed."""
+    if on_evolution not in ("fail", "restart"):
+        raise ValueError(f"on_evolution must be fail|restart: {on_evolution}")
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        checkpoint_dir,
+        run_foreach_batch,
+    )
+
+    ckpt = checkpoint_location or checkpoint_dir("csdp_cdc")
+    restarts = 0
+    attempt_stream = stream
+    start = since
+    while True:
+        if attempt_stream is None:
+            attempt_stream = read_change_stream(
+                spark,
+                table,
+                since=start,
+                max_versions_per_trigger=max_versions_per_trigger,
+            )
+        try:
+            run_foreach_batch(
+                attempt_stream,
+                apply,
+                timeout_sec=timeout_sec,
+                trigger=trigger,
+                checkpoint_location=ckpt,
+            )
+            return restarts
+        except Exception as exc:
+            if (
+                on_evolution != "restart"
+                or restarts >= max_restarts
+                or not is_evolution_error(exc)
+            ):
+                raise
+            restarts += 1
+            attempt_stream = None  # re-plan under the widened tip schema
+            start = int(resume_since()) if resume_since is not None else since
+            ckpt = checkpoint_dir("csdp_cdc")  # see docstring: no reuse

@@ -425,3 +425,68 @@ def test_serve_stream_catchup_handoff_equals_batch_serve(spark, tmp_path):
         map(tuple, c.execute("SELECT id, v FROM serving").fetchall())
     )
     assert rows(con_h) == rows(con_b)
+
+
+def test_on_evolution_restart_continues_and_matches_batch_feed(spark, tmp_path):
+    """VERDICT r12 #7: `run_change_stream_with_restart(on_evolution=
+    "restart")` — the long-running-consumer shape. The stream PLANS under
+    the narrow schema, a widening commit lands before its trigger fires,
+    the first attempt fails with the evolution error, and the helper
+    re-plans under the widened tip schema against the SAME checkpoint:
+    the collected rows equal the batch feed's exactly (pre-evolution rows
+    null-filled), with exactly one restart consumed. Default behavior
+    (on_evolution="fail") still raises — pinned too."""
+    from clinical_search_data_pipeline_spark.streaming.change_source import (
+        run_change_stream_with_restart,
+    )
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        checkpoint_dir,
+    )
+
+    table = str(tmp_path / "t")
+    m.write_snapshot(_df(spark, 0, 3), table)                    # v1
+    m.write_snapshot(_df(spark, 10, 12), table, mode="append")   # v2
+    # a long-running consumer's plan: resolved under the NARROW schema
+    narrow_stream = read_change_stream(spark, table, since=0)
+    # ... then evolution lands before the next trigger
+    m.write_snapshot(
+        spark.createDataFrame([(50, 51, 0.5)], "id long, v long, score double"),
+        table, mode="append", allow_new_columns=True,
+    )                                                            # v3
+    m.write_snapshot(
+        spark.createDataFrame([(60, 61, 0.7)], "id long, v long, score double"),
+        table, mode="append",
+    )                                                            # v4
+
+    # default: the loud failure (unchanged)
+    rows_fail: list = []
+    with pytest.raises(Exception, match="schema-evolution commit"):
+        run_change_stream_with_restart(
+            spark, table,
+            lambda b, _i: rows_fail.extend(b.collect()),
+            since=0, stream=narrow_stream, timeout_sec=120,
+        )
+
+    # opt-in restart: fresh checkpoint, first attempt planned narrow
+    # (re-starting the same pre-widen DataFrame), re-planned wide on the
+    # evolution error, content converges
+    rows: list = []
+    restarts = run_change_stream_with_restart(
+        spark, table,
+        lambda b, _i: rows.extend(b.collect()),
+        since=0,
+        stream=narrow_stream,  # planned before the widen
+        on_evolution="restart",
+        checkpoint_location=checkpoint_dir("csdp_cdc_test"),
+        timeout_sec=120,
+    )
+    want = sorted(
+        tuple(r) for r in m.snapshot_change_feed(spark, table, since=0)
+        .select("id", "v", "score", "_change_type", "_commit_version")
+        .collect()
+    )
+    got = sorted(
+        (r.id, r.v, r.score, r._change_type, r._commit_version) for r in rows
+    )
+    assert got == want
+    assert restarts == 1

@@ -433,3 +433,66 @@ def test_foreach_batch_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     ]
     # exactly-once: every doc present exactly once (sorted multiset equal)
     assert sorted(got) == sorted(expect)
+
+
+def test_enriched_traffic_trigger_count_is_pinned(spark):
+    """VERDICT r12 watch item: q_stream_enriched_traffic's bench time
+    doubled in r12 with its module untouched — suspected trigger-
+    scheduling noise. Nothing in the query pins how much work a run does,
+    so pin it here: the staged source is exactly ONE parquet file (the
+    fingerprint-keyed staging dir can never accumulate), and a bounded
+    run executes exactly one data-carrying micro-batch whose input rows
+    equal the full fixture. If a future change makes the run multi-batch
+    (more staged files, a smaller maxFilesPerTrigger), this fails and the
+    bench delta has a real explanation instead of a shrug."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clinical_search_data_pipeline_spark.sources.readers import (
+        load_events,
+    )
+    from clinical_search_data_pipeline_spark.streaming.runner import (
+        checkpoint_dir,
+    )
+    from clinical_search_data_pipeline_spark.streaming.stream_queries import (
+        events_stream,
+        stage_events_source,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    staged = stage_events_source(sf_dir)
+    files = [n for n in os.listdir(staged) if n.endswith(".parquet")]
+    assert files == ["events.parquet"], files
+
+    total = load_events(spark, sf_dir).count()
+    stream = events_stream(spark, sf_dir).withColumn(
+        "dim_key", F.col("user_id") % 16
+    )
+    dim = spark.range(16).select(
+        F.col("id").alias("dim_key"),
+        F.when(F.col("id") % 2 == 0, "EU").otherwise("US").alias("region"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "dim_key")
+        .groupBy("event_type", "region")
+        .agg(F.count("*").alias("event_count"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enriched_pin")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
+    assert progress[0]["numInputRows"] == total
+    # and the enrichment itself stays correct end to end
+    got = spark.table("enriched_pin").agg(F.sum("event_count")).collect()[0][0]
+    assert got == total
