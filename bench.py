@@ -93,8 +93,14 @@ def main() -> None:
         )
 
         serve_index(spark, sf_dir)
-    except Exception:
-        pass
+    except Exception as exc:
+        # a failed warm-up silently shifts build+train into the
+        # q_ann_index_probe timed row — say so instead of hiding it
+        print(
+            f"# WARNING: serve_index warm-up failed ({exc}); "
+            "q_ann_index_probe/rerank rows will include build cost",
+            file=sys.stderr,
+        )
 
     # CPU calibration probe (run before AND after the suite): a fixed,
     # data-independent, codegen-only job whose cost depends solely on the

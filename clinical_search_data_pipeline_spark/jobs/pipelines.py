@@ -526,8 +526,11 @@ def serve_changes_stream_job(
     the backlog in ONE JVM batch feed read (`_maybe_catchup` — the Python
     source's per-file pyarrow boundary is the wrong tool for a deep
     backlog), then streams from the caught-up tip.
-    ``on_evolution="restart"`` opts into checkpoint-preserving
-    auto-restart when a schema-evolution commit lands mid-stream
+    ``on_evolution="restart"`` opts into watermark-resuming auto-restart
+    when a schema-evolution commit lands mid-stream: the reader re-plans
+    under the widened schema and replays the unapplied range from
+    `progress["wm"]` — deliberately NOT Spark's checkpoint, whose
+    availableNow fallback can skip the uncommitted batch
     (change_source.run_change_stream_with_restart — r13); the default
     keeps the loud failure. Returns the final synced watermark."""
     from clinical_search_data_pipeline_spark.sinks.jdbc import (
@@ -611,10 +614,12 @@ def replicate_snapshot_job(
     `catchup_threshold` commits behind folding the backlog in ONE JVM
     batch feed apply before streaming (`_maybe_catchup`).
     ``on_evolution="restart"`` (streaming path) opts into
-    checkpoint-preserving auto-restart across a mid-stream
-    schema-evolution commit — a long-running replica keeps replicating
-    under the widened schema without an operator action (r13); the
-    default keeps the loud failure. Returns the synced source version."""
+    watermark-resuming auto-restart across a mid-stream schema-evolution
+    commit — the reader re-plans wide and replays the unapplied range
+    from the durable watermark (not Spark's checkpoint; see
+    run_change_stream_with_restart), so a long-running replica keeps
+    replicating under the widened schema without an operator action
+    (r13); the default keeps the loud failure. Returns the synced source version."""
     from clinical_search_data_pipeline_spark.streaming.change_source import (
         run_change_stream_with_restart,
     )

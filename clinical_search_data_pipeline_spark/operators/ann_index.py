@@ -622,10 +622,36 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(index, emb.filter(F.col("vec_id") < N_QUERIES))
 
 
+def _builder_fingerprint() -> str:
+    """Content hash of the modules whose code determines what
+    build_ann_index produces for a given input: a code change (new
+    training rounds, a different PQ layout) must invalidate the serve
+    cache even when the source fixture is byte-identical — otherwise a
+    driver run would compare a stale index against the NEW composed
+    oracle (code review r13)."""
+    import hashlib
+
+    from clinical_search_data_pipeline_spark.operators import (
+        clustering,
+        fragments,
+        similarity,
+    )
+
+    h = hashlib.md5()
+    for mod in (similarity, clustering, fragments):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the embeddings source (file names + sizes +
-    mtimes): keys the serve-path index cache, so a regenerated fixture can
-    never be served a stale index."""
+    """Cache key of the serve-path index: source content (file names +
+    sizes + mtimes — a regenerated fixture can never be served a stale
+    index) x builder code (`_builder_fingerprint`). Prefixed with a
+    per-SOURCE tag so different sources' caches coexist and reclamation
+    never touches another source's live index."""
     import hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -639,33 +665,42 @@ def _source_fingerprint(sf_dir: str) -> str:
     else:
         st = os.stat(src)
         parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join([sf_dir, *parts]).encode()).hexdigest()[:12]
+    src_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    content = hashlib.md5(
+        "|".join([sf_dir, _builder_fingerprint(), *parts]).encode()
+    ).hexdigest()[:12]
+    return f"{src_tag}-{content}"
 
 
 def serve_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Build-IF-ABSENT persisted index for the serving path (VERDICT r12
-    #6): the first caller per (source content) trains, commits, and reads
-    back; every later caller — the probe/rerank queries below, and every
-    bench iteration — resolves the committed artifacts and pays probe
-    cost only. That is the FAISS deployment split the end-to-end
-    `q_ann_index_topk` deliberately does NOT make (it rebuilds every run
-    so the driver hash-verifies training itself). The cache key is a
-    content fingerprint of the source, so a regenerated fixture rebuilds
-    instead of serving stale artifacts; concurrent first-callers race
+    #6): the first caller per (source content, builder code) trains,
+    commits, and reads back; every later caller — the probe/rerank
+    queries below, and every bench iteration — resolves the committed
+    artifacts and pays probe cost only. That is the FAISS deployment
+    split the end-to-end `q_ann_index_topk` deliberately does NOT make
+    (it rebuilds every run so the driver hash-verifies training itself).
+    The cache key fingerprints the source AND the builder modules, so a
+    regenerated fixture or a code change rebuilds instead of serving
+    stale artifacts; concurrent first-callers for the same source race
     safely through the snapshot sink (both publish, the pin resolves one
-    complete set)."""
+    complete set). Reclamation only ever removes SUPERSEDED entries of
+    the same source (same src_tag, different content hash) — other
+    sources' live indexes are never touched (code review r13)."""
     import shutil
 
     cache_root = "/tmp/csdp_ann_index_serve"
-    root = f"{cache_root}/{_source_fingerprint(sf_dir)}"
+    fp = _source_fingerprint(sf_dir)
+    root = f"{cache_root}/{fp}"
     try:
         return read_ann_index(spark, root)
     except FileNotFoundError:
         pass
-    # stale fingerprints are dead weight — reclaim before building
+    # reclaim only THIS source's superseded entries before building
+    src_tag = fp.split("-", 1)[0]
     if os.path.isdir(cache_root):
         for name in os.listdir(cache_root):
-            if os.path.join(cache_root, name) != root:
+            if name.startswith(f"{src_tag}-") and name != fp:
                 shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
     emb = read_table(spark, sf_dir, "embeddings")
     write_ann_index(build_ann_index(emb), root)

@@ -358,13 +358,17 @@ def _tip(table: str) -> int | None:
 def _write_tip_hint(table: str, version: int) -> None:
     """Best-effort tip accelerator (last-writer-wins whole-object put).
     A racing older writer may briefly regress the hint; `_tip`'s forward
-    probe recovers, so correctness never depends on this object."""
+    probe recovers, so correctness never depends on this object. Catches
+    Exception, not OSError: the CommitStore contract does not pin the
+    backend's error type (boto3 raises ClientError, not OSError), and a
+    failed hint after a LANDED commit must never fail the commit (code
+    review r13)."""
     try:
         _STORE.put(
             os.path.join(table, _MANIFEST_DIR, _TIP_HINT),
             json.dumps({"version": version}).encode(),
         )
-    except OSError:
+    except Exception:
         pass
 
 
@@ -487,16 +491,18 @@ def _write_checkpoint(
 ) -> None:
     """Persist the full materialized manifest as the version's sidecar —
     idempotent (create-exclusive publish; a racing duplicate loses
-    harmlessly). ``best_effort`` swallows I/O errors for the cadence path
-    (a missed sidecar only lengthens the next materialization walk);
-    vacuum passes False because it is about to unlink the chain — a
-    silently missing sidecar there would strand the retained version."""
+    harmlessly). ``best_effort`` swallows backend errors for the cadence
+    path (a missed sidecar only lengthens the next materialization walk;
+    any Exception, not just OSError — the CommitStore contract does not
+    pin the backend's error type, code review r13); vacuum passes False
+    because it is about to unlink the chain — a silently missing sidecar
+    there would strand the retained version."""
     path = _checkpoint_path(table, version)
     try:
         if _STORE.exists(path):
             return
         _STORE.put_if_absent(path, json.dumps(manifest).encode())
-    except OSError:
+    except Exception:
         if not best_effort:
             raise
 
@@ -555,15 +561,15 @@ def _carry_watermark(base_man: dict) -> dict | None:
 
     `apply_changes_to_snapshot` records `applied_source_tip` in the
     commit it publishes and short-circuits redelivered ranges by reading
-    the field off the replica's TIP manifest. Maintenance commits between
-    applies (compact, DELETE, UPDATE, merge, replace_partitions) build
-    fresh manifests — if they dropped the field, the next redelivery
-    would re-apply and emit spurious change rows in the replica's own
-    feed (ADVICE r12). They carry it forward instead: maintenance
-    reshapes the replica's content, it does not un-apply the source
-    range. A plain overwrite (write_snapshot direct) still drops it on
-    purpose — wholesale replacement really does sever the replica from
-    the feed's history."""
+    the field off the replica's TIP manifest. Row-preserving commits
+    between applies (compact, DELETE, UPDATE, merge, replace_partitions,
+    and plain appends) build fresh manifests — if they dropped the
+    field, the next redelivery would re-apply and emit spurious change
+    rows in the replica's own feed (ADVICE r12). They carry it forward
+    instead: maintenance reshapes the replica's content, it does not
+    un-apply the source range. Only a wholesale overwrite
+    (write_snapshot mode='overwrite' direct) drops it on purpose —
+    replacement really does sever the replica from the feed's history."""
     tip = base_man.get("applied_source_tip")
     return {"applied_source_tip": tip} if tip is not None else None
 
@@ -897,6 +903,10 @@ def write_snapshot(
             manifest["append_base"] = (
                 parent if base_version is None else base_version
             )
+            # appends preserve the base's rows like every other
+            # maintenance commit, so they carry the CDC replay watermark
+            # too (code review r13 — only a wholesale overwrite severs)
+            manifest.update(_carry_watermark(pm) or {})
         if cdf is not None:
             manifest["cdf"] = cdf
         if manifest_extra:

@@ -17,27 +17,11 @@ def _df(spark, lo, hi):
     return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
 
 
-@pytest.fixture(autouse=True, params=["posix", "memory"])
-def commit_backend(request):
-    """Every test in this module runs under BOTH commit-log backends
-    (VERDICT r12 #2): the default PosixCommitStore (create-exclusive
-    os.link) and the S3-semantics MemoryCommitStore (conditional PUT,
-    read-after-write GET/HEAD/LIST — no link, no rename, no POSIX
-    primitive at all). A test passing under "memory" proves the sink's
-    protocol never smuggles a filesystem assumption past the CommitStore
-    interface. Data files stay on the real filesystem either way — only
-    the metadata log is backend-routed, the exact scope an S3 deployment
-    needs (sinks/commitstore.py module docs)."""
-    if request.param == "posix":
-        yield request.param
-    else:
-        from clinical_search_data_pipeline_spark.sinks.commitstore import (
-            MemoryCommitStore,
-        )
-
-        with m.commit_store(MemoryCommitStore()):
-            yield request.param
-
+@pytest.fixture(autouse=True)
+def _both_commit_backends(commit_backend):
+    """Every test in this module runs under both commit-log backends —
+    policy and rationale live in tests/conftest.py::commit_backend."""
+    yield
 
 
 def _ids(df):
@@ -891,7 +875,7 @@ def test_replay_noop_survives_maintenance_commits(spark, tmp_path):
     feed = m.snapshot_change_feed(spark, src, since=0)
     v1 = m.apply_changes_to_snapshot(feed, dst, keys=["id"])
 
-    # three maintenance commits: compact, DELETE, UPDATE
+    # four row-preserving commits: compact, DELETE, UPDATE, plain append
     v2 = m.compact_snapshot(spark, dst, target_files=2)
     v3, n_del = m.delete_from_snapshot(spark, dst, {"id": 5})
     assert n_del == 1
@@ -901,18 +885,20 @@ def test_replay_noop_survives_maintenance_commits(spark, tmp_path):
         spark, dst, {"id": 0}, {"v": F.col("v") + 100}
     )
     assert n_upd == 1
-    assert v2 == v1 + 1 and v3 == v2 + 1 and v4 == v3 + 1
-    # every maintenance tip still names the applied watermark
-    for v in (v2, v3, v4):
+    v5 = m.write_snapshot(_df(spark, 90, 92), dst, mode="append")
+    assert v2 == v1 + 1 and v3 == v2 + 1 and v4 == v3 + 1 and v5 == v4 + 1
+    # every row-preserving tip still names the applied watermark (the
+    # append case is code review r13: appends preserve base rows too)
+    for v in (v2, v3, v4, v5):
         assert "applied_source_tip" in m._read_stored(dst, v), v
 
     # replay of the SAME source range: still a version no-op
-    tip_changes_before = m.snapshot_change_feed(spark, dst, since=v4).count()
-    v5 = m.apply_changes_to_snapshot(
+    tip_changes_before = m.snapshot_change_feed(spark, dst, since=v5).count()
+    v_replay = m.apply_changes_to_snapshot(
         m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
     )
-    assert v5 == v4
-    assert m.snapshot_change_feed(spark, dst, since=v4).count() == (
+    assert v_replay == v5
+    assert m.snapshot_change_feed(spark, dst, since=v5).count() == (
         tip_changes_before
     )
 
@@ -921,7 +907,7 @@ def test_replay_noop_survives_maintenance_commits(spark, tmp_path):
     v6 = m.apply_changes_to_snapshot(
         m.snapshot_change_feed(spark, src, since=0), dst, keys=["id"]
     )
-    assert v6 == v4 + 1
+    assert v6 == v5 + 1
 
 
 def test_manual_overwrite_drops_replay_watermark(spark, tmp_path):

@@ -432,7 +432,9 @@ def test_on_evolution_restart_continues_and_matches_batch_feed(spark, tmp_path):
     "restart")` — the long-running-consumer shape. The stream PLANS under
     the narrow schema, a widening commit lands before its trigger fires,
     the first attempt fails with the evolution error, and the helper
-    re-plans under the widened tip schema against the SAME checkpoint:
+    re-plans under the widened tip schema and resumes from the durable
+    watermark (deliberately NOT Spark's checkpoint — the availableNow
+    fallback skips uncommitted batches on reuse):
     the collected rows equal the batch feed's exactly (pre-evolution rows
     null-filled), with exactly one restart consumed. Default behavior
     (on_evolution="fail") still raises — pinned too."""

@@ -16,27 +16,11 @@ def _df(spark, lo, hi):
     return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
 
 
-@pytest.fixture(autouse=True, params=["posix", "memory"])
-def commit_backend(request):
-    """Every test in this module runs under BOTH commit-log backends
-    (VERDICT r12 #2): the default PosixCommitStore (create-exclusive
-    os.link) and the S3-semantics MemoryCommitStore (conditional PUT,
-    read-after-write GET/HEAD/LIST — no link, no rename, no POSIX
-    primitive at all). A test passing under "memory" proves the sink's
-    protocol never smuggles a filesystem assumption past the CommitStore
-    interface. Data files stay on the real filesystem either way — only
-    the metadata log is backend-routed, the exact scope an S3 deployment
-    needs (sinks/commitstore.py module docs)."""
-    if request.param == "posix":
-        yield request.param
-    else:
-        from clinical_search_data_pipeline_spark.sinks.commitstore import (
-            MemoryCommitStore,
-        )
-
-        with m.commit_store(MemoryCommitStore()):
-            yield request.param
-
+@pytest.fixture(autouse=True)
+def _both_commit_backends(commit_backend):
+    """Every test in this module runs under both commit-log backends —
+    policy and rationale live in tests/conftest.py::commit_backend."""
+    yield
 
 
 def _ids(df):
