@@ -133,10 +133,19 @@ def test_video_decode_query_reads_bytes_not_metadata(spark):
     docs = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
     out = {r.doc_id: r for r in decode_video(attach_synthetic_video(docs)).collect()}
     for d in range(30):
-        w, h, nf = (d % 5 + 2) * 2, (d % 3 + 2) * 2, d % 6 + 1
-        expect = sum(
-            (d + 7 * f + k) % 256 for f in range(nf) for k in range(w * h)
-        )
+        if d % 2:  # RIFF/AVI MJPEG branch (r13): flat-block JPEG frames
+            w, h, nf = 8 * (d % 3 + 1), 8 * ((d * 7) % 2 + 1), d % 4 + 1
+            nb = (w // 8) * (h // 8)
+            expect = 64 * sum(
+                (d + 11 * f + 17 * bi) % 256
+                for f in range(nf)
+                for bi in range(nb)
+            )
+        else:  # Y4M branch
+            w, h, nf = (d % 5 + 2) * 2, (d % 3 + 2) * 2, d % 6 + 1
+            expect = sum(
+                (d + 7 * f + k) % 256 for f in range(nf) for k in range(w * h)
+            )
         r = out[d]
         assert (r.width, r.height, r.fps_num, r.n_frames) == (
             w, h, d % 30 + 1, nf,

@@ -195,3 +195,228 @@ def test_png_cross_validates_against_jvm_imageio(spark):
         fmt, gw, gh, _mv, rows = decode_pixel_rows(imageio_write(w, h, pix))
         assert (fmt, gw, gh) == ("png", w, h)
         assert rows.tobytes() == pix
+
+
+@settings(**SETTINGS)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 2),
+    color=st.booleans(),
+    restart=st.sampled_from([0, 1, 3]),
+    data=st.data(),
+)
+def test_jpeg_flat_blocks_bit_exact(bw, bh, color, restart, data):
+    """The r13 second compressed codec (baseline T.81): per-8x8-block
+    FLAT pixels under unit quant are DC-only, so even a LOSSY format
+    round-trips bit-exact — the subfamily `q_media_decode`'s arithmetic
+    oracle relies on. Drawn restart intervals exercise RSTn segmentation
+    + DC-predictor resets."""
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    w, h = bw * 8, bh * 8
+    vals = np.array(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+        )
+    ).reshape(bh, bw)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    if color:
+        rgb = np.repeat(gray[..., None], 3, axis=-1)
+        payload = encode_jpeg(w, h, rgb.tobytes(), restart_interval=restart)
+    else:
+        payload = encode_jpeg(w, h, gray=gray.tobytes(), restart_interval=restart)
+    fmt, gw, gh, maxval, rows = decode_pixel_rows(payload)
+    assert (fmt, gw, gh, maxval) == ("jpeg", w, h, 255)
+    assert np.array_equal(
+        rows, np.repeat(gray[..., None], 3, axis=-1).reshape(h, w * 3)
+    )
+
+
+def test_jpeg_general_content_bounded_loss():
+    """General (non-flat) content: unit quant tables keep the full DCT
+    round trip within +/-1 per sample on smooth content (float-rounding
+    only); Annex K tables are genuinely lossy but dims/shape are exact
+    and the error is bounded far below signal scale."""
+    from clinical_search_data_pipeline_spark.operators.jpeg import (
+        STD_QT_CHROMA,
+        STD_QT_LUMA,
+        encode_jpeg,
+    )
+
+    w, h = 19, 13  # non-multiples of 8: MCU padding + crop
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    gray = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+
+    fmt, gw, gh, _mv, rows = decode_pixel_rows(
+        encode_jpeg(w, h, gray=gray.tobytes())
+    )
+    assert (fmt, gw, gh) == ("jpeg", w, h)
+    err = np.abs(rows.reshape(h, w, 3)[..., 0].astype(int) - gray.astype(int))
+    assert err.max() <= 1
+
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    fmt, gw, gh, _mv, rows = decode_pixel_rows(
+        encode_jpeg(
+            w, h, rgb.tobytes(),
+            quant_luma=STD_QT_LUMA, quant_chroma=STD_QT_CHROMA,
+        )
+    )
+    assert (fmt, gw, gh) == ("jpeg", w, h)
+    err = np.abs(rows.reshape(h, w, 3).astype(int) - rgb.astype(int))
+    assert err.mean() < 20 and err.max() < 128
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    gray = np.full(64, 99, dtype=np.uint8)
+    good = encode_jpeg(8, 8, gray=gray.tobytes())
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_pixel_rows(bytes(prog))
+    # truncating the entropy stream must fail loudly
+    with pytest.raises(ValueError):
+        decode_pixel_rows(good[: good.index(b"\xff\xd9") - 2] + b"\xff\xd9")
+
+
+def test_jpeg_cross_validates_against_jvm_imageio(spark):
+    """Independence check, same device as the PNG pin: a symmetric
+    encode/decode bug survives any self round trip, so pin BOTH
+    directions against javax.imageio. Our flat-block JPEGs must decode
+    BIT-EXACT under ImageIO (any compliant IDCT reproduces a DC-only
+    block exactly); our general unit-quant JPEGs must agree with
+    ImageIO's decode within +/-1 (IDCT rounding); and ImageIO-WRITTEN
+    JPEGs (its own quant/huffman/420-subsampling choices) must decode
+    under this module within +/-1 of ImageIO's own decode — gray content
+    keeps chroma exactly flat, so the upsampler choice (replication here,
+    libjpeg fancy in ImageIO) cannot contribute."""
+    import random
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    jvm = spark._jvm
+    rnd = random.Random(29)
+
+    def imageio_read(payload: bytes):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        )
+        w, h = img.getWidth(), img.getHeight()
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                argb = img.getRGB(x, y)
+                out += bytes([(argb >> 16) & 255, (argb >> 8) & 255, argb & 255])
+        return w, h, np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w * 3)
+
+    def imageio_write_jpeg(w, h, pix):
+        img = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        )
+        k = 0
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, (pix[k] << 16) | (pix[k + 1] << 8) | pix[k + 2])
+                k += 3
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    # direction 1a: flat-block color JPEG -> ImageIO decode, bit-exact
+    vals = np.array([rnd.randrange(256) for _ in range(6)]).reshape(2, 3)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    w, h = 24, 16
+    gw, gh, got = imageio_read(encode_jpeg(w, h, rgb.tobytes()))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, rgb.reshape(h, w * 3))
+
+    # direction 1b: general-content COLOR JPEG (unit quant, R=G=B pixels)
+    # -> ImageIO vs ours, +/-1. Three components on purpose: ImageIO's
+    # getRGB on a 1-component JPEG routes through Java's nonlinear
+    # CS_GRAY->sRGB colorspace transform (a presentation choice, not a
+    # codec property), so only the YCbCr path is byte-comparable.
+    w, h = 19, 13
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = ((xx * 7 + yy * 11) % 256).astype(np.uint8)
+    rgb_smooth = np.repeat(smooth[..., None], 3, axis=-1)
+    payload = encode_jpeg(w, h, rgb_smooth.tobytes())
+    _gw, _gh, theirs = imageio_read(payload)
+    _f, _w, _h, _m, ours = decode_pixel_rows(payload)
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 1
+
+    # direction 2: ImageIO-written color JPEG (gray content) -> ours vs
+    # ImageIO's own read, +/-1
+    pix = np.repeat(smooth[..., None], 3, axis=-1).tobytes()
+    payload = imageio_write_jpeg(w, h, pix)
+    fmt, gw, gh, _mv, ours = decode_pixel_rows(payload)
+    assert (fmt, gw, gh) == ("jpeg", w, h)
+    _gw, _gh, theirs = imageio_read(payload)
+    assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 1
+
+
+@settings(**SETTINGS)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 2),
+    fps=st.integers(1, 60),
+    n_frames=st.integers(1, 5),
+    data=st.data(),
+)
+def test_avi_mjpeg_round_trip(bw, bh, fps, n_frames, data):
+    """The r13 video container (RIFF/AVI + per-frame baseline JPEG):
+    LIST nesting, word-aligned chunk walk (JPEG frames are routinely
+    odd-length, so the pad-byte rule is exercised constantly), stream
+    headers read back out of the bytes, and a full entropy decode of
+    every frame. Flat-block frames keep the luma sums exact."""
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    w, h = bw * 8, bh * 8
+    frames, exp_luma = [], 0
+    for _ in range(n_frames):
+        vals = np.array(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=bw * bh, max_size=bw * bh)
+            )
+        ).reshape(bh, bw)
+        exp_luma += 64 * int(vals.sum())
+        gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        frames.append(
+            encode_jpeg(w, h, np.repeat(gray[..., None], 3, -1).tobytes())
+        )
+    meta = decode_avi_mjpeg(encode_avi_mjpeg(w, h, fps, frames))
+    assert meta == {
+        "width": w,
+        "height": h,
+        "fps_num": fps,
+        "n_frames": n_frames,
+        "luma_sum": exp_luma,
+    }
+
+
+def test_avi_rejects_non_avi_riff_and_frame_dim_mismatch():
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_wav,
+    )
+
+    # a WAV is RIFF too — the AVI walker must refuse it, not misparse
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_mjpeg(encode_wav(8000, [1, 2, 3]))
+    # a frame whose decoded dims disagree with the container must refuse
+    frame = encode_jpeg(8, 8, gray=bytes(64))
+    payload = encode_avi_mjpeg(16, 8, 25, [frame])
+    with pytest.raises(ValueError, match="container"):
+        decode_avi_mjpeg(payload)
