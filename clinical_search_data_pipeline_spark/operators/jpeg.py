@@ -591,6 +591,19 @@ def _decode_scan(frame, scan, segs, qts, dc_tabs, ac_tabs, restart_interval):
     width, height, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for cid, h, v, tq in comps:
+        if hmax % h or vmax % v:
+            # replication upsampling needs integer ratios; anything else
+            # (3:2 factors etc.) must refuse, not silently mis-upsample
+            raise ValueError(
+                f"unsupported JPEG sampling ratio {h}x{v} vs {hmax}x{vmax}"
+            )
+    for comp_idx, dc_id, ac_id in scan:
+        if dc_id not in dc_tabs or ac_id not in ac_tabs:
+            raise ValueError(
+                "JPEG scan references undefined huffman table "
+                "(abbreviated MJPEG streams without DHT are not supported)"
+            )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     # per-component coefficient planes in block units
@@ -628,6 +641,7 @@ def _decode_scan(frame, scan, segs, qts, dc_tabs, ac_tabs, restart_interval):
                         preds[comp_idx] += diff
                         zz[0] = preds[comp_idx]
                         k = 1
+                        any_ac = False
                         while k < 64:
                             rs = ac_tabs[ac_id].decode(reader)
                             r, s = rs >> 4, rs & 15
@@ -640,11 +654,20 @@ def _decode_scan(frame, scan, segs, qts, dc_tabs, ac_tabs, restart_interval):
                             if k > 63:
                                 raise ValueError("JPEG AC run overflow")
                             zz[k] = _extend(reader.receive(s), s)
+                            any_ac = True
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz
-                        F = block.reshape(8, 8) * qt
-                        f = idct @ F @ _DCT_M + 128.0
+                        if not any_ac:
+                            # DC-only block: the IDCT is the constant
+                            # DC*q/8 (libjpeg's shortcut) — exact, and
+                            # the hot case for flat/smooth content
+                            f = np.full(
+                                (8, 8), zz[0] * qt[0, 0] / 8.0 + 128.0
+                            )
+                        else:
+                            block = np.zeros(64, dtype=np.float64)
+                            block[ZIGZAG] = zz
+                            F = block.reshape(8, 8) * qt
+                            f = idct @ F @ _DCT_M + 128.0
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
                         planes[comp_idx][y0 : y0 + 8, x0 : x0 + 8] = f

@@ -753,31 +753,175 @@ def encode_wav(sample_rate: int, samples, pad_chunk: bool = False) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Compression and
+# Exchange standard; the same tables every player ships)
+ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def adpcm_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state-machine transition: nibble in, (new predictor,
+    new step index) out — integer-exact, so a cross-engine oracle can
+    replay it (the `q_media_audio` recursive-CTE branch does)."""
+    step = ADPCM_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[nib]))
+    return pred, idx
+
+
+def adpcm_encode_samples(
+    samples, pred0: int = 0, index0: int = 0
+) -> tuple[list[int], list[int]]:
+    """Greedy IMA quantizer: pick each nibble by simulating the decoder
+    (sign bit + three magnitude bits against the current step), tracking
+    the reconstruction. Returns ``(nibbles, reconstruction)`` — the
+    reconstruction is BY CONSTRUCTION what a correct decoder must emit,
+    which makes encode->decode equality a bit-exact property test even
+    though ADPCM itself is lossy vs the input."""
+    nibbles, recon = [], []
+    pred, idx = pred0, index0
+    for s in samples:
+        step = ADPCM_STEP_TABLE[idx]
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, idx = adpcm_step(pred, idx, nib)
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon
+
+
+def encode_wav_adpcm(
+    sample_rate: int, blocks, *, samples_per_block: int | None = None
+) -> bytes:
+    """RIFF/WAVE, IMA ADPCM (wFormatTag 0x11), mono: fmt chunk with the
+    cbSize extension carrying wSamplesPerBlock, the spec-required `fact`
+    chunk with the true sample count, and block-structured data — each
+    block is a 4-byte header (int16 seed predictor, uint8 step index,
+    reserved byte) followed by packed nibbles, LOW nibble first. `blocks`
+    is a list of ``(pred0, index0, nibbles)``; every block must carry
+    ``samples_per_block - 1`` nibbles except the last, which may be
+    short (the fact count is what trims it — a reader that trusts
+    blockAlign alone over-reads)."""
+    import struct
+
+    if samples_per_block is None:
+        samples_per_block = len(blocks[0][2]) + 1
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    total_samples = sum(1 + len(nibs) for _, _, nibs in blocks)
+    data = bytearray()
+    for pred0, index0, nibs in blocks:
+        data += struct.pack("<hBB", pred0, index0, 0)
+        for i in range(0, len(nibs), 2):
+            lo = nibs[i] & 0xF
+            hi = (nibs[i + 1] & 0xF) if i + 1 < len(nibs) else 0
+            data.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<4sIHHIIHHHH",
+        b"fmt ", 20, 0x11, 1, sample_rate,
+        (sample_rate * block_align) // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, total_samples)
+    data_chunk = b"data" + struct.pack("<I", len(data)) + bytes(data)
+    if len(data) % 2:
+        data_chunk += b"\x00"  # RIFF word alignment
+    body = b"WAVE" + fmt + fact + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm_data(
+    data: bytes, block_align: int, samples_per_block: int, total: int | None
+) -> list[int]:
+    """Walk IMA ADPCM blocks: per block, seed (predictor, index) from the
+    4-byte header, then one state-machine step per nibble (low first),
+    trimmed to the fact-chunk total so a short final block and pad
+    nibbles are never emitted as samples."""
+    import struct
+
+    out: list[int] = []
+    for at in range(0, len(data), block_align):
+        block = data[at : at + block_align]
+        if len(block) < 4:
+            break
+        pred, idx = struct.unpack("<hB", block[:3])
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} out of range")
+        out.append(pred)
+        want = samples_per_block - 1
+        if total is not None:
+            want = min(want, total - len(out))
+        for nib_i in range(want):
+            byte = block[4 + nib_i // 2]
+            nib = (byte >> 4) if nib_i % 2 else (byte & 0xF)
+            pred, idx = adpcm_step(pred, idx, nib)
+            out.append(pred)
+        if total is not None and len(out) >= total:
+            break
+    return out
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
     """(sample_rate, samples): chunk-walking RIFF parser — validates
-    RIFF/WAVE magics, walks chunks (word-aligned per spec) to find fmt and
-    data wherever they sit, and reads 16-bit LE mono samples out of the
-    data chunk."""
+    RIFF/WAVE magics, walks chunks (word-aligned per spec) to find fmt,
+    fact, and data wherever they sit, and decodes mono samples: 16-bit LE
+    PCM (wFormatTag 1) or IMA ADPCM (wFormatTag 0x11, r13 — compressed;
+    block headers + nibble state machine, fact-count trimmed)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, sample_rate, data = 12, None, None
+    pos, fmt_chunk, data, fact_total = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         chunk = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, channels, sample_rate = struct.unpack("<HHI", chunk[:8])
-            if audio_fmt != 1 or channels != 1:
-                raise ValueError(f"unsupported WAV: fmt={audio_fmt} ch={channels}")
+            fmt_chunk = chunk
+        elif cid == b"fact":
+            (fact_total,) = struct.unpack("<I", chunk[:4])
         elif cid == b"data":
             data = chunk
         pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
-    if sample_rate is None or data is None:
+    if fmt_chunk is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    n = len(data) // 2
-    return int(sample_rate), struct.unpack(f"<{n}h", data[: n * 2])
+    audio_fmt, channels, sample_rate = struct.unpack("<HHI", fmt_chunk[:8])
+    if channels != 1:
+        raise ValueError(f"unsupported WAV: ch={channels}")
+    if audio_fmt == 1:  # PCM
+        n = len(data) // 2
+        return int(sample_rate), struct.unpack(f"<{n}h", data[: n * 2])
+    if audio_fmt == 0x11:  # IMA ADPCM
+        (block_align,) = struct.unpack("<H", fmt_chunk[12:14])
+        (samples_per_block,) = struct.unpack("<H", fmt_chunk[18:20])
+        return int(sample_rate), tuple(
+            _decode_adpcm_data(data, block_align, samples_per_block, fact_total)
+        )
+    raise ValueError(f"unsupported WAV: fmt={audio_fmt}")
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -793,22 +937,41 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
-    """Encode a real WAV per document with samples that are pure functions
-    of doc_id, so the oracle recomputes what a correct decode must find:
+    """Encode a real WAV per document, PCM for even doc_ids and IMA ADPCM
+    (r13, compressed) for odd, every parameter a pure function of doc_id
+    so the oracle recomputes what a correct decode must find.
 
+    PCM (doc_id % 2 = 0):
         n    = doc_id % 50 + 20        rate = 8000 + (doc_id % 4) * 4000
         s[k] = ((doc_id * 31 + k * 17) % 4096) - 2048
-    and odd doc_ids carry a pre-fmt JUNK chunk (parser must walk)."""
+    (doc_id % 4 = 2 carries a pre-fmt JUNK chunk — parser must walk).
+
+    ADPCM (doc_id % 2 = 1): one block seeded by
+        pred0 = ((doc_id * 31) % 4096) - 2048     index0 = doc_id % 89
+        nib[k] = (doc_id * 13 + k * 7) % 16       for k in [0, doc_id % 40 + 10)
+    and the decoded samples are the STATE MACHINE's trajectory — the
+    oracle replays it in a DuckDB recursive CTE, not arithmetic."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                n = d % 50 + 20
                 rate = 8000 + (d % 4) * 4000
+                if d % 2:
+                    n_nib = d % 40 + 10
+                    pred0 = ((d * 31) % 4096) - 2048
+                    index0 = d % 89
+                    nibs = [(d * 13 + k * 7) % 16 for k in range(n_nib)]
+                    payloads.append(
+                        encode_wav_adpcm(rate, [(pred0, index0, nibs)])
+                    )
+                    continue
+                n = d % 50 + 20
                 samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
-                payloads.append(encode_wav(rate, samples, pad_chunk=bool(d % 2)))
+                payloads.append(
+                    encode_wav(rate, samples, pad_chunk=d % 4 == 2)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(
@@ -843,33 +1006,96 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, schema=AUDIO_SCHEMA)
 
 
+_ADPCM_STEP_SQL = "[" + ", ".join(str(s) for s in ADPCM_STEP_TABLE) + "]"
+_ADPCM_INDEX_SQL = "[" + ", ".join(str(s) for s in ADPCM_INDEX_TABLE) + "]"
+
+
 @register(
     "q_media_audio",
-    oracle="""
-WITH d AS (
+    oracle=f"""
+WITH RECURSIVE
+pcm AS (
   SELECT doc_id,
          CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
          doc_id % 50 + 20 AS n
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
-s AS (
+pcm_s AS (
   SELECT doc_id, sample_rate, n,
          abs((doc_id * 31 + k * 17) % 4096 - 2048) AS amp
-  FROM d, unnest(range(0, n)) AS t(k)
+  FROM pcm, unnest(range(0, n)) AS t(k)
+),
+pcm_agg AS (
+  SELECT doc_id, sample_rate,
+         CAST(n AS BIGINT) AS n_samples,
+         CAST(sum(amp) AS BIGINT) AS amp_sum,
+         CAST(max(amp) AS INT) AS max_amp
+  FROM pcm_s GROUP BY doc_id, sample_rate, n
+),
+ad_init AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         doc_id % 40 + 10 AS n_nib,
+         CAST((doc_id * 31) % 4096 - 2048 AS BIGINT) AS pred0,
+         CAST(doc_id % 89 AS BIGINT) AS idx0
+  FROM documents WHERE doc_id % 2 = 1
+),
+steps AS (
+  SELECT CAST(i AS BIGINT) AS si,
+         CAST({_ADPCM_STEP_SQL}[CAST(i AS INT) + 1] AS BIGINT) AS step
+  FROM range(89) t(i)
+),
+itab AS (
+  SELECT CAST(i AS BIGINT) AS nv,
+         CAST({_ADPCM_INDEX_SQL}[CAST(i AS INT) + 1] AS BIGINT) AS dincr
+  FROM range(16) t(i)
+),
+adpcm AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS k, pred0 AS pred, idx0 AS idx
+  FROM ad_init
+  UNION ALL
+  SELECT a.doc_id, a.k + 1,
+         GREATEST(-32768, LEAST(32767,
+           a.pred
+           + CASE WHEN (((a.doc_id * 13 + a.k * 7) % 16) & 8) != 0
+                  THEN -1 ELSE 1 END
+             * ((s.step >> 3)
+                + CASE WHEN (((a.doc_id * 13 + a.k * 7) % 16) & 1) != 0
+                       THEN s.step >> 2 ELSE 0 END
+                + CASE WHEN (((a.doc_id * 13 + a.k * 7) % 16) & 2) != 0
+                       THEN s.step >> 1 ELSE 0 END
+                + CASE WHEN (((a.doc_id * 13 + a.k * 7) % 16) & 4) != 0
+                       THEN s.step ELSE 0 END))),
+         GREATEST(0, LEAST(88, a.idx + t.dincr))
+  FROM adpcm a
+  JOIN ad_init i ON a.doc_id = i.doc_id
+  JOIN steps s ON s.si = a.idx
+  JOIN itab t ON t.nv = (a.doc_id * 13 + a.k * 7) % 16
+  WHERE a.k < i.n_nib
+),
+ad_agg AS (
+  SELECT a.doc_id, i.sample_rate,
+         CAST(i.n_nib + 1 AS BIGINT) AS n_samples,
+         CAST(sum(abs(a.pred)) AS BIGINT) AS amp_sum,
+         CAST(max(abs(a.pred)) AS INT) AS max_amp
+  FROM adpcm a JOIN ad_init i ON a.doc_id = i.doc_id
+  GROUP BY a.doc_id, i.sample_rate, i.n_nib
 )
-SELECT doc_id, sample_rate,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(sum(amp) AS BIGINT) AS amp_sum,
-       CAST(max(amp) AS INT) AS max_amp
-FROM s GROUP BY doc_id, sample_rate, n
+SELECT * FROM pcm_agg UNION ALL SELECT * FROM ad_agg
 """,
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode -> decode round trip over real RIFF/WAV bytes: the Spark side
-    walks RIFF chunks (odd doc_ids carry a pre-fmt JUNK chunk, so
-    fixed-offset readers fail) and reads 16-bit PCM samples back; the
-    oracle recomputes sample statistics arithmetically from doc_id."""
+    """Encode -> decode round trip over real RIFF/WAV bytes, two codecs
+    round-robin by doc_id parity: 16-bit PCM (doc_id % 4 = 2 carries a
+    pre-fmt JUNK chunk, so fixed-offset readers fail) and IMA ADPCM
+    (r13 — a genuinely COMPRESSED audio codec: block header seeds +
+    4-bit nibble quantization decoded by the public IMA state machine).
+    The PCM oracle recomputes sample statistics arithmetically; the
+    ADPCM oracle REPLAYS the decoder's integer state machine in a
+    DuckDB recursive CTE over the same nibble stream (the
+    `q_ewma_user_values` device applied to a codec) — any divergence in
+    step/index/clamp handling is a value mismatch, not a tolerance."""
     return decode_audio(
         attach_synthetic_audio(read_table(spark, sf_dir, "documents"))
     )

