@@ -421,14 +421,59 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
-RESIZED_SCHEMA = StructType(
+THUMB_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("payload", BinaryType()),
-        StructField("out_bytes", LongType()),
+        StructField("fmt", StringType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
     ]
 )
+
+
+def thumbnail_images(media: DataFrame, max_dim: int = 8) -> DataFrame:
+    """REAL thumbnailer (r13 — replaces the byte-slice stand-in): decode
+    the raster (any of the four codecs), nearest-neighbor subsample with
+    stride ``s = ceil(max(w, h) / max_dim)`` anchored at pixel (0, 0),
+    re-encode the thumbnail as PPM, then RE-DECODE that PPM and report
+    its dimensions and pixel sum — so the output values prove the
+    decode, the subsample arithmetic, AND the re-encode in one pass.
+    Arrow-batched mapInPandas; bytes never leave the executor."""
+    import numpy as _np
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "sw", "sh", "w", "h", "ps")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, _mv, rows = decode_pixel_rows(bytes(payload))
+                s = max(1, -(-max(w, h) // max_dim))
+                thumb = rows.reshape(h, w, 3)[::s, ::s, :]
+                th, tw = thumb.shape[:2]
+                ppm = encode_ppm(tw, th, _np.ascontiguousarray(thumb).tobytes())
+                _f2, w2, h2, _m2, rows2 = decode_pixel_rows(ppm)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["sw"].append(w)
+                out["sh"].append(h)
+                out["w"].append(w2)
+                out["h"].append(h2)
+                out["ps"].append(int(rows2.astype(_np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "fmt": out["fmt"],
+                    "src_width": pd.Series(out["sw"], dtype="int32"),
+                    "src_height": pd.Series(out["sh"], dtype="int32"),
+                    "width": pd.Series(out["w"], dtype="int32"),
+                    "height": pd.Series(out["h"], dtype="int32"),
+                    "pixel_sum": pd.Series(out["ps"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_thumb, schema=THUMB_SCHEMA)
 
 FEATURE_DIM = 16
 
@@ -438,27 +483,6 @@ FEATURE_SCHEMA = StructType(
         StructField("feature", StringType()),  # hex digest per 16-byte stride
     ]
 )
-
-
-def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """Resize plumbing: cap each payload at `target_bytes` (the byte-slice
-    stand-in for a real thumbnailer — wire PIL/ffmpeg inside `_resize` in
-    production; batch shape, schema, and 1:1 row contract are the real
-    thing)."""
-
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            resized = pdf["payload"].map(lambda b: bytes(b[:target_bytes]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "payload": resized,
-                    "out_bytes": resized.map(len).astype("int64"),
-                }
-            )
-
-    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -643,17 +667,67 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_resize",
     oracle="""
-SELECT doc_id,
-       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
-       CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_bytes
-FROM documents
+WITH d AS (
+  SELECT doc_id,
+         ['bmp', 'ppm', 'png', 'jpeg'][(doc_id % 4 + 1)::INT] AS fmt,
+         CASE WHEN doc_id % 4 = 3 THEN CAST(8 * (doc_id % 3 + 1) AS INT)
+              ELSE CAST(doc_id % 13 + 4 AS INT) END AS sw,
+         CASE WHEN doc_id % 4 = 3 THEN CAST(8 * ((doc_id * 7) % 2 + 1) AS INT)
+              ELSE CAST((doc_id * 7) % 11 + 4 AS INT) END AS sh
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, fmt, sw, sh,
+         (GREATEST(sw, sh) + 7) // 8 AS s
+  FROM d
+),
+grid AS (
+  SELECT doc_id, fmt, sw, sh, s,
+         CAST((sw + s - 1) // s AS INT) AS tw,
+         CAST((sh + s - 1) // s AS INT) AS th
+  FROM dims
+),
+px AS (
+  -- the thumbnail samples LOGICAL (top-down) rows; the BMP fixture
+  -- writes its pixel function in STORAGE order, which the decoder
+  -- flips (positive height = bottom-up), so bmp docs index row
+  -- sh-1-y*s while ppm/png index y*s directly
+  SELECT doc_id, fmt, sw, sh, s, tw, th, y, x,
+         CASE WHEN fmt = 'jpeg'
+              THEN 3 * ((doc_id + 17 * (((y * s) // 8) * (sw // 8)
+                                        + (x * s) // 8)) % 256)
+              ELSE (doc_id + (src_row * sw + x * s) * 3 + 0) % 256
+                 + (doc_id + (src_row * sw + x * s) * 3 + 1) % 256
+                 + (doc_id + (src_row * sw + x * s) * 3 + 2) % 256
+         END AS v
+  FROM (
+    SELECT *,
+           CASE WHEN fmt = 'bmp' THEN sh - 1 - y * s ELSE y * s END AS src_row
+    FROM grid,
+         unnest(range(0, th)) AS ty(y),
+         unnest(range(0, tw)) AS tx(x)
+  )
+)
+SELECT doc_id, fmt,
+       CAST(sw AS INT) AS src_width,
+       CAST(sh AS INT) AS src_height,
+       tw AS width, th AS height,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, fmt, sw, sh, tw, th
 """,
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: output size contract oracled (bytes are Spark-side)."""
-    resized = resize_media(attach_payload(read_table(spark, sf_dir, "documents")))
-    return resized.select("doc_id", "media_type", "out_bytes")
+    """REAL resize (r13 — the byte-slice stand-in retired): decode each
+    raster (BMP/PPM/PNG/JPEG by doc_id % 4), nearest-neighbor subsample
+    at stride ceil(max(w,h)/8), re-encode as PPM, and re-decode THAT to
+    report thumbnail dims + pixel sum — decode, subsample arithmetic,
+    and re-encode all proven by one value. The oracle recomputes the
+    selected source pixels arithmetically from doc_id (for JPEG docs,
+    from the flat-block value function)."""
+    return thumbnail_images(
+        attach_synthetic_images(read_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(

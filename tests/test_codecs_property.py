@@ -486,3 +486,43 @@ def test_adpcm_encoder_reconstruction_is_decode(samples):
     nibs, recon = adpcm_encode_samples(samples, 0, 0)
     _rate, got = decode_wav_samples(encode_wav_adpcm(8000, [(0, 0, nibs)]))
     assert list(got) == [0] + recon
+
+
+@settings(**SETTINGS)
+@given(
+    w=st.integers(2, 13),
+    h=st.integers(2, 11),
+    fmt=st.sampled_from(["ppm", "bmp", "png"]),
+    data=st.data(),
+)
+def test_thumbnail_picks_strided_logical_pixels(w, h, fmt, data, spark):
+    """The r13 real resize: the thumbnail must sample the LOGICAL
+    top-down raster at stride ceil(max(w,h)/8) anchored at (0,0) — for
+    BMP that means the decoder's bottom-up flip happens BEFORE
+    sampling, an orientation property the orientation-invariant
+    pixel-sum checks cannot see."""
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_pixel_rows,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        thumbnail_images,
+    )
+
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3))
+    )
+    logical = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        payload = encode_ppm(w, h, pix)
+    elif fmt == "png":
+        payload = encode_png(w, h, pix)
+    else:  # bmp stores bottom-up: hand the encoder storage order
+        payload = encode_bmp(w, h, logical[::-1].tobytes())
+    s = max(1, -(-max(w, h) // 8))
+    expect = logical[::s, ::s, :]
+    media = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+    row = thumbnail_images(media).collect()[0]
+    assert (row.fmt, row.src_width, row.src_height) == (fmt, w, h)
+    assert (row.height, row.width) == expect.shape[:2]
+    assert row.pixel_sum == int(expect.astype(np.int64).sum())
