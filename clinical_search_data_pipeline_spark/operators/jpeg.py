@@ -682,6 +682,35 @@ def _decode_scan(frame, scan, segs, qts, dc_tabs, ac_tabs, restart_interval):
     return width, height, out
 
 
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """Header-only probe: walk markers to SOF0/1 and return (width,
+    height, n_components) WITHOUT touching the entropy-coded data — the
+    metadata path a catalog scan wants (`multimodal.probe_media`)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9 or marker == 0xDA:  # EOI / scan start: no SOF seen
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(payload[i : i + 2], "big")
+        if marker in (0xC0, 0xC1):
+            body = payload[i + 2 : i + seglen]
+            return (
+                int.from_bytes(body[3:5], "big"),
+                int.from_bytes(body[1:3], "big"),
+                body[5],
+            )
+        i += seglen
+    raise ValueError("JPEG has no baseline SOF header")
+
+
 def decode_jpeg_rows(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode to display-order RGB rows of shape (height, width*3) — the
     `multimodal.decode_pixel_rows` contract. Grayscale JPEGs replicate the

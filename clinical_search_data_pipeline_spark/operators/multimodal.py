@@ -48,14 +48,17 @@ from clinical_search_data_pipeline_spark.sources.readers import fan_out, read_ta
 
 MEDIA_TYPES = ("image", "audio", "video")
 
-MEDIA_META_SCHEMA = StructType(
+PROBE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("media_type", StringType()),
-        StructField("byte_len", LongType()),
+        StructField("fmt", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
     ]
 )
 
@@ -371,34 +374,167 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-def extract_media_meta(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads.
+def probe_media_payload(payload: bytes) -> dict:
+    """Header-only probe of one payload (the ffprobe analogue, r13):
+    dispatch on magic and read metadata WITHOUT decoding any pixel /
+    sample / entropy data — the path a 100 TB catalog scan wants.
+    PNG reads IHDR only (no inflate), JPEG walks markers to SOF (no
+    huffman), WAV reads fmt/fact/data sizes, Y4M skips frame planes by
+    stride, AVI reads stream headers + counts '00dc' chunks."""
+    import struct
 
-    A deterministic stand-in for a real decoder: dimensions are pure
-    functions of the byte length, so the result is oracle-checkable while
-    exercising the exact production plumbing (mapInPandas over binary
-    columns, explicit output schema).
-    """
+    out = {
+        "media_type": None, "fmt": None, "width": None, "height": None,
+        "n_frames": None, "fps_num": None, "sample_rate": None,
+        "n_samples": None,
+    }
+    if payload[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        out.update(media_type="image", fmt="ppm", width=fields[0],
+                   height=fields[1], n_frames=1)
+    elif payload[:2] == b"BM":
+        out.update(
+            media_type="image", fmt="bmp",
+            width=int.from_bytes(payload[18:22], "little", signed=True),
+            height=abs(int.from_bytes(payload[22:26], "little", signed=True)),
+            n_frames=1,
+        )
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        out.update(
+            media_type="image", fmt="png",
+            width=int.from_bytes(payload[16:20], "big"),
+            height=int.from_bytes(payload[20:24], "big"),
+            n_frames=1,
+        )
+    elif payload[:2] == b"\xff\xd8":
+        from clinical_search_data_pipeline_spark.operators.jpeg import (
+            jpeg_dimensions,
+        )
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h, _nc = jpeg_dimensions(payload)
+        out.update(media_type="image", fmt="jpeg", width=w, height=h,
+                   n_frames=1)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt_chunk, data_len, fact_total = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"fmt ":
+                fmt_chunk = payload[pos + 8 : pos + 8 + size]
+            elif cid == b"fact":
+                (fact_total,) = struct.unpack(
+                    "<I", payload[pos + 8 : pos + 12]
+                )
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size % 2)
+        if fmt_chunk is None or data_len is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        tag, _ch, rate = struct.unpack("<HHI", fmt_chunk[:8])
+        if tag == 1:
+            out.update(media_type="audio", fmt="pcm", sample_rate=rate,
+                       n_samples=data_len // 2)
+        elif tag == 0x11:
+            out.update(media_type="audio", fmt="adpcm", sample_rate=rate,
+                       n_samples=fact_total)
+        else:
+            raise ValueError(f"unsupported WAV fmt tag {tag}")
+    elif payload[:9] == b"YUV4MPEG2":
+        nl = payload.index(b"\n")
+        width = height = fps = None
+        for tag in payload[:nl].split(b" ")[1:]:
+            if tag[:1] == b"W":
+                width = int(tag[1:])
+            elif tag[:1] == b"H":
+                height = int(tag[1:])
+            elif tag[:1] == b"F":
+                fps = int(tag[1:].split(b":")[0])
+        frame_bytes = width * height + (width // 2) * (height // 2) * 2
+        pos, n_frames = nl + 1, 0
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"expected FRAME marker at byte {pos}")
+            pos = payload.index(b"\n", pos) + 1 + frame_bytes  # skip planes
+            n_frames += 1
+        out.update(media_type="video", fmt="y4m", width=width,
+                   height=height, n_frames=n_frames, fps_num=fps)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        width, height, fps, frames = decode_avi_mjpeg_frames(payload)
+        out.update(media_type="video", fmt="mjpeg", width=width,
+                   height=height, n_frames=len(frames), fps_num=fps)
+    else:
+        raise ValueError(f"unsupported media magic {payload[:4]!r}")
+    return out
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched header-only metadata probe over mixed-modality
+    binary payloads (`probe_media_payload` per row) — columns not
+    defined for a modality are typed NULLs."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            byte_len = pdf["payload"].map(len)
+            meta = [probe_media_payload(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": byte_len.astype("int64"),
-                    "width": (byte_len % 640 + 16).astype("int32"),
-                    "height": ((byte_len * 7) % 480 + 16).astype("int32"),
-                    "n_frames": pdf["media_type"].map(
-                        lambda m: 1 if m != "video" else 0
-                    ).astype("int32")
-                    + (byte_len % 120).astype("int32")
-                    * (pdf["media_type"] == "video").astype("int32"),
+                    "media_type": [m["media_type"] for m in meta],
+                    "fmt": [m["fmt"] for m in meta],
+                    "width": pd.Series(
+                        [m["width"] for m in meta], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [m["height"] for m in meta], dtype="Int32"
+                    ),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in meta], dtype="Int32"
+                    ),
+                    "fps_num": pd.Series(
+                        [m["fps_num"] for m in meta], dtype="Int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in meta], dtype="Int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in meta], dtype="Int64"
+                    ),
                 }
             )
 
-    return media.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+    return media.mapInPandas(_probe, schema=PROBE_SCHEMA)
+
+
+def attach_synthetic_media(docs: DataFrame) -> DataFrame:
+    """Mixed-modality fixture: one REAL media file per document —
+    image / audio / video by doc_id % 3 (matching `attach_payload`'s
+    media_type mapping), each modality reusing its own attach fixture's
+    arithmetic (`_image_payload` / `_audio_payload` / `_video_payload`),
+    so the per-modality oracles compose."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = (_image_payload, _audio_payload, _video_payload)
+        for pdf in batches:
+            payloads = [builders[int(d) % 3](int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _encode,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -517,6 +653,27 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _image_payload(d: int) -> bytes:
+    """One real raster per doc_id — BMP/PPM/PNG/JPEG by d % 4 (the
+    `attach_synthetic_images` docstring pins the pixel arithmetic)."""
+    import numpy as _np
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    if d % 4 == 3:  # jpeg: bit-exact flat-block subfamily
+        w = 8 * (d % 3 + 1)
+        h = 8 * ((d * 7) % 2 + 1)
+        vals = (d + 17 * _np.arange((h // 8) * (w // 8))) % 256
+        gray = _np.repeat(
+            _np.repeat(vals.reshape(h // 8, w // 8), 8, axis=0), 8, axis=1
+        ).astype(_np.uint8)
+        return encode_jpeg(w, h, _np.repeat(gray[..., None], 3, -1).tobytes())
+    w = d % 13 + 4
+    h = (d * 7) % 11 + 4
+    pix = ((d + _np.arange(w * h * 3)) % 256).astype(_np.uint8).tobytes()
+    return (encode_bmp, encode_ppm, encode_png)[d % 4](w, h, pix)
+
+
 def attach_synthetic_images(docs: DataFrame) -> DataFrame:
     """Encode a real raster file per document — BMP / PPM / PNG / JPEG
     round-robin by ``doc_id % 4`` (PNG: zlib-deflated scanlines under five
@@ -538,37 +695,9 @@ def attach_synthetic_images(docs: DataFrame) -> DataFrame:
         block value v[bi] = (doc_id + 17 * bi) % 256   (bi row-major)
         decoded pixel_sum = 3 * 64 * sum(v)
     """
-    import numpy as _np
-
-    encoders = (encode_bmp, encode_ppm, encode_png)
-
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from clinical_search_data_pipeline_spark.operators.jpeg import (
-            encode_jpeg,
-        )
-
-        def _jpeg(doc_id: int) -> bytes:
-            w = 8 * (doc_id % 3 + 1)
-            h = 8 * ((doc_id * 7) % 2 + 1)
-            vals = (doc_id + 17 * _np.arange((h // 8) * (w // 8))) % 256
-            gray = _np.repeat(
-                _np.repeat(vals.reshape(h // 8, w // 8), 8, axis=0), 8, axis=1
-            ).astype(_np.uint8)
-            rgb = _np.repeat(gray[..., None], 3, axis=-1)
-            return encode_jpeg(w, h, rgb.tobytes())
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                if int(doc_id) % 4 == 3:
-                    payloads.append(_jpeg(int(doc_id)))
-                    continue
-                w = int(doc_id % 13 + 4)
-                h = int((doc_id * 7) % 11 + 4)
-                pix = ((int(doc_id) + _np.arange(w * h * 3)) % 256).astype(
-                    _np.uint8
-                ).tobytes()
-                payloads.append(encoders[int(doc_id) % 4](w, h, pix))
+            payloads = [_image_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(
@@ -747,22 +876,65 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_meta",
     oracle="""
-WITH m AS (
-  SELECT doc_id,
-         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
-         octet_length(encode(text)) AS byte_len
-  FROM documents
+WITH img AS (
+  SELECT doc_id, 'image' AS media_type,
+         ['bmp', 'ppm', 'png', 'jpeg'][(doc_id % 4 + 1)::INT] AS fmt,
+         CASE WHEN doc_id % 4 = 3 THEN 8 * (doc_id % 3 + 1)
+              ELSE doc_id % 13 + 4 END AS w,
+         CASE WHEN doc_id % 4 = 3 THEN 8 * ((doc_id * 7) % 2 + 1)
+              ELSE (doc_id * 7) % 11 + 4 END AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+aud AS (
+  SELECT doc_id, 'audio' AS media_type,
+         CASE WHEN doc_id % 2 = 1 THEN 'adpcm' ELSE 'pcm' END AS fmt,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 40 + 11
+              ELSE doc_id % 50 + 20 END AS ns
+  FROM documents WHERE doc_id % 3 = 1
+),
+vid AS (
+  SELECT doc_id, 'video' AS media_type,
+         CASE WHEN doc_id % 2 = 1 THEN 'mjpeg' ELSE 'y4m' END AS fmt,
+         CASE WHEN doc_id % 2 = 1 THEN 8 * (doc_id % 3 + 1)
+              ELSE (doc_id % 5 + 2) * 2 END AS w,
+         CASE WHEN doc_id % 2 = 1 THEN 8 * ((doc_id * 7) % 2 + 1)
+              ELSE (doc_id % 3 + 2) * 2 END AS h,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 + 1
+              ELSE doc_id % 6 + 1 END AS nf,
+         CAST(doc_id % 30 + 1 AS INT) AS fps
+  FROM documents WHERE doc_id % 3 = 2
 )
-SELECT doc_id, media_type, byte_len,
-       CAST(byte_len % 640 + 16 AS INT) AS width,
-       CAST((byte_len * 7) % 480 + 16 AS INT) AS height,
-       CAST(CASE WHEN media_type = 'video' THEN byte_len % 120 ELSE 1 END AS INT) AS n_frames
-FROM m
+SELECT doc_id, media_type, fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS n_frames, CAST(NULL AS INT) AS fps_num,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples
+FROM img
+UNION ALL
+SELECT doc_id, media_type, fmt,
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), rate, CAST(ns AS BIGINT)
+FROM aud
+UNION ALL
+SELECT doc_id, media_type, fmt,
+       CAST(w AS INT), CAST(h AS INT), CAST(nf AS INT), fps,
+       CAST(NULL AS INT), CAST(NULL AS BIGINT)
+FROM vid
 """,
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_media_meta(attach_payload(read_table(spark, sf_dir, "documents")))
+    """Header-only metadata probe over a MIXED real-media corpus (r13 —
+    the byte-length stand-in retired): image/audio/video by doc_id % 3,
+    each a real file from its modality's fixture family, probed by
+    `probe_media_payload` WITHOUT decoding pixel/sample/entropy data
+    (PNG: IHDR only, no inflate; JPEG: marker walk to SOF, no huffman;
+    WAV: fmt/fact/data sizes; Y4M: frame markers by stride; AVI: stream
+    headers). The oracle recomputes every field arithmetically from
+    doc_id, with typed NULLs for the columns a modality doesn't have."""
+    return probe_media(
+        attach_synthetic_media(read_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(
@@ -1010,6 +1182,20 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def _audio_payload(d: int) -> bytes:
+    """One real WAV per doc_id — PCM/ADPCM by d % 2 (the
+    `attach_synthetic_audio` docstring pins the arithmetic)."""
+    rate = 8000 + (d % 4) * 4000
+    if d % 2:
+        n_nib = d % 40 + 10
+        pred0 = ((d * 31) % 4096) - 2048
+        nibs = [(d * 13 + k * 7) % 16 for k in range(n_nib)]
+        return encode_wav_adpcm(rate, [(pred0, d % 89, nibs)])
+    n = d % 50 + 20
+    samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+    return encode_wav(rate, samples, pad_chunk=d % 4 == 2)
+
+
 def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
     """Encode a real WAV per document, PCM for even doc_ids and IMA ADPCM
     (r13, compressed) for odd, every parameter a pure function of doc_id
@@ -1028,24 +1214,7 @@ def attach_synthetic_audio(docs: DataFrame) -> DataFrame:
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                rate = 8000 + (d % 4) * 4000
-                if d % 2:
-                    n_nib = d % 40 + 10
-                    pred0 = ((d * 31) % 4096) - 2048
-                    index0 = d % 89
-                    nibs = [(d * 13 + k * 7) % 16 for k in range(n_nib)]
-                    payloads.append(
-                        encode_wav_adpcm(rate, [(pred0, index0, nibs)])
-                    )
-                    continue
-                n = d % 50 + 20
-                samples = [((d * 31 + k * 17) % 4096) - 2048 for k in range(n)]
-                payloads.append(
-                    encode_wav(rate, samples, pad_chunk=d % 4 == 2)
-                )
+            payloads = [_audio_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(
@@ -1398,6 +1567,36 @@ def decode_video_meta(payload: bytes) -> dict:
     raise ValueError(f"unsupported video container magic {payload[:4]!r}")
 
 
+def _video_payload(d: int) -> bytes:
+    """One real clip per doc_id — Y4M/AVI-MJPEG by d % 2 (the
+    `attach_synthetic_video` docstring pins the arithmetic)."""
+    import numpy as _np
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    if d % 2:  # RIFF/AVI MJPEG, flat-block frames
+        w = 8 * (d % 3 + 1)
+        h = 8 * ((d * 7) % 2 + 1)
+        nb = (h // 8) * (w // 8)
+        frames = []
+        for f in range(d % 4 + 1):
+            vals = (d + 11 * f + 17 * _np.arange(nb)) % 256
+            gray = _np.repeat(
+                _np.repeat(vals.reshape(h // 8, w // 8), 8, axis=0), 8, axis=1
+            ).astype(_np.uint8)
+            frames.append(
+                encode_jpeg(w, h, _np.repeat(gray[..., None], 3, -1).tobytes())
+            )
+        return encode_avi_mjpeg(w, h, d % 30 + 1, frames)
+    w = (d % 5 + 2) * 2
+    h = (d % 3 + 2) * 2
+    frames = [
+        ((d + 7 * f + _np.arange(w * h)) % 256).astype(_np.uint8).tobytes()
+        for f in range(d % 6 + 1)
+    ]
+    return encode_y4m(w, h, d % 30 + 1, frames)
+
+
 def attach_synthetic_video(docs: DataFrame) -> DataFrame:
     """Encode a real video clip per document, fully determined by doc_id —
     Y4M for even doc_ids, RIFF/AVI MJPEG (r13) for odd:
@@ -1417,44 +1616,8 @@ def attach_synthetic_video(docs: DataFrame) -> DataFrame:
     """
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-
-        from clinical_search_data_pipeline_spark.operators.jpeg import (
-            encode_jpeg,
-        )
-
-        def _mjpeg(d: int) -> bytes:
-            w = 8 * (d % 3 + 1)
-            h = 8 * ((d * 7) % 2 + 1)
-            nb = (h // 8) * (w // 8)
-            frames = []
-            for f in range(d % 4 + 1):
-                vals = (d + 11 * f + 17 * _np.arange(nb)) % 256
-                gray = _np.repeat(
-                    _np.repeat(vals.reshape(h // 8, w // 8), 8, axis=0),
-                    8,
-                    axis=1,
-                ).astype(_np.uint8)
-                rgb = _np.repeat(gray[..., None], 3, axis=-1)
-                frames.append(encode_jpeg(w, h, rgb.tobytes()))
-            return encode_avi_mjpeg(w, h, d % 30 + 1, frames)
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                if d % 2:
-                    payloads.append(_mjpeg(d))
-                    continue
-                w = (d % 5 + 2) * 2
-                h = (d % 3 + 2) * 2
-                frames = [
-                    ((d + 7 * f + _np.arange(w * h)) % 256)
-                    .astype(_np.uint8)
-                    .tobytes()
-                    for f in range(d % 6 + 1)
-                ]
-                payloads.append(encode_y4m(w, h, d % 30 + 1, frames))
+            payloads = [_video_payload(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(

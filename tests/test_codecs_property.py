@@ -526,3 +526,60 @@ def test_thumbnail_picks_strided_logical_pixels(w, h, fmt, data, spark):
     assert (row.fmt, row.src_width, row.src_height) == (fmt, w, h)
     assert (row.height, row.width) == expect.shape[:2]
     assert row.pixel_sum == int(expect.astype(np.int64).sum())
+
+
+def test_probe_media_is_header_only_and_covers_all_formats():
+    """The r13 ffprobe analogue: every fixture format probes to the
+    arithmetic metadata, and the probe must be HEADER-ONLY — corrupting
+    a PNG's IDAT or a JPEG's entropy data breaks decode_pixel_rows but
+    NOT probe_media_payload, proving no inflate/huffman runs on the
+    catalog-scan path."""
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        _audio_payload,
+        _image_payload,
+        _video_payload,
+        probe_media_payload,
+    )
+
+    for d in range(24):
+        m = probe_media_payload((_image_payload, _audio_payload, _video_payload)[d % 3](d))
+        if d % 3 == 0:
+            exp_fmt = ["bmp", "ppm", "png", "jpeg"][d % 4]
+            if d % 4 == 3:
+                w, h = 8 * (d % 3 + 1), 8 * ((d * 7) % 2 + 1)
+            else:
+                w, h = d % 13 + 4, (d * 7) % 11 + 4
+            assert (m["media_type"], m["fmt"], m["width"], m["height"], m["n_frames"]) == (
+                "image", exp_fmt, w, h, 1
+            )
+        elif d % 3 == 1:
+            exp = (d % 40 + 11) if d % 2 else (d % 50 + 20)
+            assert (m["media_type"], m["fmt"], m["sample_rate"], m["n_samples"]) == (
+                "audio", "adpcm" if d % 2 else "pcm", 8000 + (d % 4) * 4000, exp
+            )
+        else:
+            assert m["media_type"] == "video"
+            assert m["fmt"] == ("mjpeg" if d % 2 else "y4m")
+            assert m["fps_num"] == d % 30 + 1
+            assert m["n_frames"] == (d % 4 + 1 if d % 2 else d % 6 + 1)
+
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        decode_pixel_rows,
+    )
+
+    # header-only proof, PNG: flip an IDAT payload byte
+    png = _image_payload(6)  # 6 % 4 == 2 -> png
+    bad = bytearray(png)
+    bad[png.index(b"IDAT") + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_pixel_rows(bytes(bad))
+    assert probe_media_payload(bytes(bad))["fmt"] == "png"
+
+    # header-only proof, JPEG: truncate the entropy stream
+    jpg = _image_payload(3)  # 3 % 4 == 3 -> jpeg
+    cut = jpg[: jpg.index(b"\xff\xd9") - 4] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_pixel_rows(cut)
+    assert probe_media_payload(cut)["fmt"] == "jpeg"
