@@ -611,34 +611,37 @@ def thumbnail_images(media: DataFrame, max_dim: int = 8) -> DataFrame:
 
     return media.mapInPandas(_thumb, schema=THUMB_SCHEMA)
 
-FEATURE_DIM = 16
-
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("feature", StringType()),  # hex digest per 16-byte stride
-    ]
+HISTOGRAM_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fmt", StringType())]
+    + [StructField(f"h{b}", LongType()) for b in range(8)]
 )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Feature-extraction plumbing: a deterministic digest per payload (the
-    embedding-model stand-in; in production the batch loop calls the model
-    on the whole Arrow batch — the GPU-friendly shape)."""
-    import hashlib as _hashlib
+def image_histogram_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction (r13 — the digest stand-in
+    retired): an 8-bin intensity histogram over each DECODED raster's
+    RGB bytes (the classic color-histogram CV feature), Arrow-batched;
+    in production an embedding model drops into the same batch loop —
+    the GPU-friendly shape — but the histogram is a feature a retrieval
+    or quality pipeline actually uses as-is."""
+    import numpy as _np
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "feature": pdf["payload"].map(
-                        lambda b: _hashlib.md5(bytes(b)).hexdigest()[:FEATURE_DIM]
-                    ),
-                }
-            )
+            out = {"doc_id": [], "fmt": []}
+            hists = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, _w, _h, _mv, rows = decode_pixel_rows(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                hists.append(_np.bincount(rows.reshape(-1) >> 5, minlength=8))
+            hists = _np.array(hists, dtype=_np.int64).reshape(-1, 8)
+            frame = pd.DataFrame(out)
+            for b in range(8):
+                frame[f"h{b}"] = hists[:, b]
+            yield frame
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(_extract, schema=HISTOGRAM_SCHEMA)
 
 
 DECODED_SCHEMA = StructType(
@@ -861,16 +864,53 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_media_features",
-    oracle=f"""
-SELECT doc_id, substring(md5(text), 1, {FEATURE_DIM}) AS feature
-FROM documents
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         ['bmp', 'ppm', 'png', 'jpeg'][(doc_id % 4 + 1)::INT] AS fmt,
+         CASE WHEN doc_id % 4 = 3 THEN 8 * (doc_id % 3 + 1)
+              ELSE doc_id % 13 + 4 END AS w,
+         CASE WHEN doc_id % 4 = 3 THEN 8 * ((doc_id * 7) % 2 + 1)
+              ELSE (doc_id * 7) % 11 + 4 END AS h
+  FROM documents
+),
+vals AS (
+  -- lossless docs: one value per RGB byte; jpeg docs: one value per
+  -- 8x8 block, weighted by the 64 pixels x 3 channels that carry it
+  SELECT doc_id, fmt,
+         (doc_id + k) % 256 AS v, 1 AS wt
+  FROM d, unnest(range(0, w * h * 3)) AS tk(k)
+  WHERE fmt <> 'jpeg'
+  UNION ALL
+  SELECT doc_id, fmt,
+         (doc_id + 17 * bi) % 256 AS v, 192 AS wt
+  FROM d, unnest(range(0, (w // 8) * (h // 8))) AS tb(bi)
+  WHERE fmt = 'jpeg'
+)
+SELECT doc_id, fmt,
+       CAST(sum(CASE WHEN v // 32 = 0 THEN wt ELSE 0 END) AS BIGINT) AS h0,
+       CAST(sum(CASE WHEN v // 32 = 1 THEN wt ELSE 0 END) AS BIGINT) AS h1,
+       CAST(sum(CASE WHEN v // 32 = 2 THEN wt ELSE 0 END) AS BIGINT) AS h2,
+       CAST(sum(CASE WHEN v // 32 = 3 THEN wt ELSE 0 END) AS BIGINT) AS h3,
+       CAST(sum(CASE WHEN v // 32 = 4 THEN wt ELSE 0 END) AS BIGINT) AS h4,
+       CAST(sum(CASE WHEN v // 32 = 5 THEN wt ELSE 0 END) AS BIGINT) AS h5,
+       CAST(sum(CASE WHEN v // 32 = 6 THEN wt ELSE 0 END) AS BIGINT) AS h6,
+       CAST(sum(CASE WHEN v // 32 = 7 THEN wt ELSE 0 END) AS BIGINT) AS h7
+FROM vals GROUP BY doc_id, fmt
 """,
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: md5-derived stand-in digest — bit-identical in
-    DuckDB (payload bytes are the UTF-8 text, so md5(payload)==md5(text))."""
-    return extract_features(attach_payload(read_table(spark, sf_dir, "documents")))
+    """REAL image features (r13 — the md5-digest stand-in retired): an
+    8-bin intensity histogram over each decoded raster's RGB bytes,
+    across all four codecs. The oracle recomputes the histogram from the
+    pixel arithmetic (JPEG docs weight each flat-block value by its 192
+    decoded bytes). A decode bug that preserves sums but shuffles values
+    — e.g. a wrong PNG filter that redistributes intensity — shows up
+    here even when the pixel-sum oracle stays green."""
+    return image_histogram_features(
+        attach_synthetic_images(read_table(spark, sf_dir, "documents"))
+    )
 
 
 @register(
@@ -940,31 +980,62 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_frames",
     oracle="""
-WITH m AS (
-  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+WITH y4m AS (
+  SELECT doc_id, 'y4m' AS fmt,
+         CAST((doc_id % 5 + 2) * 2 AS INT) AS width,
+         CAST((doc_id % 3 + 2) * 2 AS INT) AS height,
+         doc_id % 6 + 1 AS nf
+  FROM documents WHERE doc_id % 2 = 0
 ),
-f AS (
-  SELECT doc_id, byte_len,
-         unnest(range(0, CAST(ceil(byte_len / 64.0) AS BIGINT))) AS frame_idx
-  FROM m
+yf AS (
+  SELECT doc_id, fmt, width, height, unnest(range(0, nf, 2)) AS f
+  FROM y4m
+),
+ypx AS (
+  SELECT doc_id, fmt, width, height, f,
+         (doc_id + 7 * f + k) % 256 AS v
+  FROM yf, unnest(range(0, width * height)) AS tk(k)
+),
+ysum AS (
+  SELECT doc_id, fmt, CAST(f AS INT) AS frame_idx, width, height,
+         CAST(sum(v) AS BIGINT) AS luma_sum
+  FROM ypx GROUP BY 1, 2, 3, 4, 5
+),
+mj AS (
+  SELECT doc_id, 'mjpeg' AS fmt,
+         CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+         CAST(8 * ((doc_id * 7) % 2 + 1) AS INT) AS height,
+         doc_id % 4 + 1 AS nf
+  FROM documents WHERE doc_id % 2 = 1
+),
+mf AS (
+  SELECT doc_id, fmt, width, height, unnest(range(0, nf, 2)) AS f
+  FROM mj
+),
+mpx AS (
+  SELECT doc_id, fmt, width, height, f,
+         (doc_id + 11 * f + 17 * bi) % 256 AS v
+  FROM mf, unnest(range(0, (width // 8) * (height // 8))) AS tb(bi)
+),
+msum AS (
+  SELECT doc_id, fmt, CAST(f AS INT) AS frame_idx, width, height,
+         CAST(64 * sum(v) AS BIGINT) AS luma_sum
+  FROM mpx GROUP BY 1, 2, 3, 4, 5
 )
-SELECT doc_id,
-       CAST(frame_idx AS INT) AS frame_idx,
-       CAST(least(64, byte_len - frame_idx * 64) AS INT) AS frame_len
-FROM f
+SELECT * FROM ysum UNION ALL SELECT * FROM msum
 """,
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1->N frame expansion via mapInPandas. DuckDB cannot slice blobs, so
-    the oracle checks the expansion *shape* — (doc, frame index, frame byte
-    length) — which pins row multiplicity and slicing arithmetic; the bytes
-    themselves are covered by test_multimodal-style reassembly in Spark."""
-    frames = sample_frames(attach_payload(read_table(spark, sf_dir, "documents")))
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        F.length("frame_bytes").cast("int").alias("frame_len"),
+    """REAL 1->N frame sampling over actual video containers (r13 — the
+    byte-slice expansion retired to the generic `sample_frames`
+    chunker): every 2nd frame of each Y4M / AVI-MJPEG clip, with
+    decoded per-frame luma sums — and decode cost paid ONLY for the
+    sampled frames (Y4M planes skipped by stride; unsampled MJPEG
+    frames never entropy-decoded). The oracle recomputes each sampled
+    frame's luma arithmetically from doc_id."""
+    return sample_video_frames(
+        attach_synthetic_video(read_table(spark, sf_dir, "documents"))
     )
 
 
@@ -1626,6 +1697,96 @@ def attach_synthetic_video(docs: DataFrame) -> DataFrame:
             [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
         ),
     )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_sum", LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampler (r13 — the 1->N mapInPandas expansion over
+    actual video containers): emit every ``every``-th frame's decoded
+    luma statistics, and pay decode cost ONLY for sampled frames — Y4M
+    skips unsampled frames' planes by stride arithmetic, and AVI/MJPEG
+    leaves unsampled frames' JPEG bytes entropy-undecoded (the whole
+    point of frame sampling at corpus scale)."""
+    import numpy as _np
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    def _y4m_sampled(payload: bytes):
+        nl = payload.index(b"\n")
+        width = height = None
+        for tag in payload[:nl].split(b" ")[1:]:
+            if tag[:1] == b"W":
+                width = int(tag[1:])
+            elif tag[:1] == b"H":
+                height = int(tag[1:])
+        frame_bytes = width * height + (width // 2) * (height // 2) * 2
+        pos, idx, rows = nl + 1, 0, []
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"expected FRAME marker at byte {pos}")
+            pos = payload.index(b"\n", pos) + 1
+            if idx % every == 0:
+                rows.append(
+                    (idx, width, height,
+                     int(sum(payload[pos : pos + width * height])))
+                )
+            pos += frame_bytes  # unsampled planes: skipped, never summed
+            idx += 1
+        return "y4m", rows
+
+    def _mjpeg_sampled(payload: bytes):
+        width, height, _fps, frames = decode_avi_mjpeg_frames(payload)
+        rows = []
+        for idx in range(0, len(frames), every):
+            fw, fh, comps = decode_jpeg(frames[idx])
+            rows.append(
+                (idx, fw, fh, int(comps[0].astype(_np.int64).sum()))
+            )
+        return "mjpeg", rows
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "fmt", "fi", "w", "h", "ls")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:9] == b"YUV4MPEG2":
+                    fmt, rows = _y4m_sampled(payload)
+                elif payload[:4] == b"RIFF":
+                    fmt, rows = _mjpeg_sampled(payload)
+                else:
+                    raise ValueError(
+                        f"unsupported video magic {payload[:4]!r}"
+                    )
+                for idx, w, h, ls in rows:
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(fmt)
+                    out["fi"].append(idx)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["ls"].append(ls)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "fmt": out["fmt"],
+                    "frame_idx": pd.Series(out["fi"], dtype="int32"),
+                    "width": pd.Series(out["w"], dtype="int32"),
+                    "height": pd.Series(out["h"], dtype="int32"),
+                    "luma_sum": pd.Series(out["ls"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
 
 
 def decode_video(media: DataFrame) -> DataFrame:

@@ -160,9 +160,10 @@ def test_write_partitioned_and_compact(spark, tmp_path):
 
 
 def test_frames_reassemble_to_payload(spark):
-    """Concatenating a doc's sampled frames in index order must reproduce
-    the original payload bytes exactly (the byte content the q_media_frames
-    oracle can't check — DuckDB has no blob slicing)."""
+    """Concatenating a doc's chunks in index order must reproduce the
+    original payload bytes exactly — the generic binary chunker's
+    contract (DuckDB has no blob slicing, so this stays a pytest pin;
+    the registered q_media_frames is the real video frame sampler)."""
     from clinical_search_data_pipeline_spark.operators.multimodal import (
         attach_payload,
         sample_frames,
