@@ -574,10 +574,14 @@ def decode_jpeg(payload: bytes):
             scan = []  # (comp index, dc table, ac table)
             for s in range(ns):
                 cs, tabs = body[1 + 2 * s], body[2 + 2 * s]
-                idx = next(
+                matches = [
                     k for k, c in enumerate(frame[2]) if c[0] == cs
-                )
-                scan.append((idx, tabs >> 4, tabs & 15))
+                ]
+                if not matches:
+                    raise ValueError(
+                        f"JPEG scan selects undeclared component id {cs}"
+                    )
+                scan.append((matches[0], tabs >> 4, tabs & 15))
             segs, i = _split_entropy(payload, i + seglen)
             return _decode_scan(
                 frame, scan, segs, qts, dc_tabs, ac_tabs, restart_interval

@@ -123,6 +123,26 @@ def encode_bmp(width: int, height: int, pix: bytes) -> bytes:
     return header + rows
 
 
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a PPM P6 header (whitespace + '#'-comment tolerant): returns
+    (width, height, maxval, raster_offset). The SINGLE P6 header parser —
+    decode_pixel_rows and probe_media_payload both use it."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and '#' comment lines between header fields
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    return fields[0], fields[1], fields[2], pos
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
     up (b), up-left (c) is closest to a + b - c, ties resolved a, b, c."""
@@ -306,20 +326,7 @@ def decode_pixel_rows(payload: bytes):
     import numpy as _np
 
     if payload[:2] == b"P6":
-        pos, fields = 2, []
-        while len(fields) < 3:
-            # skip whitespace and '#' comment lines between header fields
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-        pos += 1  # single whitespace after maxval, then raster
-        width, height, maxval = fields
+        width, height, maxval, pos = _ppm_header(payload)
         rows = _np.frombuffer(
             payload, dtype=_np.uint8, count=width * height * 3, offset=pos
         ).reshape(height, width * 3)
@@ -389,19 +396,9 @@ def probe_media_payload(payload: bytes) -> dict:
         "n_samples": None,
     }
     if payload[:2] == b"P6":
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-        out.update(media_type="image", fmt="ppm", width=fields[0],
-                   height=fields[1], n_frames=1)
+        w, h, _mv, _pos = _ppm_header(payload)
+        out.update(media_type="image", fmt="ppm", width=w, height=h,
+                   n_frames=1)
     elif payload[:2] == b"BM":
         out.update(
             media_type="image", fmt="bmp",
@@ -427,23 +424,16 @@ def probe_media_payload(payload: bytes) -> dict:
         out.update(media_type="image", fmt="jpeg", width=w, height=h,
                    n_frames=1)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        pos, fmt_chunk, data_len, fact_total = 12, None, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos : pos + 4]
-            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            if cid == b"fmt ":
-                fmt_chunk = payload[pos + 8 : pos + 8 + size]
-            elif cid == b"fact":
-                (fact_total,) = struct.unpack(
-                    "<I", payload[pos + 8 : pos + 12]
-                )
-            elif cid == b"data":
-                data_len = size
-            pos += 8 + size + (size % 2)
-        if fmt_chunk is None or data_len is None:
-            raise ValueError("WAV missing fmt or data chunk")
-        tag, _ch, rate = struct.unpack("<HHI", fmt_chunk[:8])
+        fmt_chunk, fact_total, _data_off, data_len = _wave_chunks(payload)
+        tag, ch, rate = struct.unpack("<HHI", fmt_chunk[:8])
+        if ch != 1:
+            # mirror the decode path: a multi-channel file must refuse,
+            # not report the per-channel count wrong by a factor of ch
+            raise ValueError(f"unsupported WAV: ch={ch}")
         if tag == 1:
+            (bits,) = struct.unpack("<H", fmt_chunk[14:16])
+            if bits != 16:
+                raise ValueError(f"unsupported WAV: bits={bits}")
             out.update(media_type="audio", fmt="pcm", sample_rate=rate,
                        n_samples=data_len // 2)
         elif tag == 0x11:
@@ -452,28 +442,18 @@ def probe_media_payload(payload: bytes) -> dict:
         else:
             raise ValueError(f"unsupported WAV fmt tag {tag}")
     elif payload[:9] == b"YUV4MPEG2":
-        nl = payload.index(b"\n")
-        width = height = fps = None
-        for tag in payload[:nl].split(b" ")[1:]:
-            if tag[:1] == b"W":
-                width = int(tag[1:])
-            elif tag[:1] == b"H":
-                height = int(tag[1:])
-            elif tag[:1] == b"F":
-                fps = int(tag[1:].split(b":")[0])
-        frame_bytes = width * height + (width // 2) * (height // 2) * 2
-        pos, n_frames = nl + 1, 0
-        while pos < len(payload):
-            if payload[pos : pos + 5] != b"FRAME":
-                raise ValueError(f"expected FRAME marker at byte {pos}")
-            pos = payload.index(b"\n", pos) + 1 + frame_bytes  # skip planes
-            n_frames += 1
+        width, height, fps, frame_bytes, body = _y4m_header(payload)
+        n_frames = sum(
+            1 for _ in _y4m_frame_offsets(payload, body, frame_bytes)
+        )
         out.update(media_type="video", fmt="y4m", width=width,
                    height=height, n_frames=n_frames, fps_num=fps)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        width, height, fps, frames = decode_avi_mjpeg_frames(payload)
+        width, height, fps, _frames, n_frames = _avi_walk(
+            payload, collect=False
+        )
         out.update(media_type="video", fmt="mjpeg", width=width,
-                   height=height, n_frames=len(frames), fps_num=fps)
+                   height=height, n_frames=n_frames, fps_num=fps)
     else:
         raise ValueError(f"unsupported media magic {payload[:4]!r}")
     return out
@@ -1192,6 +1172,14 @@ def _decode_adpcm_data(
         want = samples_per_block - 1
         if total is not None:
             want = min(want, total - len(out))
+        avail = (len(block) - 4) * 2  # nibbles actually present
+        if want > avail:
+            if total is not None:
+                # the fact chunk promises samples the data can't carry
+                raise ValueError(
+                    f"truncated ADPCM block: {avail} nibbles, need {want}"
+                )
+            want = avail  # fact-less stream: a short final block just ends
         for nib_i in range(want):
             byte = block[4 + nib_i // 2]
             nib = (byte >> 4) if nib_i % 2 else (byte & 0xF)
@@ -1202,30 +1190,40 @@ def _decode_adpcm_data(
     return out
 
 
-def decode_wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
-    """(sample_rate, samples): chunk-walking RIFF parser — validates
-    RIFF/WAVE magics, walks chunks (word-aligned per spec) to find fmt,
-    fact, and data wherever they sit, and decodes mono samples: 16-bit LE
-    PCM (wFormatTag 1) or IMA ADPCM (wFormatTag 0x11, r13 — compressed;
-    block headers + nibble state machine, fact-count trimmed)."""
+def _wave_chunks(payload: bytes) -> tuple[bytes, int | None, int, int]:
+    """Chunk-walking RIFF/WAVE parse (word-aligned per spec; fmt, fact,
+    and data found wherever they sit): returns ``(fmt_chunk, fact_total,
+    data_offset, data_len)``. The SINGLE WAV chunk walker — sample
+    decode and the metadata probe both use it."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt_chunk, data, fact_total = 12, None, None, None
+    pos, fmt_chunk, data_at, fact_total = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        chunk = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt_chunk = chunk
+            fmt_chunk = payload[pos + 8 : pos + 8 + size]
         elif cid == b"fact":
-            (fact_total,) = struct.unpack("<I", chunk[:4])
+            (fact_total,) = struct.unpack("<I", payload[pos + 8 : pos + 12])
         elif cid == b"data":
-            data = chunk
+            data_at = (pos + 8, size)
         pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
-    if fmt_chunk is None or data is None:
+    if fmt_chunk is None or data_at is None:
         raise ValueError("missing fmt or data chunk")
+    return fmt_chunk, fact_total, data_at[0], data_at[1]
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """(sample_rate, samples): decode mono samples via the shared chunk
+    walk — 16-bit LE PCM (wFormatTag 1) or IMA ADPCM (wFormatTag 0x11,
+    r13 — compressed; block headers + nibble state machine, fact-count
+    trimmed)."""
+    import struct
+
+    fmt_chunk, fact_total, data_off, data_len = _wave_chunks(payload)
+    data = payload[data_off : data_off + data_len]
     audio_fmt, channels, sample_rate = struct.unpack("<HHI", fmt_chunk[:8])
     if channels != 1:
         raise ValueError(f"unsupported WAV: ch={channels}")
@@ -1447,12 +1445,12 @@ def encode_y4m(width: int, height: int, fps_num: int, frames) -> bytes:
     return b"".join(out)
 
 
-def decode_y4m_frame_sums(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """(width, height, fps_num, per-frame luma sums): walk a Y4M stream —
-    parse the parameterized stream header (tag soup, any order), then
-    iterate FRAME sections, tolerating frame-level parameters after the
-    marker, summing each frame's luma plane separately (the per-frame
-    energy sequence a temporal fingerprint consumes)."""
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse the YUV4MPEG2 stream header (tag soup, any order) with
+    colorspace validation: returns (width, height, fps_num, frame_bytes,
+    body_offset). The SINGLE Y4M header parser — frame-sum decode, frame
+    sampling, and the metadata probe all use it, so the C420 check
+    cannot drift between them."""
     nl = payload.index(b"\n")
     head = payload[:nl].split(b" ")
     if head[0] != b"YUV4MPEG2":
@@ -1473,13 +1471,32 @@ def decode_y4m_frame_sums(payload: bytes) -> tuple[int, int, int, list[int]]:
     if colorspace != b"C420":
         raise ValueError(f"unsupported colorspace {colorspace!r}")
     frame_bytes = width * height + (width // 2) * (height // 2) * 2
-    pos, sums = nl + 1, []
+    return width, height, fps_num, frame_bytes, nl + 1
+
+
+def _y4m_frame_offsets(payload: bytes, body_pos: int, frame_bytes: int):
+    """Yield (frame_idx, luma_plane_offset) walking FRAME markers
+    (tolerating per-frame parameters) — plane bytes are never touched
+    here, so a consumer can skip frames by simply not reading them."""
+    pos, idx = body_pos, 0
     while pos < len(payload):
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
         pos = payload.index(b"\n", pos) + 1  # skip any frame parameters
-        sums.append(sum(payload[pos : pos + width * height]))
+        yield idx, pos
         pos += frame_bytes
+        idx += 1
+
+
+def decode_y4m_frame_sums(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """(width, height, fps_num, per-frame luma sums): walk a Y4M stream,
+    summing each frame's luma plane separately (the per-frame energy
+    sequence a temporal fingerprint consumes)."""
+    width, height, fps_num, frame_bytes, body = _y4m_header(payload)
+    sums = [
+        sum(payload[off : off + width * height])
+        for _idx, off in _y4m_frame_offsets(payload, body, frame_bytes)
+    ]
     return width, height, fps_num, sums
 
 
@@ -1559,20 +1576,24 @@ def encode_avi_mjpeg(
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def decode_avi_mjpeg_frames(payload: bytes):
-    """Walk a RIFF/AVI container and return ``(width, height, fps_num,
-    frames)`` where `frames` are the raw per-frame JPEG byte strings from
-    the 'movi' LIST ('00dc'/'00db' chunks, word-aligned). Dimensions come
-    from the video stream's BITMAPINFOHEADER and fps from the stream
-    header's dwRate/dwScale — read back out of the bytes, not assumed."""
+def _avi_walk(payload: bytes, collect: bool):
+    """Walk a RIFF/AVI container: returns ``(width, height, fps_num,
+    frames, n_frames)``. Dimensions come from the VIDEO stream's
+    BITMAPINFOHEADER — the strf immediately following a 'vids' strh, so
+    a muxed file whose audio strl precedes the video one never has its
+    WAVEFORMATEX misread as dimensions. With ``collect=False`` the
+    '00dc'/'00db' chunks are counted but their bytes never sliced (the
+    header-only probe path)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     width = height = None
     fps_num = None
     frames: list[bytes] = []
+    n_frames = 0
+    in_vids = False  # last strh seen was the video stream's
 
     def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
-        nonlocal width, height, fps_num
+        nonlocal width, height, fps_num, n_frames, in_vids
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -1581,7 +1602,8 @@ def decode_avi_mjpeg_frames(payload: bytes):
                 ltype = buf[body_at : body_at + 4]
                 walk(buf, body_at + 4, body_at + size, ltype == b"movi")
             elif fourcc == b"strh":
-                if buf[body_at : body_at + 4] == b"vids":
+                in_vids = buf[body_at : body_at + 4] == b"vids"
+                if in_vids:
                     scale = int.from_bytes(
                         buf[body_at + 20 : body_at + 24], "little"
                     )
@@ -1589,7 +1611,7 @@ def decode_avi_mjpeg_frames(payload: bytes):
                         buf[body_at + 24 : body_at + 28], "little"
                     )
                     fps_num = rate // max(scale, 1)
-            elif fourcc == b"strf" and width is None:
+            elif fourcc == b"strf" and in_vids and width is None:
                 width = int.from_bytes(
                     buf[body_at + 4 : body_at + 8], "little", signed=True
                 )
@@ -1597,11 +1619,22 @@ def decode_avi_mjpeg_frames(payload: bytes):
                     buf[body_at + 8 : body_at + 12], "little", signed=True
                 )
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
-                frames.append(buf[body_at : body_at + size])
+                n_frames += 1
+                if collect:
+                    frames.append(buf[body_at : body_at + size])
             pos = body_at + size + size % 2  # word alignment
     walk(payload, 12, len(payload), False)
     if width is None or fps_num is None:
         raise ValueError("AVI missing video stream headers")
+    return width, height, fps_num, frames, n_frames
+
+
+def decode_avi_mjpeg_frames(payload: bytes):
+    """Walk a RIFF/AVI container and return ``(width, height, fps_num,
+    frames)`` where `frames` are the raw per-frame JPEG byte strings from
+    the 'movi' LIST ('00dc'/'00db' chunks, word-aligned) — all header
+    values read back out of the bytes, not assumed (`_avi_walk`)."""
+    width, height, fps_num, frames, _n = _avi_walk(payload, collect=True)
     return width, height, fps_num, frames
 
 
@@ -1723,26 +1756,12 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
     from clinical_search_data_pipeline_spark.operators.jpeg import decode_jpeg
 
     def _y4m_sampled(payload: bytes):
-        nl = payload.index(b"\n")
-        width = height = None
-        for tag in payload[:nl].split(b" ")[1:]:
-            if tag[:1] == b"W":
-                width = int(tag[1:])
-            elif tag[:1] == b"H":
-                height = int(tag[1:])
-        frame_bytes = width * height + (width // 2) * (height // 2) * 2
-        pos, idx, rows = nl + 1, 0, []
-        while pos < len(payload):
-            if payload[pos : pos + 5] != b"FRAME":
-                raise ValueError(f"expected FRAME marker at byte {pos}")
-            pos = payload.index(b"\n", pos) + 1
-            if idx % every == 0:
-                rows.append(
-                    (idx, width, height,
-                     int(sum(payload[pos : pos + width * height])))
-                )
-            pos += frame_bytes  # unsampled planes: skipped, never summed
-            idx += 1
+        width, height, _fps, frame_bytes, body = _y4m_header(payload)
+        rows = [
+            (idx, width, height, int(sum(payload[off : off + width * height])))
+            for idx, off in _y4m_frame_offsets(payload, body, frame_bytes)
+            if idx % every == 0  # unsampled planes: skipped, never summed
+        ]
         return "y4m", rows
 
     def _mjpeg_sampled(payload: bytes):

@@ -583,3 +583,88 @@ def test_probe_media_is_header_only_and_covers_all_formats():
     with pytest.raises(ValueError):
         decode_pixel_rows(cut)
     assert probe_media_payload(cut)["fmt"] == "jpeg"
+
+
+def test_review_fixes_non_fixture_robustness():
+    """Pins for the r13 review findings: fact-less short-final-block
+    ADPCM decodes cleanly (no IndexError); a fact chunk promising more
+    samples than the data carries raises ValueError; an AVI whose audio
+    strl precedes the video one still reads the VIDEO dimensions; a
+    stereo PCM WAV refuses to probe (mirroring decode); a non-C420 Y4M
+    refuses to probe with the colorspace message; a JPEG scan selecting
+    an undeclared component raises ValueError, not StopIteration."""
+    import struct
+
+    import pytest
+
+    from clinical_search_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from clinical_search_data_pipeline_spark.operators.multimodal import (
+        adpcm_step,
+        decode_avi_mjpeg,
+        decode_pixel_rows,
+        decode_wav_samples,
+        encode_wav,
+        encode_wav_adpcm,
+        probe_media_payload,
+    )
+
+    # 1. fact-less ADPCM with a short final block: clean decode of what
+    #    is present
+    wav = encode_wav_adpcm(8000, [(100, 3, [5, 9, 2])], samples_per_block=9)
+    factless = wav.replace(b"fact" + struct.pack("<II", 4, 4), b"")
+    _rate, got = decode_wav_samples(factless)
+    p, i = 100, 3
+    expect = [p]
+    for nb in [5, 9, 2, 0]:  # pad nibble becomes a sample without fact
+        p, i = adpcm_step(p, i, nb)
+        expect.append(p)
+    assert list(got) == expect
+    # 2. fact promising more than the data carries: loud ValueError
+    lying = bytearray(wav)
+    at = wav.index(b"fact") + 8
+    lying[at:at + 4] = struct.pack("<I", 50)
+    with pytest.raises(ValueError, match="truncated ADPCM"):
+        decode_wav_samples(bytes(lying))
+
+    # 3. audio strl before video strl: video dims still win
+    frame = encode_jpeg(16, 8, gray=bytes(128))
+    avi = bytearray()
+    strh_a = b"auds" + bytes(52)
+    strf_a = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    strl_a = b"LIST" + struct.pack("<I", 4 + 8 + len(strh_a) + 8 + len(strf_a)) + b"strl"
+    strl_a += b"strh" + struct.pack("<I", len(strh_a)) + strh_a
+    strl_a += b"strf" + struct.pack("<I", len(strf_a)) + strf_a
+    strh_v = b"vidsMJPG" + bytes(12) + struct.pack("<II", 1, 25) + bytes(24)
+    strf_v = struct.pack("<IiiHH4sI", 40, 16, 8, 1, 24, b"MJPG", 16 * 8 * 3) + bytes(16)
+    strl_v = b"LIST" + struct.pack("<I", 4 + 8 + len(strh_v) + 8 + len(strf_v)) + b"strl"
+    strl_v += b"strh" + struct.pack("<I", len(strh_v)) + strh_v
+    strl_v += b"strf" + struct.pack("<I", len(strf_v)) + strf_v
+    hdrl_body = b"hdrl" + strl_a + strl_v
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"00dc" + struct.pack("<I", len(frame)) + frame
+    movi_body += b"\x00" if len(frame) % 2 else b""
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = probe_media_payload(bytes(avi))
+    assert (m["width"], m["height"], m["fps_num"], m["n_frames"]) == (16, 8, 25, 1)
+    assert decode_avi_mjpeg(bytes(avi))["luma_sum"] == 0
+
+    # 4. stereo PCM probes must refuse like decode does
+    mono = encode_wav(8000, [1, 2, 3])
+    stereo = mono.replace(
+        struct.pack("<HHI", 1, 1, 8000), struct.pack("<HHI", 1, 2, 8000)
+    )
+    with pytest.raises(ValueError, match="ch=2"):
+        probe_media_payload(stereo)
+
+    # 5. non-C420 Y4M: the shared header parser's colorspace message
+    with pytest.raises(ValueError, match="colorspace"):
+        probe_media_payload(b"YUV4MPEG2 W4 H2 F25:1 C444\n")
+
+    # 6. SOS selecting an undeclared component: ValueError
+    jpg = bytearray(encode_jpeg(8, 8, gray=bytes(64)))
+    sos_at = jpg.index(b"\xff\xda")
+    jpg[sos_at + 5] = 9  # component selector 1 -> 9
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_pixel_rows(bytes(jpg))
