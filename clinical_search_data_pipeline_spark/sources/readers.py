@@ -108,8 +108,25 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     100 TB inputs arrive pre-split and this becomes a no-op-sized cost —
     but a skewed upstream coalesce would recreate the same trap, so the
     fan-out stays in the operator, not the caller.
+
+    Width: 2× total cores, CAPPED by the session's configured shuffle
+    width. The two knobs scale together on a real cluster (shuffle width
+    is sized to data, cores to the fleet), so the cap only bites where it
+    should: a scope that deliberately narrowed `spark.sql.shuffle.partitions`
+    to its data — the bounded streaming replays pin 8 for micro-batch-sized
+    state (streaming/runner.py), and previously every `fan_out` inside a
+    foreachBatch still exploded a ~1k-row batch to 2× cores tasks, each
+    paying a Python-worker round trip for a few dozen rows. Measured on
+    q_stream_image_gate at sf0.1: honoring the scope's width cut the
+    stream phase ~2×, identical rows.
     """
-    n = partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    n = partitions
+    if n is None:
+        n = 2 * spark.sparkContext.defaultParallelism
+        conf_w = spark.conf.get("spark.sql.shuffle.partitions", None)
+        if conf_w and conf_w.isdigit():
+            n = min(n, int(conf_w))
     return df.repartition(n)
 
 
