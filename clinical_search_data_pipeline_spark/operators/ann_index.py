@@ -132,13 +132,22 @@ def build_ann_index(
     if train_pq:
         # one order-pinned Lloyd round per subspace over the sliced init
         # (pq_train_codebooks(pinned=True)) — the exact training round
-        # q_ann_pq_trained_topk's oracle replays bit-exactly in SQL
-        cb = pq_train_codebooks(train_on or emb, rounds=1, pinned=True)
+        # q_ann_pq_trained_topk's oracle replays bit-exactly in SQL.
+        # localCheckpoint: the codebook is MODEL-sized (M x K rows) but its
+        # lineage is the whole training pass, and it feeds BOTH the
+        # published `codebook` relation and the corpus encode (`codes`) —
+        # without the cut the publish path executes PQ training twice.
+        cb = pq_train_codebooks(train_on or emb, rounds=1, pinned=True).localCheckpoint()
     else:
         cb = pq_codebook(subs)
     base = vectors_with_norms(emb)
     if train_rounds > 0:
+        # Same cut for the coarse quantizer: `trained_quantizer` is a lazy
+        # unroll of the Lloyd rounds, referenced by the published
+        # `centroids` relation AND the corpus assignment (`cells`) — the
+        # checkpoint makes coarse training execute once per build.
         centroids, _ = trained_quantizer(train_on or emb, train_rounds)
+        centroids = centroids.localCheckpoint()
         cells = _assign(base, centroids, "cell").select("vec_id", "cell")
     else:
         centroids = base.filter(

@@ -588,7 +588,11 @@ def batch_vs_corpus(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = _verify_pairs(cand, corpus_sets.unionByName(batch_sets), t)
+    # doc_a is always corpus-side and doc_b always batch-side here, so the
+    # verify joins take asymmetric set populations: the corpus-sized set
+    # relation feeds ONLY the doc_a join (one scan per micro-batch instead
+    # of two), the batch-sized one ONLY the doc_b join.
+    pairs = _verify_pairs(cand, corpus_sets, t, sets_b=batch_sets)
     per_doc = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.count("*").alias("n_corpus_matches")
     )
@@ -672,7 +676,12 @@ def incremental_dedup(
         )
         .distinct()
     )
-    pairs = _verify_pairs(cand, corpus_sets.unionByName(batch_sets), t)
+    # doc_b is always batch-side (both candidate branches), so the doc_b
+    # verify join reads only the batch-sized set relation; doc_a can be
+    # corpus (vs_corpus) or batch (in_batch), so its side keeps the union.
+    pairs = _verify_pairs(
+        cand, corpus_sets.unionByName(batch_sets), t, sets_b=batch_sets
+    )
 
     per_doc = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.count(F.when(F.col("from_corpus"), 1)).alias("n_corpus_matches"),

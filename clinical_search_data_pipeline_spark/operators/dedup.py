@@ -92,7 +92,12 @@ def shingle_relation(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return shingle_sets(docs, k).select("doc_id", F.explode("sset").alias("shingle"))
 
 
-def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    sets_b: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard verification for a candidate-pair relation against
     `shingle_sets` output. Shared by the prefix-filtered exact path and the
     MinHash-LSH path — identical verification semantics.
@@ -109,8 +114,18 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
     payload and cheaper per-row hashing (measured ~2.5x on the verify
     stage). |intersection| is unchanged unless two distinct shingles of one
     pair collide in 64 bits (P ~ |set|^2/2^65 per pair — vanishing; the
-    oracle hash-compare would surface it)."""
+    oracle hash-compare would surface it).
+
+    ``sets_b``: when the candidate relation's sides draw from KNOWN
+    disjoint populations (batch-vs-corpus admission: doc_a is always
+    corpus-side, doc_b always batch-side), pass the doc_b population here
+    and only its rows feed the doc_b join — the corpus-sized relation is
+    scanned once instead of twice per call (and per micro-batch in the
+    streaming gates). Defaults to ``sets`` (symmetric self-pairing)."""
     hashed = sets.select(
+        "doc_id", F.expr("transform(sset, s -> xxhash64(s))").alias("hset"), "n"
+    )
+    hashed_b = hashed if sets_b is None else sets_b.select(
         "doc_id", F.expr("transform(sset, s -> xxhash64(s))").alias("hset"), "n"
     )
     a = hashed.select(
@@ -118,7 +133,7 @@ def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFra
         F.col("hset").alias("set_a"),
         F.col("n").alias("n_a"),
     )
-    b = hashed.select(
+    b = hashed_b.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hset").alias("set_b"),
         F.col("n").alias("n_b"),
