@@ -524,7 +524,20 @@ def corpus_prefix_index(
     t = JACCARD_THRESHOLD if threshold is None else threshold
     kk = SHINGLE_K if k is None else k
     corpus_sets = engine_cache(shingle_sets(corpus, kk).hint("rebalance"))
-    corpus_sh = corpus_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
+    # The index is keyed by xxhash64(shingle), not the k-word string: the
+    # exploded relation crosses the df window exchange and every per-batch
+    # probe join, and an 8-byte key shuffles/sorts far cheaper than a
+    # multi-word string (and halves the cached df_stats/prefix footprint).
+    # Prefix filtering is lossless under ANY consistent total order, so
+    # (df, hash) works as well as (df, string); batch-side probes hash with
+    # the same function (_batch_prefix), and collisions are the vanishing
+    # class _verify_pairs already documents — a cross-doc collision only
+    # adds a candidate pair that exact verification rejects.
+    corpus_sh = corpus_sets.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("transform(sset, s -> xxhash64(s))")).alias("shingle"),
+    )
     # the window form costs ONE shuffle for ranked+stats together
     corpus_ranked = corpus_sh.withColumn(
         "df", F.count("*").over(Window.partitionBy("shingle"))
@@ -536,8 +549,13 @@ def corpus_prefix_index(
 
 def _batch_prefix(batch_sets: DataFrame, df_stats: DataFrame, t: float) -> DataFrame:
     """Batch-side rarest-first prefixes ranked by the FROZEN corpus df
-    (left join; unseen shingles coalesce to df 0)."""
-    batch_sh = batch_sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
+    (left join; unseen shingles coalesce to df 0). Keyed by
+    xxhash64(shingle) — must match corpus_prefix_index's keying."""
+    batch_sh = batch_sets.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("transform(sset, s -> xxhash64(s))")).alias("shingle"),
+    )
     ranked = batch_sh.join(df_stats, "shingle", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0))
     )

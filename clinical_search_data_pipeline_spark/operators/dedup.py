@@ -204,7 +204,17 @@ def jaccard_pairs(
     # advisory bytes — few partitions at sf0.1, thousands at 100 TB).
     # Measured: dfreq from a 64-partition cache 2.3 s, from rebalanced 0.3 s.
     sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
-    sh = sets.select("doc_id", "n", F.explode("sset").alias("shingle"))
+    # The prefix pipeline is keyed by xxhash64(shingle), not the k-word
+    # string: the exploded relation crosses TWO window exchanges (document
+    # frequency by shingle, rank by doc) and the candidate equi-join, and
+    # an 8-byte key shuffles/sorts ~3x cheaper than a multi-word string.
+    # Any consistent global total order makes the prefix bound valid, so
+    # (df, hash) works as well as (df, string); collisions are the SAME
+    # vanishing class _verify_pairs already documents (a cross-doc collision
+    # only adds a candidate that exact verification rejects).
+    sh = sets.select(
+        "doc_id", "n", F.explode(F.expr("transform(sset, s -> xxhash64(s))")).alias("shingle")
+    )
     # Document frequency as count-over-window, NOT groupBy+join-back. At
     # fixture scale Catalyst broadcasts the tiny df aggregate and the two
     # plans cost the same; at corpus scale the distinct-shingle relation is
