@@ -807,22 +807,34 @@ def bigram_nll(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
         .select("doc_id", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
     )
     bf = bi.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
-    cf = bi.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    # Context counts DERIVE from the bigram type table: c_ctx(prev) =
+    # Σ_cur c_bi(prev, cur) — identical values, but the aggregation runs
+    # over the (small) type relation instead of re-exploding and
+    # re-shuffling every corpus bigram position a second time.
+    cf = bf.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
     toks = fan_out(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     uf = toks.groupBy("token").agg(F.count("*").alias("c_uni"))
     total = uf.agg(F.sum("c_uni").alias("n_total"))
+    # Assemble (c_bi, c_ctx, c_uni) on the TYPE table first (type-sized
+    # joins), so the corpus position relation crosses exactly ONE join on
+    # (prev, cur) instead of three sequential key shuffles. Inner joins are
+    # 1:1 here by construction: every (prev, cur) in `bi` exists in bf,
+    # every prev in cf, every cur in uf.
+    model = (
+        bf.join(cf, "prev")
+        .join(uf, F.col("cur") == F.col("token"))
+        .select("prev", "cur", "c_bi", "c_ctx", "c_uni")
+    )
     scored = (
         # bigram/context/unigram frequency tables grow with the corpus
         # vocabulary (bigram types at web scale are billions — Heaps' law
-        # squared), so none is broadcast-hinted: these are plain key
-        # equi-joins, AQE broadcasts them only while they are actually
-        # small (VERDICT r10 #1). A fixed reference-LM vocabulary variant
-        # would re-legitimize the broadcast.
-        bi.join(bf, ["prev", "cur"])
-        .join(cf, "prev")
-        .join(uf, F.col("cur") == F.col("token"))
+        # squared), so the model is NOT broadcast-hinted: a plain key
+        # equi-join, AQE broadcasts it only while it is actually small
+        # (VERDICT r10 #1). A fixed reference-LM vocabulary variant would
+        # re-legitimize the broadcast.
+        bi.join(model, ["prev", "cur"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
