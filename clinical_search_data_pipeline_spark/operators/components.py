@@ -19,8 +19,11 @@ fully oracled — DuckDB computes the same fixpoint with a recursive CTE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 # Oracle fragments come from the non-registering fragments module; the
 # similarity *builder* is imported lazily inside `neardup_clusters` so this
@@ -36,24 +39,47 @@ from clinical_search_data_pipeline_spark.sources.readers import read_table
 
 MAX_ITER = 15
 
+# Below this many DIRECTED edges the fixpoint LOOP is pure overhead: every
+# large-star/small-star round is 2-3 jobs (join+agg+distinct, materialize,
+# stability count), and a near-dup graph small enough to fit one shuffle
+# block converges in one single-task union-find pass instead. 2^19 edges
+# is ~8 MB of (a, b) longs — the same order as a broadcast-eligible
+# relation, far under one task's working set. At production dup rates the
+# pair graph is corpus-proportional and blows through this cap, so the
+# distributed loop remains the scale path; the cap is env-overridable for
+# clusters whose single-task budget differs.
+SMALL_GRAPH_MAX_EDGES = int(
+    os.environ.get("CSDP_COMPONENTS_SMALL_MAX_EDGES", str(1 << 19))
+)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "vec_a",
     dst: str = "vec_b",
     max_iter: int = MAX_ITER,
-    algorithm: str = "two-phase",
+    algorithm: str = "auto",
     _stats: dict | None = None,
+    small_graph_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
-    Two algorithms, same fixpoint:
+    Three strategies, same fixpoint:
 
-    * ``two-phase`` (default): alternating large-star/small-star (Kiveris
-      et al., "Connected Components in MapReduce and Beyond") — O(log^2 n)
-      rounds on ANY graph shape. Default because the round bound must not
-      depend on the data: the 10x scale corpus produced a near-dup graph
-      of diameter >30 that exhausted label-prop's cap (BENCH_scale), while
+    * ``auto`` (default): measure the edge relation (one count over the
+      checkpointed edges — the loop paths paid the same count for their
+      width sizing); at or below ``small_graph_max_edges`` directed edges
+      run a SINGLE-TASK union-find (`mapInPandas` on one executor task —
+      no driver data work), else fall through to ``two-phase``. The loop
+      pays 2-3 jobs per round times O(log^2 n) rounds, all of it fixed
+      scheduling cost on a graph this small; one task resolves it in one
+      job. Requires integral id columns (falls back to the loop
+      otherwise).
+    * ``two-phase``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds
+      on ANY graph shape. The scale path: the round bound must not depend
+      on the data — the 10x scale corpus produced a near-dup graph of
+      diameter >30 that exhausted label-prop's cap (BENCH_scale), while
       two-phase converged in 7 rounds at comparable per-round cost.
     * ``label-prop``: min-label propagation, one join+agg per round,
       converges in <= diameter rounds — fine when the graph is known
@@ -61,7 +87,8 @@ def connected_components(
 
     Raises if the round cap is hit without convergence (a silent partial
     result would be a wrong dedup). When ``_stats`` is passed, records the
-    executed round count under ``_stats['rounds']`` (diagnostics/tests).
+    executed round count under ``_stats['rounds']`` (diagnostics/tests;
+    the single-task path records 1 and ``_stats['algorithm']``).
     """
     # Checkpoint the DIRECTED edges first, then mirror them narrowly: the
     # union-of-two-selects form would materialize the (possibly expensive)
@@ -69,6 +96,25 @@ def connected_components(
     edges_c = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint()
+    n_directed = edges_c.count()
+    if algorithm == "auto":
+        cap = (
+            SMALL_GRAPH_MAX_EDGES
+            if small_graph_max_edges is None
+            else small_graph_max_edges
+        )
+        integral = all(
+            isinstance(f.dataType, (LongType, IntegerType, ShortType, ByteType))
+            for f in edges_c.schema.fields
+        )
+        if integral and n_directed <= cap:
+            if _stats is not None:
+                _stats["rounds"] = 1
+                _stats["algorithm"] = "single-task"
+            return _single_task_components(edges_c)
+        algorithm = "two-phase"
+        if _stats is not None:
+            _stats["algorithm"] = algorithm
     both = edges_c.unionByName(
         edges_c.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -81,7 +127,7 @@ def connected_components(
     # the shuffle conf is pinned to the same width for the loop (restored
     # after — the loop is fully eager, nothing lazy escapes it).
     spark = edges.sparkSession
-    n_edges = both.count()
+    n_edges = 2 * n_directed
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     target = max(4, min(int(prev_parts or 200), n_edges // 200_000 + 4))
     if both.rdd.getNumPartitions() > 2 * target:
@@ -101,6 +147,63 @@ def connected_components(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _single_task_components(edges_c: DataFrame) -> DataFrame:
+    """One-job components for a size-capped edge relation: shuffle the
+    (a, b) pairs to a single executor task, run min-root union-find there,
+    emit (node, component). Executor-side, not driver-side — the edges
+    never cross `collect()`, and the result is localCheckpoint-ed so
+    downstream consumers see the same materialized `Scan ExistingRDD` the
+    loop paths produce (a lazy fast path would re-run the union-find once
+    per consuming branch).
+
+    Semantics match `_two_phase_loop`: self-loops dropped, every node with
+    at least one real edge labeled with its component's minimum id (union
+    by min root keeps each tree's root = its minimum member, so the final
+    find(x) IS min-reachable-id)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for pdf in batches:
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                if a == b:
+                    continue
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = sorted(nodes)
+        yield pd.DataFrame(
+            {
+                "node": pd.Series(out, dtype="int64"),
+                "component": pd.Series([find(n) for n in out], dtype="int64"),
+            }
+        )
+
+    return (
+        edges_c.repartition(1)
+        .mapInPandas(_uf, schema="node bigint, component bigint")
+        .localCheckpoint()
+    )
 
 
 def _label_prop_loop(

@@ -136,6 +136,54 @@ def test_two_phase_components_fewer_rounds_on_chain(spark):
     }
 
 
+def test_components_auto_single_task_matches_loop(spark):
+    """The size-capped `auto` fast path (single-task union-find) must
+    compute the IDENTICAL (node -> min-reachable-id) fixpoint as the
+    distributed two-phase loop, on random graphs, both below the cap
+    (fast path taken) and when forced over it (loop taken); the `_stats`
+    record says which path executed."""
+    import random
+
+    from clinical_search_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randint(4, 20)
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(3, 30))
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        df = spark.createDataFrame(edges, ["vec_a", "vec_b"])
+        want = {
+            r.node: r.component
+            for r in connected_components(
+                df, max_iter=64, algorithm="two-phase"
+            ).collect()
+        }
+        fast_stats: dict = {}
+        fast = {
+            r.node: r.component
+            for r in connected_components(df, _stats=fast_stats).collect()
+        }
+        assert fast_stats.get("algorithm") == "single-task"
+        assert fast == want, f"fast path wrong on {edges}"
+        # cap forced BELOW the edge count -> auto must fall back to the loop
+        loop_stats: dict = {}
+        loop = {
+            r.node: r.component
+            for r in connected_components(
+                df, max_iter=64, _stats=loop_stats, small_graph_max_edges=0
+            ).collect()
+        }
+        assert loop_stats.get("algorithm") == "two-phase"
+        assert loop == want
+
+
 def test_components_algorithms_agree_on_random_graphs(spark):
     """Property: on arbitrary graphs, label propagation and the two-phase
     large/small-star variant compute the IDENTICAL (node -> min-reachable-id)
