@@ -112,9 +112,8 @@ def attach_neardup_audio(docs: DataFrame, wrap_base: int | None = None) -> DataF
                 ) % 4096 - 2048
                 if is_copy:
                     s = s + (d * (k + 5)) % 33 - 16
-                payloads.append(
-                    encode_wav(FP_RATE, [int(v) for v in s], pad_chunk=bool(d % 2))
-                )
+                # encode_wav packs numpy arrays vectorized (bounds-checked)
+                payloads.append(encode_wav(FP_RATE, s, pad_chunk=bool(d % 2)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(
@@ -127,44 +126,73 @@ def attach_neardup_audio(docs: DataFrame, wrap_base: int | None = None) -> DataF
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
     """Arrow-batched fingerprinting over real WAV bytes: chunk-walk decode
-    (`decode_wav_samples`), pool |sample| sums into FP_FRAMES frames,
-    compare consecutive frames with the integer cross-product form, pack
-    the 64 bits into 4 16-bit bands.
-    Output: (doc_id, sample_rate, n_samples, b0..b3)."""
+    (`decode_wav_array` — frombuffer, no per-sample Python ints), pool
+    |sample| sums into FP_FRAMES frames, compare consecutive frames with
+    the integer cross-product form, pack the 64 bits into 4 16-bit bands.
+
+    Framing/bit extraction is vectorized across the WHOLE batch (guide
+    §4.2): per-doc work is only the header walk + one frombuffer; the
+    frame energies come from two `bincount`s over a (doc, frame) key and
+    the band values from one matmul against the bit-weight vector. Energy
+    sums ride float64 through bincount — exact for |sum| < 2^53, and the
+    per-frame |sample| sum is bounded far below that — then cast back to
+    int64 so the cross-product comparison stays the integer arithmetic
+    the oracle replays. Output: (doc_id, sample_rate, n_samples, b0..b3),
+    values identical to the per-doc form."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import (
-        decode_wav_samples,
+        decode_wav_array,
     )
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pw = 1 << _np.arange(16, dtype=_np.int64)
         for pdf in batches:
-            out = {c: [] for c in ("doc_id", "sample_rate", "n_samples")}
-            bands_out = [[] for _ in range(4)]
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, samples = decode_wav_samples(bytes(payload))
-                s = _np.abs(_np.asarray(samples, dtype=_np.int64))
-                n = len(s)
-                f = _np.arange(n) * FP_FRAMES // n
-                e = _np.zeros(FP_FRAMES, dtype=_np.int64)
-                c = _np.zeros(FP_FRAMES, dtype=_np.int64)
-                _np.add.at(e, f, s)
-                _np.add.at(c, f, 1)
-                bits = (e[:-1] * c[1:] > e[1:] * c[:-1]).astype(int)
-                for b in range(4):
-                    bands_out[b].append(
-                        int(sum(int(bits[b * 16 + j]) << j for j in range(16)))
-                    )
-                out["doc_id"].append(doc_id)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(n)
+            n_docs = len(pdf)
+            rates = _np.zeros(n_docs, dtype=_np.int32)
+            arrs = []
+            for i, payload in enumerate(pdf["payload"]):
+                rate, s = decode_wav_array(bytes(payload))
+                rates[i] = rate
+                arrs.append(s)
+            lens = _np.fromiter(
+                (len(a) for a in arrs), dtype=_np.int64, count=n_docs
+            )
+            total = int(lens.sum())
+            if n_docs and total:
+                amp = _np.abs(
+                    _np.concatenate(arrs).astype(_np.int64)
+                )
+                rep_lens = _np.repeat(lens, lens)
+                starts = _np.repeat(_np.cumsum(lens) - lens, lens)
+                k = _np.arange(total, dtype=_np.int64) - starts
+                f = k * FP_FRAMES // rep_lens
+                doc_ix = _np.repeat(_np.arange(n_docs, dtype=_np.int64), lens)
+                key = doc_ix * FP_FRAMES + f
+                e = (
+                    _np.bincount(key, weights=amp, minlength=n_docs * FP_FRAMES)
+                    .astype(_np.int64)
+                    .reshape(n_docs, FP_FRAMES)
+                )
+                c = (
+                    _np.bincount(key, minlength=n_docs * FP_FRAMES)
+                    .astype(_np.int64)
+                    .reshape(n_docs, FP_FRAMES)
+                )
+            else:
+                e = _np.zeros((n_docs, FP_FRAMES), dtype=_np.int64)
+                c = _np.zeros((n_docs, FP_FRAMES), dtype=_np.int64)
+            bits = e[:, :-1] * c[:, 1:] > e[:, 1:] * c[:, :-1]
+            bands = bits.reshape(n_docs, 4, 16).astype(_np.int64) @ pw
             yield pd.DataFrame(
                 {
-                    "doc_id": out["doc_id"],
-                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
-                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(lens, dtype="int64"),
                     **{
-                        f"b{b}": pd.Series(bands_out[b], dtype="int32")
+                        f"b{b}": pd.Series(
+                            bands[:, b].astype(_np.int32), dtype="int32"
+                        )
                         for b in range(4)
                     },
                 }

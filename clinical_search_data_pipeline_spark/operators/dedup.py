@@ -554,7 +554,15 @@ def minhash_recall(
         F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    # Cache the signature relation: it feeds every band projection of every
+    # config on BOTH sides of the candidate self-join and both counting
+    # aggregations — without the cut the explode+8-min-agg subtree appears
+    # ~56x in the static plan (283 Exchanges, a 3.3k-line tree,
+    # plans/r13/q_minhash_recall_before.txt) and Catalyst re-analyzes every
+    # copy even though AQE reuses the exchange at runtime. One
+    # doc-count-sized cache (doc_id + 8 longs) truncates all of it
+    # (guide §3.3 "materialising an intermediate truncates the plan").
+    sig = engine_cache(sh.groupBy("doc_id").agg(*mins))
     frames = []
     for b_cnt, rows in MINHASH_RECALL_CONFIGS:
         for b in range(b_cnt):
@@ -573,7 +581,10 @@ def minhash_recall(
     for fdf in frames[1:]:
         banded = banded.unionByName(fdf)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # cand feeds two aggregations (candidate counts, hit counts) — cache it
+    # so the banded self-join subtree appears once, not twice (same §3.3
+    # truncation as sig above; the relation is candidate-pair-sized).
+    cand = engine_cache(
         a.join(
             b,
             (F.col("a.bands") == F.col("b.bands"))

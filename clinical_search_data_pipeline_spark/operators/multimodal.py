@@ -1041,7 +1041,16 @@ def encode_wav(sample_rate: int, samples, pad_chunk: bool = False) -> bytes:
     comment line."""
     import struct
 
-    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    import numpy as _np
+
+    # Vectorized PCM pack: one astype+tobytes over the whole signal instead
+    # of a per-sample struct.pack loop (guide §4.2 — the encoder runs inside
+    # Arrow batches for every doc). Bounds are checked FIRST so out-of-range
+    # samples still raise like struct.pack('<h') did, never silently wrap.
+    arr = _np.asarray(samples, dtype=_np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError("WAV sample out of int16 range")
+    data = arr.astype("<i2").tobytes()
     junk = (b"JUNK" + struct.pack("<I", 6) + b"csdp06") if pad_chunk else b""
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
@@ -1237,6 +1246,28 @@ def decode_wav_samples(payload: bytes) -> tuple[int, tuple[int, ...]]:
             _decode_adpcm_data(data, block_align, samples_per_block, fact_total)
         )
     raise ValueError(f"unsupported WAV: fmt={audio_fmt}")
+
+
+def decode_wav_array(payload: bytes):
+    """(sample_rate, samples: int32 ndarray) — the vectorized-consumer twin
+    of `decode_wav_samples`: the PCM branch returns a zero-conversion
+    `np.frombuffer` view (widened to int32 so |x| and sums can never wrap)
+    instead of a tuple of Python ints; other formats delegate to the tuple
+    decoder and convert. Same chunk walk, same values."""
+    import struct
+
+    import numpy as _np
+
+    fmt_chunk, _fact_total, data_off, data_len = _wave_chunks(payload)
+    audio_fmt, channels, sample_rate = struct.unpack("<HHI", fmt_chunk[:8])
+    if audio_fmt == 1 and channels == 1:  # PCM fast path
+        data = payload[data_off : data_off + data_len]
+        n = len(data) // 2
+        return int(sample_rate), _np.frombuffer(
+            data, dtype="<i2", count=n
+        ).astype(_np.int32)
+    rate, samples = decode_wav_samples(payload)
+    return rate, _np.asarray(samples, dtype=_np.int32)
 
 
 def decode_wav(payload: bytes) -> dict:

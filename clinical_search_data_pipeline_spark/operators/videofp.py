@@ -102,20 +102,26 @@ def attach_neardup_video(docs: DataFrame, wrap_base: int | None = None) -> DataF
                 w = (base % 4 + 2) * 2
                 h = (base % 3 + 2) * 2
                 n = base % 16 + 65
+                # whole clip as ONE (n_frames, w*h) int64 broadcast — the
+                # per-frame Python loop was ~n small numpy calls per doc
+                # (guide §4.2); arithmetic is unchanged term for term
                 k = _np.arange(w * h, dtype=_np.int64)
-                frames = []
-                for f in range(n):
-                    v = (
-                        base * 53
-                        + f * f * (base % 7 + 3)
-                        + f * (base % 17 + 5)
-                        + k * k * (base % 11 + 2)
-                        + f * k * (base % 13 + 1)
-                    ) % 256
-                    if is_copy:
-                        v = (v + (d * (f + k + 3)) % 3) % 256
-                    frames.append(v.astype(_np.uint8).tobytes())
-                payloads.append(encode_y4m(w, h, base % 30 + 1, frames))
+                fcol = _np.arange(n, dtype=_np.int64)[:, None]
+                v = (
+                    base * 53
+                    + fcol * fcol * (base % 7 + 3)
+                    + fcol * (base % 17 + 5)
+                    + k * k * (base % 11 + 2)
+                    + fcol * k * (base % 13 + 1)
+                ) % 256
+                if is_copy:
+                    v = (v + (d * (fcol + k + 3)) % 3) % 256
+                u = v.astype(_np.uint8)
+                payloads.append(
+                    encode_y4m(
+                        w, h, base % 30 + 1, [u[f].tobytes() for f in range(n)]
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return fan_out(docs.select("doc_id")).mapInPandas(
@@ -136,38 +142,38 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
         decode_y4m_frame_sums,
     )
 
+    import numpy as _np
+
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pw = 1 << _np.arange(16, dtype=_np.int64)
         for pdf in batches:
-            out = {c: [] for c in ("doc_id", "width", "height", "fps_num", "n_frames")}
-            bands_out = [[] for _ in range(4)]
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_docs = len(pdf)
+            meta = _np.zeros((n_docs, 4), dtype=_np.int32)  # w, h, fps, n
+            prefix = _np.zeros((n_docs, FP_BITS + 1), dtype=_np.int64)
+            for i, payload in enumerate(pdf["payload"]):
                 w, h, fps, sums = decode_y4m_frame_sums(bytes(payload))
                 if len(sums) < FP_BITS + 1:
                     raise ValueError(
                         f"clip too short for a {FP_BITS}-bit prefix "
                         f"signature: {len(sums)} frames"
                     )
-                bits = [
-                    1 if sums[f] > sums[f + 1] else 0 for f in range(FP_BITS)
-                ]
-                for b in range(4):
-                    bands_out[b].append(
-                        sum(bits[b * 16 + j] << j for j in range(16))
-                    )
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["fps_num"].append(fps)
-                out["n_frames"].append(len(sums))
+                meta[i] = (w, h, fps, len(sums))
+                prefix[i] = sums[: FP_BITS + 1]
+            # sign bits + band packing vectorized across the batch (§4.2);
+            # comparison and weights identical to the per-doc form
+            bits = prefix[:, :-1] > prefix[:, 1:]
+            bands = bits.reshape(n_docs, 4, 16).astype(_np.int64) @ pw
             yield pd.DataFrame(
                 {
-                    "doc_id": out["doc_id"],
-                    "width": pd.Series(out["width"], dtype="int32"),
-                    "height": pd.Series(out["height"], dtype="int32"),
-                    "fps_num": pd.Series(out["fps_num"], dtype="int32"),
-                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(meta[:, 0], dtype="int32"),
+                    "height": pd.Series(meta[:, 1], dtype="int32"),
+                    "fps_num": pd.Series(meta[:, 2], dtype="int32"),
+                    "n_frames": pd.Series(meta[:, 3], dtype="int32"),
                     **{
-                        f"b{b}": pd.Series(bands_out[b], dtype="int32")
+                        f"b{b}": pd.Series(
+                            bands[:, b].astype(_np.int32), dtype="int32"
+                        )
                         for b in range(4)
                     },
                 }
