@@ -288,6 +288,12 @@ def minhash_lsh_pairs(
         F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
+    # NOT cached (unlike minhash_recall's signature): here sig fans out to
+    # only 4 band projections feeding ONE consumer chain — AQE's runtime
+    # exchange reuse already dedupes the agg, and an interleaved A/B showed
+    # the cache's materialization barrier costing as much as it saved
+    # (the r13 negative-result rule: lineage cuts pay across actions or at
+    # massive static fan-out, not inside one action at fan-out ~8).
     sig = sh.groupBy("doc_id").agg(*mins)
     band_frames = [
         sig.select(
