@@ -129,7 +129,8 @@ def build_ann_index(
         # the seed path keeps both frozen for the equivalence fixtures
         train_pq = train_rounds > 0
     subs = pq_subvectors(emb)
-    if train_pq:
+
+    def _train_pq_cb() -> DataFrame:
         # one order-pinned Lloyd round per subspace over the sliced init
         # (pq_train_codebooks(pinned=True)) — the exact training round
         # q_ann_pq_trained_topk's oracle replays bit-exactly in SQL.
@@ -137,17 +138,46 @@ def build_ann_index(
         # lineage is the whole training pass, and it feeds BOTH the
         # published `codebook` relation and the corpus encode (`codes`) —
         # without the cut the publish path executes PQ training twice.
-        cb = pq_train_codebooks(train_on or emb, rounds=1, pinned=True).localCheckpoint()
-    else:
-        cb = pq_codebook(subs)
-    base = vectors_with_norms(emb)
-    if train_rounds > 0:
+        return pq_train_codebooks(
+            train_on or emb, rounds=1, pinned=True
+        ).localCheckpoint()
+
+    def _train_coarse() -> DataFrame:
         # Same cut for the coarse quantizer: `trained_quantizer` is a lazy
         # unroll of the Lloyd rounds, referenced by the published
         # `centroids` relation AND the corpus assignment (`cells`) — the
         # checkpoint makes coarse training execute once per build.
-        centroids, _ = trained_quantizer(train_on or emb, train_rounds)
-        centroids = centroids.localCheckpoint()
+        cents, _ = trained_quantizer(train_on or emb, train_rounds)
+        return cents.localCheckpoint()
+
+    base = vectors_with_norms(emb)
+    if train_pq and train_rounds > 0:
+        # The two training materializations are independent jobs on one
+        # session; running them from a 2-thread pool lets the scheduler
+        # back-fill each job's straggler tail with the other's tasks
+        # instead of idling the cluster between sequential actions
+        # (guide §2.6). Determinism is untouched — each plan is the same
+        # fixed-seed unroll either way.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            cb_fut = pool.submit(_train_pq_cb)
+            cents_fut = pool.submit(_train_coarse)
+            cb = cb_fut.result()
+            centroids = cents_fut.result()
+        cells = _assign(base, centroids, "cell").select("vec_id", "cell")
+        return {
+            "centroids": centroids,
+            "codebook": cb,
+            "cells": cells,
+            "codes": pq_codes(subs, cb),
+        }
+    if train_pq:
+        cb = _train_pq_cb()
+    else:
+        cb = pq_codebook(subs)
+    if train_rounds > 0:
+        centroids = _train_coarse()
         cells = _assign(base, centroids, "cell").select("vec_id", "cell")
     else:
         centroids = base.filter(
@@ -179,15 +209,29 @@ def write_ann_index(index: dict[str, DataFrame], root: str) -> dict[str, int]:
     through it: until the meta pin lands, every reader keeps getting the
     previous complete quadruple (the same resolve-the-manifest-first
     discipline the snapshot sink applies per table, lifted one level)."""
-    versions = {}
-    for name in INDEX_TABLES:
-        # collect_stats=False: these relations are probed by equi-join,
-        # never range-pruned — per-file footer stats would be dead weight
-        # collected on the publish path
-        versions[name] = manifest.write_snapshot(
-            index[name], f"{root}/{name}", mode="overwrite",
-            collect_stats=False,
-        )
+    # The four table publishes are independent write actions on disjoint
+    # paths; a thread pool overlaps them so the big `codes`/`cells` writes
+    # back-fill the tiny `centroids`/`codebook` commits' scheduling gaps
+    # (guide §2.6). Readers stay consistent regardless of landing order:
+    # nothing is visible until the meta pin — still committed LAST, after
+    # every table write returned — publishes the complete quadruple.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(INDEX_TABLES)) as pool:
+        futs = {
+            name: pool.submit(
+                manifest.write_snapshot,
+                index[name],
+                f"{root}/{name}",
+                mode="overwrite",
+                # collect_stats=False: these relations are probed by
+                # equi-join, never range-pruned — per-file footer stats
+                # would be dead weight collected on the publish path
+                collect_stats=False,
+            )
+            for name in INDEX_TABLES
+        }
+        versions = {name: fut.result() for name, fut in futs.items()}
     spark = next(iter(index.values())).sparkSession
     pins = spark.createDataFrame(
         [(t, versions[t]) for t in INDEX_TABLES], "table string, version int"
