@@ -206,14 +206,21 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
     )
-    t_o = write_bucketed(
-        orders, f"csdp_bkt_orders_{suffix}", "orderkey",
-        path_root="/tmp/csdp_bucketed",
-    )
-    t_l = write_bucketed(
-        items, f"csdp_bkt_lineitem_{suffix}", "orderkey",
-        path_root="/tmp/csdp_bucketed",
-    )
+    # The two bucketed writes are independent jobs to distinct tables;
+    # overlapping them in a 2-thread pool lets the lineitem write's tasks
+    # back-fill the orders write's straggler tail (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_o = pool.submit(
+            write_bucketed, orders, f"csdp_bkt_orders_{suffix}", "orderkey",
+            path_root="/tmp/csdp_bucketed",
+        )
+        f_l = pool.submit(
+            write_bucketed, items, f"csdp_bkt_lineitem_{suffix}", "orderkey",
+            path_root="/tmp/csdp_bucketed",
+        )
+        t_o, t_l = f_o.result(), f_l.result()
     return (
         read_bucketed(spark, t_l)
         .join(read_bucketed(spark, t_o), "orderkey")

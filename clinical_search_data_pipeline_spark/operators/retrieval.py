@@ -335,8 +335,17 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, stats = build_postings(docs)
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/csdp_bm25_index/{suffix}"
-    postings.write.mode("overwrite").parquet(f"{root}/postings")
-    stats.write.mode("overwrite").parquet(f"{root}/stats")
+    # independent writes to disjoint paths — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(
+            lambda: postings.write.mode("overwrite").parquet(f"{root}/postings")
+        )
+        fs = pool.submit(
+            lambda: stats.write.mode("overwrite").parquet(f"{root}/stats")
+        )
+        fp.result(), fs.result()
     return bm25_topk_from_postings(
         spark.read.parquet(f"{root}/postings"),
         spark.read.parquet(f"{root}/stats"),

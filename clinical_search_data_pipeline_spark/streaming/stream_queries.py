@@ -1441,9 +1441,13 @@ def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors_with_norms(corpus).select("vec_id", "v", "norm")
     )
     # materialize the frozen index BEFORE the stream: the first micro-batch
-    # must not pay the corpus banding build (offline step in production)
-    corpus_keys.count()
-    corpus_vecs.count()
+    # must not pay the corpus banding build (offline step in production).
+    # The two cache fills are independent jobs — overlap them (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fk, fv = pool.submit(corpus_keys.count), pool.submit(corpus_vecs.count)
+        fk.result(), fv.result()
 
     staging = stage_embedding_batch_source(spark, sf_dir)
     schema = spark.read.parquet(staging).schema
