@@ -918,7 +918,14 @@ def q_span_gate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < INCREMENT_SPLIT)
     batch = docs.filter(F.col("doc_id") >= INCREMENT_SPLIT)
-    index = corpus_gram_index(corpus)
+    # cache the gram index like the streaming twin does: it is a SHUFFLED
+    # intermediate (gram explode + distinct) with THREE consumers — the
+    # bloom self-sizing count (its own action), the bloom bitset build,
+    # and the exact verify join — so without the cache the distinct
+    # shuffle executes up to three times per run
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
+    index = engine_cache(corpus_gram_index(corpus))
     return span_contamination(batch, index, bloom=corpus_gram_bloom(index))
 
 
