@@ -148,6 +148,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Streaming rows are single-shot (10-30 s each; rerunning them all would
+    # triple the suite), which leaves them exposed to the roaming host
+    # starvation window: one bad 1-2 minute sweep can inflate a trigger-heavy
+    # row 3-6x and poison the round record (VERDICT r13 "what's wrong" #1 —
+    # the driver's 32-core run had q_stream_stream_join at 25.1 s vs 3.9 s on
+    # its own 8-core twin). Guard (additions-only): any q_stream_* row that
+    # reads > 3x its committed bench_results.json reference is re-run twice
+    # and recorded as the median of the three shots — a REAL regression
+    # reproduces in all three and keeps its slow value; a starvation sweep
+    # does not. The reference is the previous committed record, loaded before
+    # this run overwrites it; rows without a reference stay single-shot.
+    ref_timings: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+        ) as fh:
+            ref_timings = json.load(fh).get("queries", {}) or {}
+    except Exception:
+        pass
+    for name in [n for n in names if n.startswith("q_stream_")]:
+        ref = ref_timings.get(name)
+        if not ref or ref <= 0 or timings[name] <= 3.0 * ref:
+            continue
+        shots = [timings[name], run_once(name), run_once(name)]
+        med = round(sorted(shots)[1], 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s > 3x ref {ref:.3f}s -> "
+            f"median of {['%.3f' % s for s in shots]} = {med:.3f}s",
+            file=sys.stderr,
+        )
+        timings[name] = med
+
     # Second pass over the heavy tail, recorded as MIN of the two shots.
     # The host occasionally starves this VM for a roaming 1-2 minute window
     # (different alphabetical range each run; edge calibrations read clean):
