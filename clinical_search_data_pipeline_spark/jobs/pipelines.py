@@ -127,6 +127,9 @@ def mart_etl_job(
             "expectations silently would let a caller believe a quality "
             "gate ran when it did not"
         )
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     events = events.cache()
     written: dict[str, int] = {}
     versions: dict[str, int] = {}
@@ -134,6 +137,12 @@ def mart_etl_job(
         for name, build in builders.items():
             mart = build(events)
             path = f"{out_dir}/{name}"
+            # The returned per-mart row counts ride the WRITE itself
+            # (guide §2.6/§5): snapshot publishes read them back from the
+            # manifest's footer stats (zero actions), the plain path
+            # observes count(*) on the write action — either way the old
+            # post-write `mart.count()`, a full re-build of the mart per
+            # table, is gone.
             if snapshot:
                 # partitioned marts publish the reference's date-layout
                 # THROUGH the commit log: per-file partition values land in
@@ -154,11 +163,18 @@ def mart_etl_job(
                     partition_by=pb,
                     expect=dict((expect or {}).get(name) or {}) or None,
                 )
-            elif partition_col and partition_col in mart.columns:
-                pq_sink.write_partitioned(mart, path, partition_col, mode="overwrite")
+                rows = manifest_sink.snapshot_row_count(path, versions[name])
+                written[name] = mart.count() if rows is None else rows
             else:
-                mart.write.mode("overwrite").parquet(path)
-            written[name] = mart.count()
+                obs = Observation()
+                mart = mart.observe(obs, F.count(F.lit(1)).alias("rows"))
+                if partition_col and partition_col in mart.columns:
+                    pq_sink.write_partitioned(
+                        mart, path, partition_col, mode="overwrite"
+                    )
+                else:
+                    mart.write.mode("overwrite").parquet(path)
+                written[name] = int(obs.get["rows"])
         if snapshot:
             _pin_mart_versions(events.sparkSession, out_dir, versions)
     finally:
@@ -890,8 +906,7 @@ def build_gate_indexes(corpus_df: DataFrame, split: int) -> dict[str, object]:
     probes. `split` is the media wrap base (fixture geometry)."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
     from clinical_search_data_pipeline_spark.operators.audiofp import (
-        attach_neardup_audio,
-        audio_fingerprints,
+        audio_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.operators.classifier import (
         nb_quality_model,
@@ -904,16 +919,14 @@ def build_gate_indexes(corpus_df: DataFrame, split: int) -> dict[str, object]:
         dsir_model,
     )
     from clinical_search_data_pipeline_spark.operators.phash import (
-        attach_neardup_images,
-        dhash_images,
+        dhash_neardup_images,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_bloom,
         corpus_gram_index,
     )
     from clinical_search_data_pipeline_spark.operators.videofp import (
-        attach_neardup_video,
-        video_fingerprints,
+        video_neardup_fingerprints,
     )
 
     gram_index = engine_cache(corpus_gram_index(corpus_df))
@@ -926,13 +939,13 @@ def build_gate_indexes(corpus_df: DataFrame, split: int) -> dict[str, object]:
             nb_quality_model(quality_labels(corpus_df))
         ),
         "image_index": engine_cache(
-            dhash_images(attach_neardup_images(corpus_df, wrap_base=split))
+            dhash_neardup_images(corpus_df, wrap_base=split)
         ),
         "audio_index": engine_cache(
-            audio_fingerprints(attach_neardup_audio(corpus_df, wrap_base=split))
+            audio_neardup_fingerprints(corpus_df, wrap_base=split)
         ),
         "video_index": engine_cache(
-            video_fingerprints(attach_neardup_video(corpus_df, wrap_base=split))
+            video_neardup_fingerprints(corpus_df, wrap_base=split)
         ),
     }
 
@@ -1016,8 +1029,7 @@ def _gate_index_deltas(
     `merged`)."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
     from clinical_search_data_pipeline_spark.operators.audiofp import (
-        attach_neardup_audio,
-        audio_fingerprints,
+        audio_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.operators.bloom import bloom_add
     from clinical_search_data_pipeline_spark.operators.classifier import (
@@ -1038,15 +1050,13 @@ def _gate_index_deltas(
         dsir_model,
     )
     from clinical_search_data_pipeline_spark.operators.phash import (
-        attach_neardup_images,
-        dhash_images,
+        dhash_neardup_images,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
         corpus_gram_index,
     )
     from clinical_search_data_pipeline_spark.operators.videofp import (
-        attach_neardup_video,
-        video_fingerprints,
+        video_neardup_fingerprints,
     )
 
     _, _, dfreq = old["prefix_index"]
@@ -1074,14 +1084,9 @@ def _gate_index_deltas(
         "prefix_sets": inc_sets,
         "prefix_prefixes": _batch_prefix(inc_sets, dfreq, JACCARD_THRESHOLD),
         "gram_index": novel_grams,
-        "image_index": dhash_images(
-            attach_neardup_images(increment, wrap_base=split)
-        ),
-        "audio_index": audio_fingerprints(
-            attach_neardup_audio(increment, wrap_base=split)
-        ),
-        "video_index": video_fingerprints(
-            attach_neardup_video(increment, wrap_base=split)
+        "image_index": dhash_neardup_images(increment, wrap_base=split),
+        "audio_index": audio_neardup_fingerprints(increment, wrap_base=split),
+        "video_index": video_neardup_fingerprints(increment, wrap_base=split
         ),
     }
     small = {
@@ -1286,12 +1291,10 @@ def ingest_admission_job(
     )
     from clinical_search_data_pipeline_spark.operators.audiofp import (
         AF_HAM_MAX,
-        attach_neardup_audio,
-        audio_fingerprints,
+        audio_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.operators.phash import (
-        attach_neardup_images,
-        dhash_images,
+        dhash_neardup_images,
         image_vs_corpus,
     )
     from clinical_search_data_pipeline_spark.operators.spans import (
@@ -1299,8 +1302,7 @@ def ingest_admission_job(
     )
     from clinical_search_data_pipeline_spark.operators.videofp import (
         VF_HAM_MAX,
-        attach_neardup_video,
-        video_fingerprints,
+        video_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.sources.readers import read_table
     from clinical_search_data_pipeline_spark.streaming.stream_queries import (
@@ -1500,25 +1502,28 @@ def ingest_admission_job(
         )
         img = image_vs_corpus(
             idx["image_index"],
-            dhash_images(attach_neardup_images(batch_df, wrap_base=split)),
+            dhash_neardup_images(batch_df, wrap_base=split),
+            batch_docs=batch_df,
         ).select(
             "doc_id", F.col("n_corpus_matches").alias("n_image_matches"),
             F.col("status").alias("image_status"),
         )
         aud = image_vs_corpus(
             idx["audio_index"],
-            audio_fingerprints(attach_neardup_audio(batch_df, wrap_base=split)),
+            audio_neardup_fingerprints(batch_df, wrap_base=split),
             ham_max=AF_HAM_MAX,
             dup_status="dup_audio",
+            batch_docs=batch_df,
         ).select(
             "doc_id", F.col("n_corpus_matches").alias("n_audio_matches"),
             F.col("status").alias("audio_status"),
         )
         vid = image_vs_corpus(
             idx["video_index"],
-            video_fingerprints(attach_neardup_video(batch_df, wrap_base=split)),
+            video_neardup_fingerprints(batch_df, wrap_base=split),
             ham_max=VF_HAM_MAX,
             dup_status="dup_video",
+            batch_docs=batch_df,
         ).select(
             "doc_id", F.col("n_corpus_matches").alias("n_video_matches"),
             F.col("status").alias("video_status"),

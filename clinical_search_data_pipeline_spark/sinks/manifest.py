@@ -751,43 +751,111 @@ def write_snapshot(
             raise ValueError(f"partition column {c!r} not in dataframe")
     expectation_counts: dict[str, int] | None = None
     gated = None
+    observation = None
     if expect or expect_agg:
-        # Pin ONE evaluation of the frame across the gate's three uses
-        # (counts agg, quarantine split, staged write): an unpinned
-        # nondeterministic lineage could pass the count yet write
-        # violating rows — the gate must see the rows it publishes
-        # (code review r12). Also removes the 2-3x re-scan per gated
-        # publish.
-        gated = df.persist()
+        if on_violation not in ("fail", "quarantine"):
+            raise ValueError(f"unknown on_violation: {on_violation!r}")
+        # Fast path (guide §2.6/§5: fold the gate into the write action):
+        # expectation predicates ride the staged write itself as observed
+        # metrics (`DataFrame.observe` / CollectMetrics), so the common
+        # all-pass publish pays ZERO extra actions — previously every gated
+        # publish ran persist + a counts aggregation (+ a second aggregation
+        # for table-level gates) before the write. The metrics are computed
+        # on EXACTLY the rows the write staged (stronger than the persist
+        # pinning this replaces — code review r12's nondeterministic-lineage
+        # concern). On violation the staged directory — never visible to
+        # readers, the manifest link has not landed — is deleted before the
+        # gate raises or falls back to the quarantine split below.
         try:
-            expectation_counts = {}
-            if expect:
-                df, row_counts = _enforce_expectations(
-                    gated, table, expect, on_violation
+            from pyspark.sql import Column, Observation
+
+            metrics = []
+            for name, p in (expect or {}).items():
+                col = F.expr(p) if isinstance(p, str) else p
+                assert isinstance(col, Column)
+                pred = F.coalesce(col, F.lit(False))  # NULL -> violation
+                metrics.append(
+                    F.coalesce(F.sum((~pred).cast("long")), F.lit(0)).alias(
+                        f"row::{name}"
+                    )
                 )
-                expectation_counts.update(row_counts)
-            if expect_agg:
-                # table-level gates see the frame that will PUBLISH (the
-                # row-gated survivors under quarantine mode)
-                expectation_counts.update(
-                    _enforce_agg_expectations(df, table, expect_agg)
+            for name, p in (expect_agg or {}).items():
+                col = F.expr(p) if isinstance(p, str) else p
+                assert isinstance(col, Column)
+                metrics.append(
+                    F.coalesce(col, F.lit(False)).alias(f"agg::{name}")
                 )
-        except BaseException:
-            gated.unpersist()
-            raise
+            observation = Observation()
+            df = df.observe(observation, *metrics)
+        except Exception:
+            # CollectMetrics rejects some shapes (e.g. DISTINCT aggregates
+            # in table-level gates) at analysis time — fall back to the
+            # pinned two-action gate, identical semantics.
+            observation = None
+            gated = df.persist()
+            try:
+                expectation_counts = {}
+                if expect:
+                    df, row_counts = _enforce_expectations(
+                        gated, table, expect, on_violation
+                    )
+                    expectation_counts.update(row_counts)
+                if expect_agg:
+                    # table-level gates see the frame that will PUBLISH (the
+                    # row-gated survivors under quarantine mode)
+                    expectation_counts.update(
+                        _enforce_agg_expectations(df, table, expect_agg)
+                    )
+            except BaseException:
+                gated.unpersist()
+                raise
     # Stage data under a writer-unique name first: the snapshot version is
     # only decided at commit time, so two racing writers never write into
     # the same directory.
     stage = f"stage-{uuid.uuid4().hex}"
     stage_dir = os.path.join(table, _FILES_DIR, stage)
-    try:
-        writer = df.write.mode("error")
+
+    def _write_stage(frame: DataFrame) -> None:
+        writer = frame.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage_dir)
+
+    try:
+        _write_stage(df)
     finally:
         if gated is not None:
             gated.unpersist()
+    if observation is not None:
+        got = observation.get  # blocks on the write action just executed
+        row_counts = {
+            name: int(got[f"row::{name}"]) for name in (expect or {})
+        }
+        agg_failed = {
+            name: 1 for name in (expect_agg or {}) if not got[f"agg::{name}"]
+        }
+        if any(row_counts.values()):
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            if on_violation == "fail":
+                raise ExpectationViolation(table, row_counts)
+            # quarantine: re-run the pinned split path — the discarded
+            # staged copy is replaced wholesale by the survivors' write,
+            # so the published rows and the gate still see one evaluation
+            gated = df.persist()
+            try:
+                df, row_counts = _enforce_expectations(
+                    gated, table, expect, on_violation
+                )
+                if expect_agg:
+                    _enforce_agg_expectations(df, table, expect_agg)
+                _write_stage(df)
+            finally:
+                gated.unpersist()
+        elif agg_failed:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise ExpectationViolation(table, agg_failed)
+        expectation_counts = dict(row_counts)
+        expectation_counts.update({name: 0 for name in (expect_agg or {})})
     new_entries = []
     for rel in _list_part_files(stage_dir):
         rows, stats = (
@@ -2205,6 +2273,24 @@ def snapshot_change_feed(
         # older pieces lack the added columns — null-fill, same as reads
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def snapshot_row_count(table: str, version: int | None = None) -> int | None:
+    """Row count of a committed version from its manifest's per-file footer
+    stats — ZERO Spark actions (the stats were collected from the staged
+    files at publish time). Returns None when any file was committed with
+    ``collect_stats=False`` (count unknown without a scan) or the table has
+    no versions; callers fall back to counting then."""
+    v = _tip(table) if version is None else version
+    if v is None:
+        return None
+    total = 0
+    for entry in _read_manifest(table, v)["files"]:
+        rows = entry.get("rows")
+        if rows is None:
+            return None
+        total += int(rows)
+    return total
 
 
 def snapshots(table: str) -> list[dict]:
