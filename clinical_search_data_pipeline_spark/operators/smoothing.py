@@ -140,54 +140,25 @@ def ewma_per_user_chunked(
     rounding. tests/test_pipeline_ops.py pins byte-identical rounded
     output against the unchunked path on the fixture plus a synthetic
     100x-median hot key that spans >50 chunks.
+
+    Execution (r14, guide §4.1): both sequential passes — the per-chunk
+    response recurrence and the per-user stitch over chunk summaries — run
+    as SQL `aggregate()` higher-order functions over `collect_list`'d
+    groups, entirely inside JVM codegen. The previous form ran them as
+    grouped `applyInPandas` maps, paying one Python-worker Arrow round
+    trip per GROUP (the measured dominant cost at fixture scale; per-group,
+    not per-byte). The fold arithmetic is the same double expression in
+    the same order, so first-chunk values stay bit-identical to the
+    unchunked path/oracle. The array-append accumulator copies O(len²)
+    elements per chunk — bounded by construction (~4096-row chunks →
+    ≈130 MB of memcpy traffic per hottest task, amortized across the
+    corpus), the price of an exact sequential fold without a Python
+    boundary; lower EWMA_TARGET_CHUNK_ROWS if a profile ever shows it.
     """
     from pyspark.sql import functions as F
 
     one_m_a = 1.0 - alpha
-
-    def zero_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_sec", "event_id"]).reset_index(drop=True)
-        # p: the contract's seeded loop (y1 = x1) — correct ONLY for a
-        # user's first chunk. q: the zero-initial-state response (loop from
-        # y0 = 0) — the homogeneous part for chunks that have a carry-in
-        # (the y1 = x1 seeding makes the first step non-linear, so the two
-        # responses genuinely differ).
-        p = _ewma_series(pdf["value"], alpha)
-        q, y = [], 0.0
-        for x in pdf["value"]:
-            y = one_m_a * y + alpha * x
-            q.append(y)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "chunk": pdf["chunk"],
-                "pos": range(1, len(pdf) + 1),
-                "p": p,
-                "q": q,
-                "d": [one_m_a ** i for i in range(1, len(pdf) + 1)],
-            }
-        )
-
-    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("chunk").reset_index(drop=True)
-        carries, offsets = [], []
-        y, off = None, 0
-        for cnt, pp, qq, dd in zip(
-            pdf["cnt"], pdf["p_end"], pdf["q_end"], pdf["d_end"]
-        ):
-            carries.append(y)
-            offsets.append(off)
-            y = pp if y is None else dd * y + qq
-            off += int(cnt)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "chunk": pdf["chunk"],
-                "carry": pd.array(carries, dtype="float64"),
-                "rn_offset": offsets,
-            }
-        )
+    a, c = repr(float(alpha)), repr(float(one_m_a))
 
     sub = events.select("user_id", "event_id", "ts_sec", "value").filter(
         "value IS NOT NULL"
@@ -216,24 +187,87 @@ def ewma_per_user_chunked(
                 int(math.ceil(EWMA_TARGET_CHUNK_ROWS * row.span / row.max_rows)),
             )
     sub = sub.withColumn("chunk", (F.col("ts_sec") / F.lit(chunk_sec)).cast("long"))
-    n = max(sub.sparkSession.sparkContext.defaultParallelism, 8)
-    staged = sub.repartition(n, "user_id", "chunk").groupBy(
-        "user_id", "chunk"
-    ).applyInPandas(
-        zero_state,
-        "user_id long, event_id long, chunk long, pos int, p double, q double, d double",
+
+    # 1. per-(user, chunk) responses: sort_array orders the chunk by
+    # (ts_sec, event_id) — the struct's leading fields — then ONE exact
+    # sequential fold emits per-row p (seeded loop: y1 = x1, valid only
+    # for a first chunk) and q (zero-initial-state response; the seeding
+    # makes the first step non-linear, so the two genuinely differ).
+    resp_expr = f"""
+aggregate(
+  sort_array(rows),
+  named_struct(
+    'res', CAST(array() AS array<struct<event_id: bigint, p: double, q: double>>),
+    'p', CAST(NULL AS double), 'q', CAST(NULL AS double)),
+  (acc, x) -> named_struct(
+    'res', concat(acc.res, array(named_struct(
+      'event_id', x.event_id,
+      'p', IF(acc.p IS NULL, x.value, {c}D * acc.p + {a}D * x.value),
+      'q', {c}D * coalesce(acc.q, 0.0D) + {a}D * x.value))),
+    'p', IF(acc.p IS NULL, x.value, {c}D * acc.p + {a}D * x.value),
+    'q', {c}D * coalesce(acc.q, 0.0D) + {a}D * x.value),
+  acc -> acc.res)
+"""
+    g = (
+        sub.groupBy("user_id", "chunk")
+        .agg(
+            F.collect_list(F.struct("ts_sec", "event_id", "value")).alias("rows")
+        )
+        .select("user_id", "chunk", F.expr(resp_expr).alias("res"))
     )
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
-    staged = engine_cache(staged)
-    summaries = staged.groupBy("user_id", "chunk").agg(
-        F.count("*").alias("cnt"),
-        F.max_by("p", "pos").alias("p_end"),
-        F.max_by("q", "pos").alias("q_end"),
-        F.max_by("d", "pos").alias("d_end"),
+    # g feeds two consumers (the chunk summaries and the exploded rows of
+    # the final join) across one shuffled groupBy — the r12/r13 cache rule.
+    g = engine_cache(g)
+
+    # 2. per-user stitch over CHUNK SUMMARIES (metadata-sized): the same
+    # exact fold, over chunks in order — carry-in y (NULL for the first
+    # chunk) and the rn offset.
+    summaries = g.select(
+        "user_id",
+        "chunk",
+        F.size("res").alias("cnt"),
+        F.element_at("res", -1)["p"].alias("p_end"),
+        F.element_at("res", -1)["q"].alias("q_end"),
+        F.pow(F.lit(one_m_a), F.size("res").cast("double")).alias("d_end"),
     )
-    bounds = summaries.repartition(n, "user_id").groupBy("user_id").applyInPandas(
-        stitch, "user_id long, chunk long, carry double, rn_offset long"
+    stitch_expr = """
+aggregate(
+  sort_array(s),
+  named_struct(
+    'res', CAST(array() AS array<struct<chunk: bigint, carry: double, rn_offset: bigint>>),
+    'y', CAST(NULL AS double), 'off', CAST(0 AS bigint)),
+  (acc, x) -> named_struct(
+    'res', concat(acc.res, array(named_struct(
+      'chunk', x.chunk, 'carry', acc.y, 'rn_offset', acc.off))),
+    'y', IF(acc.y IS NULL, x.p_end, x.d_end * acc.y + x.q_end),
+    'off', acc.off + x.cnt),
+  acc -> acc.res)
+"""
+    bounds = (
+        summaries.groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct("chunk", "cnt", "p_end", "q_end", "d_end")
+            ).alias("s")
+        )
+        .select("user_id", F.explode(F.expr(stitch_expr)).alias("b"))
+        .select("user_id", "b.chunk", "b.carry", "b.rn_offset")
+    )
+
+    # 3. join carry-ins + offsets back on (user_id, chunk); final value and
+    # rn are JVM-side expressions, exactly as before.
+    staged = g.select(
+        "user_id", "chunk", F.posexplode("res").alias("pos0", "r")
+    ).select(
+        "user_id",
+        "chunk",
+        F.col("r.event_id").alias("event_id"),
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("r.p").alias("p"),
+        F.col("r.q").alias("q"),
+        F.pow(F.lit(one_m_a), (F.col("pos0") + 1).cast("double")).alias("d"),
     )
     out = staged.join(bounds, ["user_id", "chunk"]).select(
         "user_id",
