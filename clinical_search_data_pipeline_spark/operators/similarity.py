@@ -645,7 +645,11 @@ IVF_NPROBE = 2
 
 
 def ann_ivf_multiprobe_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K, nprobe: int = IVF_NPROBE
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    assignments_fn=None,
 ) -> DataFrame:
     """IVF with nprobe>1: each query searches its `nprobe` best cells (by
     centroid cosine), not just the argmax cell — the standard recall knob.
@@ -653,7 +657,7 @@ def ann_ivf_multiprobe_topk(
     (nprobe rows per query in the broadcast), the big side is still scanned
     once and equi-joined on cell; no duplicate candidates since every vector
     belongs to exactly one cell."""
-    assigned = ivf_assignments(emb)
+    assigned = (assignments_fn or ivf_assignments)(emb)
     base = vectors_with_norms(emb)
     cents = base.filter(
         (F.col("vec_id") >= CENTROID_BASE)
@@ -896,6 +900,8 @@ def ann_pq_adc_topk(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     codebook: DataFrame | None = None,
+    subs: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes (Jegou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011): each
@@ -913,8 +919,13 @@ def ann_pq_adc_topk(
     declarative form is the oracled semantics.
 
     `codebook` swaps in a trained (m, j, cw) relation (pq_train_codebooks)
-    for the default sliced one — encode/score plan shape identical."""
-    subs = pq_subvectors(emb)
+    for the default sliced one — encode/score plan shape identical.
+    `subs` / `codes` let a multi-variant harness (ann_recall) pass ONE
+    shared (and cached) subvector / encode relation instead of rebuilding
+    the corpus encode per variant — results are identical by construction
+    (`codes` must be the encode of `subs` under `codebook`)."""
+    if subs is None:
+        subs = pq_subvectors(emb)
     cb = codebook if codebook is not None else pq_codebook(subs)
     dt = (
         subs.filter(F.col("vec_id") < n_queries)
@@ -930,7 +941,7 @@ def ann_pq_adc_topk(
         )
     )
     scored = (
-        pq_codes(subs, cb)
+        (codes if codes is not None else pq_codes(subs, cb))
         .join(F.broadcast(dt), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
@@ -1284,6 +1295,8 @@ def ann_pq_rerank_topk(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     pool: int = RERANK_POOL,
+    subs: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN: PQ/ADC proposes `pool` candidates per query from the
     compressed codes, then ONLY those pool rows are re-scored with the exact
@@ -1299,7 +1312,7 @@ def ann_pq_rerank_topk(
     Output matches cosine_topk's shape/discipline (order-pinned dot fold,
     round-4 score) so the two are directly comparable in q_ann_recall.
     """
-    cand = ann_pq_adc_topk(emb, n_queries, k=pool).select(
+    cand = ann_pq_adc_topk(emb, n_queries, k=pool, subs=subs, codes=codes).select(
         "query_id", F.col("neighbor_id").alias("vec_id")
     )
     base = vectors_with_norms(emb)
@@ -1371,7 +1384,11 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_train_codebooks(
-    emb: DataFrame, rounds: int = 2, k: int = PQ_K, pinned: bool = False
+    emb: DataFrame,
+    rounds: int = 2,
+    k: int = PQ_K,
+    pinned: bool = False,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace Lloyd k-means over the subvectors — the production
     codebook trainer the sliced-fixture `pq_codebook` stands in for
@@ -1396,7 +1413,8 @@ def pq_train_codebooks(
     run keeps the default."""
     from clinical_search_data_pipeline_spark.caching import engine_cache
 
-    subs = engine_cache(pq_subvectors(emb))
+    if subs is None:
+        subs = engine_cache(pq_subvectors(emb))
     cb = pq_codebook(subs)
     comp_avgs = [
         F.avg(F.expr(f"su[{i}]")).alias(f"_c{i}") for i in range(PQ_SUB)
@@ -1554,6 +1572,9 @@ def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivfpq_topk(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K,
     nprobe: int = 1,
+    assignments_fn=None,
+    subs: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS IVFADC composition (Jegou et al. TPAMI 2011 §V.A):
     the coarse quantizer prunes the search to the query's `nprobe` best
@@ -1569,8 +1590,9 @@ def ann_ivfpq_topk(
     exactly one cell), and the exact-refine stage (ann_pq_rerank_topk)
     buys back the quantization loss.
     """
-    assigned = ivf_assignments(emb).select("vec_id", "cell")
-    subs = pq_subvectors(emb)
+    assigned = (assignments_fn or ivf_assignments)(emb).select("vec_id", "cell")
+    if subs is None:
+        subs = pq_subvectors(emb)
     cb = pq_codebook(subs)
     dt = (
         subs.filter(F.col("vec_id") < n_queries)
@@ -1629,7 +1651,7 @@ def ann_ivfpq_topk(
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", "cell")
-        .join(pq_codes(subs, cb), "vec_id")
+        .join(codes if codes is not None else pq_codes(subs, cb), "vec_id")
     )
     scored = (
         cand_codes.join(
@@ -1775,7 +1797,7 @@ ANN_RECALL_VARIANTS = (
     ("ivfpq_p1", ann_ivfpq_topk, "q_ann_ivfpq_topk", 1),
     (
         "ivfpq_p2",
-        lambda emb: ann_ivfpq_topk(emb, nprobe=IVF_NPROBE),
+        lambda emb, **kw: ann_ivfpq_topk(emb, nprobe=IVF_NPROBE, **kw),
         "q_ann_ivfpq_multiprobe",
         IVF_NPROBE,
     ),
@@ -1784,8 +1806,10 @@ ANN_RECALL_VARIANTS = (
     # exact scan shape and bit budget.
     (
         "pq_trained",
-        lambda emb: ann_pq_adc_topk(
-            emb, codebook=pq_train_codebooks(emb, rounds=1, pinned=True)
+        lambda emb, subs=None: ann_pq_adc_topk(
+            emb,
+            codebook=pq_train_codebooks(emb, rounds=1, pinned=True, subs=subs),
+            subs=subs,
         ),
         "q_ann_pq_trained_topk",
         PQ_K,
@@ -1808,12 +1832,42 @@ def ann_recall(emb: DataFrame) -> DataFrame:
     scans the big side once and equi-joins on bucket/cell. A tiny
     variant-count-sized literal dim left-joins the hit counts so one with ZERO
     overlap still reports recall 0 instead of vanishing.
+
+    Shared index relations (r14, guide §3.3/§5): the 10 variants previously
+    each re-embedded the corpus — the PQ encode (`pq_codes`, a corpus-wide
+    argmin window) appeared 4x in the union's static plan and the IVF
+    assignment 4x, and Catalyst re-analyzed every copy (the minhash-recall
+    fan-out lesson). The subvector, encode, and coarse-assignment relations
+    are now built ONCE, engine_cached, and passed into every variant; the
+    trained-codebook variant shares the cached subvectors but keeps its own
+    cb1 encode (different codebook — different codes by definition). Results
+    identical by construction; oracle unchanged.
     """
+    from clinical_search_data_pipeline_spark.caching import engine_cache
+
     spark = emb.sparkSession
+    subs = engine_cache(pq_subvectors(emb))
+    cb = pq_codebook(subs)
+    codes = engine_cache(pq_codes(subs, cb))
+    assigned = engine_cache(ivf_assignments(emb))
+    shared_kw = {
+        "ivf_p1": dict(assignments_fn=lambda e: assigned),
+        "ivf_p2": dict(assignments_fn=lambda e: assigned),
+        "pq_m32k32": dict(subs=subs, codes=codes),
+        "pq_rerank": dict(subs=subs, codes=codes),
+        "ivfpq_p1": dict(
+            assignments_fn=lambda e: assigned, subs=subs, codes=codes
+        ),
+        "ivfpq_p2": dict(
+            assignments_fn=lambda e: assigned, subs=subs, codes=codes
+        ),
+        "pq_trained": dict(subs=subs),
+    }
     exact = cosine_topk(emb).select("query_id", "neighbor_id")
     approx = None
     for label, fn, _oracle_name, probes in ANN_RECALL_VARIANTS:
-        part = fn(emb).select(
+        kw = shared_kw.get(label)
+        part = (fn(emb, **kw) if kw else fn(emb)).select(
             F.lit(label).alias("variant"),
             F.lit(probes).cast("long").alias("probes"),
             "query_id",
