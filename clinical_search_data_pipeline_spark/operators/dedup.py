@@ -546,83 +546,149 @@ def minhash_recall(
     (= |exact pairs|), `recall_bp` = floor(hits*10000/possible) — integer
     basis points, so the value hash can never drift on float rounding.
 
-    Plan: ONE signature aggregation (8 mins over the cached shingle-set
-    relation) feeds all three band projections; candidates meet in a single
-    (config, band, bkey) equi-join; the exact side is the registered
-    q_jaccard_pairs pipeline (its cached shingle subplan is plan-matched by
-    the CacheManager, so the corpus is shingled once). The `possible` scalar
-    rides a broadcast equi-join on a constant key — no BroadcastNestedLoop.
+    Plan (r14 restructure, guide §2.3/§2.4): the configs NEST — an r-row
+    band agreeing implies every contained band of any finer config agrees —
+    so a (4x2) or (2x4) candidate pair is always an (8x1) candidate pair
+    (the containment already pinned in tests/test_dedup.py). Only the
+    FINEST config's banded self-join therefore ever runs: 8 single-hash
+    band projections of the cached signature (8-byte LONG keys, not the
+    former 14-projection union with string band keys on both sides), and
+    the coarser configs' memberships are boolean flags evaluated from the
+    two signatures attached to each candidate pair. Both counting branches
+    collapse to ONE aggregation over the flagged pairs (count + two
+    conditional sums, unpivoted back to config rows), and the exact-pair
+    join runs once instead of once per config. vs the r13 form: static
+    plan 2,167 -> ~700 lines, banded shuffle bytes ~2.6x smaller (8/14 of
+    the rows at 8-byte keys), two config-keyed aggregations removed. The
+    exact side is the registered q_jaccard_pairs pipeline (its cached
+    shingle subplan is plan-matched by the CacheManager, so the corpus is
+    shingled once). The `possible` scalar rides a broadcast equi-join on a
+    constant key — no BroadcastNestedLoop.
     """
     spark = docs.sparkSession
     sets = engine_cache(shingle_sets(docs, k).hint("rebalance"))
-    sh = sets.select("doc_id", F.explode("sset").alias("shingle"))
-    mins = [
-        F.min(hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+    # Signature as a NARROW pass (r14, guide §2.4 "remove shuffles
+    # outright"): each doc's 8 min-hashes are array_min over a transform of
+    # its own cached shingle-set array — the same md5-derived values as the
+    # former explode + groupBy(doc_id) + 8-min aggregation, without
+    # materializing the corpus-wide exploded relation or its exchange
+    # (measured 2.0 s of the row at sf0.1). Docs with empty shingle sets
+    # were absent from the grouped form (no exploded rows) and are filtered
+    # here to match.
+    sig_cols = [
+        F.expr(
+            "array_min(transform(sset, s -> CAST(conv(substring("
+            f"md5(concat('{j}:', s)), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    # Cache the signature relation: it feeds every band projection of every
-    # config on BOTH sides of the candidate self-join and both counting
-    # aggregations — without the cut the explode+8-min-agg subtree appears
-    # ~56x in the static plan (283 Exchanges, a 3.3k-line tree,
-    # plans/r13/q_minhash_recall_before.txt) and Catalyst re-analyzes every
-    # copy even though AQE reuses the exchange at runtime. One
+    # Cache the signature relation: it feeds the 8 band projections on both
+    # self-join sides plus the two per-pair signature attachments — one
     # doc-count-sized cache (doc_id + 8 longs) truncates all of it
     # (guide §3.3 "materialising an intermediate truncates the plan").
-    sig = engine_cache(sh.groupBy("doc_id").agg(*mins))
-    frames = []
-    for b_cnt, rows in MINHASH_RECALL_CONFIGS:
-        for b in range(b_cnt):
-            frames.append(
-                sig.select(
-                    F.lit(b_cnt).cast("int").alias("bands"),
-                    F.lit(rows).cast("int").alias("rows_per_band"),
-                    "doc_id",
-                    F.lit(b).cast("int").alias("band"),
-                    F.concat_ws(
-                        ",", *[f"mh{b * rows + r}" for r in range(rows)]
-                    ).alias("bkey"),
-                )
-            )
+    # fan_out first: the cached set relation is byte-tiny (AQE rebalances
+    # it to 1-2 partitions), so without it the 8-md5-per-shingle pass runs
+    # on 2 cores (measured 2.5 s of the row; 0.4 s fanned out).
+    from clinical_search_data_pipeline_spark.sources.readers import fan_out
+
+    # ... and rebalance after: the hash pass wants all cores, but the cached
+    # 9-column result is byte-tiny and feeds 10 downstream projections — at
+    # fan_out width the 8-way band union alone schedules ~256 near-empty
+    # tasks (measured +1.3 s on the candidate fill).
+    sig = engine_cache(
+        fan_out(sets.filter(F.size("sset") > 0))
+        .select("doc_id", *sig_cols)
+        .hint("rebalance")
+    )
+    fine_bands, fine_rows = MINHASH_RECALL_CONFIGS[0]
+    assert fine_rows == 1 and fine_bands == num_hashes
+    frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).cast("int").alias("band"),
+            F.col(f"mh{b}").alias("bkey"),
+        )
+        for b in range(fine_bands)
+    ]
     banded = frames[0]
     for fdf in frames[1:]:
         banded = banded.unionByName(fdf)
     a, b = banded.alias("a"), banded.alias("b")
-    # cand feeds two aggregations (candidate counts, hit counts) — cache it
-    # so the banded self-join subtree appears once, not twice (same §3.3
-    # truncation as sig above; the relation is candidate-pair-sized).
-    cand = engine_cache(
+    pairs = (
         a.join(
             b,
-            (F.col("a.bands") == F.col("b.bands"))
-            & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
-            & (F.col("a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.bands").alias("bands"),
-            F.col("a.rows_per_band").alias("rows_per_band"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+
+    def member(rows: int) -> F.Column:
+        """True when some `rows`-wide band of the pair's signatures agrees."""
+        flags = None
+        for band in range(num_hashes // rows):
+            f = None
+            for r in range(rows):
+                j = band * rows + r
+                eq = F.col(f"a{j}") == F.col(f"b{j}")
+                f = eq if f is None else (f & eq)
+            flags = f if flags is None else (flags | f)
+        return flags
+
+    # flagged candidate pairs feed two aggregations (candidate counts, hit
+    # counts) — cache, candidate-pair-sized (doc_a, doc_b, 2 booleans).
+    cand = engine_cache(
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *[
+                member(rows).alias(f"m_{b_cnt}_{rows}")
+                for b_cnt, rows in MINHASH_RECALL_CONFIGS[1:]
+            ],
+        )
+    )
     exact = engine_cache(
         jaccard_pairs(docs, threshold, k).select("doc_a", "doc_b")
     )
-    cnt = cand.groupBy("bands", "rows_per_band").agg(
-        F.count("*").alias("candidates")
-    )
-    hits = (
-        # no broadcast hint: the exact-pair set is dup-rate-proportional
-        # (corpus-sized at production dup rates) — AQE broadcasts it at
-        # fixture scale on its own, and at 100x the keyed shuffle is the
-        # design (the r11-tightened hint lint flags a forced broadcast
-        # here)
-        cand.join(exact, ["doc_a", "doc_b"])
-        .groupBy("bands", "rows_per_band")
-        .agg(F.count("*").alias("hits"))
-    )
+
+    def per_config_counts(rel: DataFrame, out: str) -> DataFrame:
+        """One aggregation -> (bands, rows_per_band, <out>) config rows."""
+        aggs = [F.count("*").alias(f"n_{fine_bands}_{fine_rows}")] + [
+            F.sum(F.col(f"m_{b_cnt}_{rows}").cast("long")).alias(
+                f"n_{b_cnt}_{rows}"
+            )
+            for b_cnt, rows in MINHASH_RECALL_CONFIGS[1:]
+        ]
+        stack = ", ".join(
+            f"{b_cnt}, {rows}, n_{b_cnt}_{rows}"
+            for b_cnt, rows in MINHASH_RECALL_CONFIGS
+        )
+        return rel.agg(*aggs).selectExpr(
+            f"stack({len(MINHASH_RECALL_CONFIGS)}, {stack}) "
+            f"AS (bands, rows_per_band, {out})"
+        )
+
+    cnt = per_config_counts(cand, "candidates")
+    # no broadcast hint on exact: the exact-pair set is dup-rate-
+    # proportional (corpus-sized at production dup rates) — AQE broadcasts
+    # it at fixture scale on its own, and at 100x the keyed shuffle is the
+    # design (the r11-tightened hint lint flags a forced broadcast here)
+    hits = per_config_counts(cand.join(exact, ["doc_a", "doc_b"]), "hits")
     possible = exact.agg(F.count("*").alias("possible")).withColumn(
         "jkey", F.lit(1)
     )
