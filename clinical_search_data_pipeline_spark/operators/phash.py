@@ -100,6 +100,18 @@ def attach_neardup_images(
     Because the BMP rows are reversed at encode time, a decoder that
     forgets the bottom-up flip hashes a vertically-mirrored image and
     diverges from the oracle — the positional honesty device."""
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _image_encoder(wrap_base),
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def _image_encoder(wrap_base: int | None):
+    """The attach_neardup_images batch generator, as a composable piece so
+    the fused encode∘hash path (`dhash_neardup_images`) can run both in ONE
+    Python crossing."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import (
@@ -141,12 +153,7 @@ def attach_neardup_images(
                     payloads.append(encode_ppm(w, h, pix.tobytes()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return fan_out(docs.select("doc_id")).mapInPandas(
-        _encode,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
+    return _encode
 
 
 def dhash_images(media: DataFrame) -> DataFrame:
@@ -156,6 +163,33 @@ def dhash_images(media: DataFrame) -> DataFrame:
     cells with the integer cross-product form (no float averages — both
     engines agree bit-for-bit), pack the 64 bits into PHASH_BANDS 16-bit
     band values. Output: (doc_id, fmt, width, height, b0..b3)."""
+    return media.mapInPandas(_image_hasher(), schema=HASH_SCHEMA)
+
+
+def dhash_neardup_images(
+    docs: DataFrame, wrap_base: int | None = None
+) -> DataFrame:
+    """attach_neardup_images ∘ dhash_images fused into ONE Python crossing
+    (guide §4.1): the chained form runs two adjacent MapInPandas nodes, so
+    every encoded image payload makes an extra JVM→Python→JVM round trip
+    just to be decoded again on the other side (measured ~0.4 s per
+    evaluation on a 125-doc micro-batch — pure boundary cost). Here the
+    encoder generator feeds the hasher generator inside one Python worker;
+    the payload bytes never enter the JVM. Output and values are identical
+    to the chained form (same two functions, composed)."""
+    enc = _image_encoder(wrap_base)
+    hsh = _image_hasher()
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from hsh(enc(batches))
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _fused, schema=HASH_SCHEMA
+    )
+
+
+def _image_hasher():
+    """The dhash_images batch generator (see dhash_neardup_images)."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import (
@@ -223,7 +257,7 @@ def dhash_images(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_hash, schema=HASH_SCHEMA)
+    return _hash
 
 
 def image_neardup_pairs(
@@ -362,7 +396,7 @@ def q_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id. A header-parse, stride, orientation, or pooling bug
     flips band values."""
     docs = read_table(spark, sf_dir, "documents")
-    return dhash_images(attach_neardup_images(docs))
+    return dhash_neardup_images(docs)
 
 
 @register(
@@ -394,7 +428,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ending 8/9) must surface; the oracle reruns the identical banding, so
     recall behavior is pinned, not just precision."""
     docs = read_table(spark, sf_dir, "documents")
-    return image_neardup_pairs(dhash_images(attach_neardup_images(docs)))
+    return image_neardup_pairs(dhash_neardup_images(docs))
 
 
 @register(
@@ -446,7 +480,7 @@ def q_image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = image_neardup_pairs(dhash_images(attach_neardup_images(docs))).select(
+    pairs = image_neardup_pairs(dhash_neardup_images(docs)).select(
         "doc_a", "doc_b"
     )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -463,6 +497,7 @@ def image_vs_corpus(
     batch_hashes: DataFrame,
     ham_max: int = PHASH_HAM_MAX,
     dup_status: str = "dup_image",
+    batch_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_corpus_matches, status) for each batch image screened
     against a FROZEN corpus hash index — the perceptual twin of
@@ -472,36 +507,39 @@ def image_vs_corpus(
     matches -> 'admitted'). A verdict depends on one image + the frozen
     index, so micro-batch boundaries cannot change any row.
 
+    Shape (r14, guide §2.4): ONE equi-join. Both band projections carry
+    their side's full hash columns, so the Hamming verify is a per-row
+    filter on the joined bands and the per-doc count is
+    `count(DISTINCT doc_a)` (a pair sharing several bands counts once —
+    exactly the former distinct-pairs-then-verify result). The previous
+    form referenced `batch_hashes` three times (bands, verify, universe) —
+    forcing callers to localCheckpoint the batch decode+hash as its own
+    job per micro-batch; now the hash relation is consumed exactly once
+    and stays lazy inside the verdict action. ``batch_docs`` supplies the
+    all-docs universe projection (plain doc_ids, no decode) for the final
+    left join; it defaults to `batch_hashes.select("doc_id")` for callers
+    that only have the hash frame.
+
     Modality-agnostic (like image_neardup_pairs): any 4x16-bit-band hash
     frame works — the audio/video admission gates pass their fingerprint
     frames here with `dup_status` 'dup_audio'/'dup_video'."""
+    a_cols = [f"b{b} AS a{b}" for b in range(PHASH_BANDS)]
+    c_cols = [f"b{b} AS c{b}" for b in range(PHASH_BANDS)]
     stack = "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
-    c_long = corpus_hashes.selectExpr("doc_id AS doc_a", stack)
-    b_long = batch_hashes.selectExpr("doc_id AS doc_b", stack)
-    cand = (
-        b_long.join(c_long, ["band_idx", "band_val"])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ha = corpus_hashes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{b}").alias(f"a{b}") for b in range(PHASH_BANDS)],
-    )
-    hb = batch_hashes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{b}").alias(f"c{b}") for b in range(PHASH_BANDS)],
-    )
+    c_long = corpus_hashes.selectExpr("doc_id AS doc_a", *a_cols, stack)
+    b_long = batch_hashes.selectExpr("doc_id AS doc_b", *c_cols, stack)
     ham = " + ".join(f"bit_count(a{b} ^ c{b})" for b in range(PHASH_BANDS))
     per_doc = (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
+        b_long.join(c_long, ["band_idx", "band_val"])
         .filter(F.expr(ham) <= ham_max)
         .groupBy("doc_b")
-        .agg(F.count("*").alias("n_corpus_matches"))
+        .agg(F.countDistinct("doc_a").alias("n_corpus_matches"))
     )
+    universe = (
+        batch_docs if batch_docs is not None else batch_hashes
+    ).select("doc_id")
     return (
-        batch_hashes.select("doc_id")
-        .join(per_doc, batch_hashes["doc_id"] == per_doc["doc_b"], "left")
+        universe.join(per_doc, universe["doc_id"] == per_doc["doc_b"], "left")
         .select(
             "doc_id",
             F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),

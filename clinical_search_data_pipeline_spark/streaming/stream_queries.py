@@ -1068,8 +1068,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         INCREMENT_SPLIT,
     )
     from clinical_search_data_pipeline_spark.operators.phash import (
-        attach_neardup_images,
-        dhash_images,
+        dhash_neardup_images,
         image_vs_corpus,
     )
     from clinical_search_data_pipeline_spark.sources.readers import read_table
@@ -1082,7 +1081,7 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < INCREMENT_SPLIT
     )
     corpus_hashes = engine_cache(
-        dhash_images(attach_neardup_images(corpus, wrap_base=INCREMENT_SPLIT))
+        dhash_neardup_images(corpus, wrap_base=INCREMENT_SPLIT)
     )
     # materialize the frozen index BEFORE the stream starts: the first
     # micro-batch must not pay the corpus decode+hash build (the index
@@ -1100,10 +1099,18 @@ def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="csdp_imggate_out_")
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_hashes = dhash_images(
-            attach_neardup_images(batch_df, wrap_base=INCREMENT_SPLIT)
-        ).localCheckpoint()
-        verdicts = image_vs_corpus(corpus_hashes, batch_hashes)
+        # ONE job per micro-batch (guide §2.4): image_vs_corpus consumes
+        # the batch hash relation exactly once, so the decode+hash stays
+        # LAZY inside the verdict write action — the former per-batch
+        # localCheckpoint (a second job whose only purpose was to pin the
+        # thrice-referenced batch hashes) is gone; the all-docs universe
+        # comes from the raw batch's doc_ids (no decode).
+        batch_hashes = dhash_neardup_images(
+            batch_df, wrap_base=INCREMENT_SPLIT
+        )
+        verdicts = image_vs_corpus(
+            corpus_hashes, batch_hashes, batch_docs=batch_df
+        )
         collect_stream_lint(verdicts)
         verdicts.write.mode("append").parquet(out_dir)
 
@@ -1185,9 +1192,16 @@ def _run_fp_gate(
     out_dir = tempfile.mkdtemp(prefix=out_prefix)
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_hashes = batch_fp_fn(batch_df).localCheckpoint()
+        # one job per micro-batch — same restructure as the image gate:
+        # the fingerprint relation is consumed once inside the verdict
+        # write, no per-batch localCheckpoint job
+        batch_hashes = batch_fp_fn(batch_df)
         verdicts = image_vs_corpus(
-            corpus_hashes, batch_hashes, ham_max=ham_max, dup_status=dup_status
+            corpus_hashes,
+            batch_hashes,
+            ham_max=ham_max,
+            dup_status=dup_status,
+            batch_docs=batch_df,
         )
         collect_stream_lint(verdicts)
         verdicts.write.mode("append").parquet(out_dir)
@@ -1227,8 +1241,7 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fully hash-oracled."""
     from clinical_search_data_pipeline_spark.operators.audiofp import (
         AF_HAM_MAX,
-        attach_neardup_audio,
-        audio_fingerprints,
+        audio_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.operators.curation import (
         INCREMENT_SPLIT,
@@ -1242,12 +1255,8 @@ def q_stream_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_fp_gate(
         spark,
         sf_dir,
-        audio_fingerprints(
-            attach_neardup_audio(corpus, wrap_base=INCREMENT_SPLIT)
-        ),
-        lambda b: audio_fingerprints(
-            attach_neardup_audio(b, wrap_base=INCREMENT_SPLIT)
-        ),
+        audio_neardup_fingerprints(corpus, wrap_base=INCREMENT_SPLIT),
+        lambda b: audio_neardup_fingerprints(b, wrap_base=INCREMENT_SPLIT),
         AF_HAM_MAX,
         "dup_audio",
         "csdp_audgate_out_",
@@ -1286,8 +1295,7 @@ def q_stream_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from clinical_search_data_pipeline_spark.operators.videofp import (
         VF_HAM_MAX,
-        attach_neardup_video,
-        video_fingerprints,
+        video_neardup_fingerprints,
     )
     from clinical_search_data_pipeline_spark.sources.readers import read_table
 
@@ -1298,12 +1306,8 @@ def q_stream_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_fp_gate(
         spark,
         sf_dir,
-        video_fingerprints(
-            attach_neardup_video(corpus, wrap_base=INCREMENT_SPLIT)
-        ),
-        lambda b: video_fingerprints(
-            attach_neardup_video(b, wrap_base=INCREMENT_SPLIT)
-        ),
+        video_neardup_fingerprints(corpus, wrap_base=INCREMENT_SPLIT),
+        lambda b: video_neardup_fingerprints(b, wrap_base=INCREMENT_SPLIT),
         VF_HAM_MAX,
         "dup_video",
         "csdp_vidgate_out_",
