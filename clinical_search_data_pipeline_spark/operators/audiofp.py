@@ -71,6 +71,19 @@ AUDIO_FP_SCHEMA = StructType(
 
 
 def attach_neardup_audio(docs: DataFrame, wrap_base: int | None = None) -> DataFrame:
+    """(doc_id, payload) — one real WAV per document; see _audio_encoder
+    for the construction. The fused fingerprint path
+    (`audio_neardup_fingerprints`) composes the same encoder with the
+    fingerprinter in one Python crossing."""
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _audio_encoder(wrap_base),
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def _audio_encoder(wrap_base: int | None):
     """Encode one real WAV per document whose samples are pure integer
     functions of doc_id:
 
@@ -116,12 +129,7 @@ def attach_neardup_audio(docs: DataFrame, wrap_base: int | None = None) -> DataF
                 payloads.append(encode_wav(FP_RATE, s, pad_chunk=bool(d % 2)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return fan_out(docs.select("doc_id")).mapInPandas(
-        _encode,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
+    return _encode
 
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
@@ -139,6 +147,29 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     int64 so the cross-product comparison stays the integer arithmetic
     the oracle replays. Output: (doc_id, sample_rate, n_samples, b0..b3),
     values identical to the per-doc form."""
+    return media.mapInPandas(_audio_fingerprinter(), schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_fingerprints(
+    docs: DataFrame, wrap_base: int | None = None
+) -> DataFrame:
+    """attach_neardup_audio ∘ audio_fingerprints fused into ONE Python
+    crossing (guide §4.1, the dhash_neardup_images rationale): the WAV
+    payloads never round-trip through the JVM between encode and decode.
+    Values identical to the chained form (same two generators, composed)."""
+    enc = _audio_encoder(wrap_base)
+    fp = _audio_fingerprinter()
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from fp(enc(batches))
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _fused, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def _audio_fingerprinter():
+    """The audio_fingerprints batch generator (see audio_neardup_fingerprints)."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import (
@@ -198,7 +229,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_fp, schema=AUDIO_FP_SCHEMA)
+    return _fp
 
 
 # DuckDB twin: recompute samples, frame energies, bits, band values from
@@ -269,7 +300,7 @@ def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame energies into 64 difference-sign bits; the oracle recomputes
     every bit arithmetically from doc_id."""
     docs = read_table(spark, sf_dir, "documents")
-    return audio_fingerprints(attach_neardup_audio(docs))
+    return audio_neardup_fingerprints(docs)
 
 
 @register(
@@ -301,5 +332,5 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (noise-perturbed leader signals) must surface."""
     docs = read_table(spark, sf_dir, "documents")
     return banded_hamming_pairs(
-        audio_fingerprints(attach_neardup_audio(docs)), ham_max=AF_HAM_MAX
+        audio_neardup_fingerprints(docs), ham_max=AF_HAM_MAX
     )

@@ -84,6 +84,17 @@ def attach_neardup_video(docs: DataFrame, wrap_base: int | None = None) -> DataF
     a distinct temporal energy profile; odd frame indexes carry marker
     parameters so the decode path stays the parameter-tolerant FRAME
     walker."""
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _video_encoder(wrap_base),
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def _video_encoder(wrap_base: int | None):
+    """The attach_neardup_video batch generator, composable for the fused
+    encode∘fingerprint path (`video_neardup_fingerprints`)."""
     import numpy as _np
 
     from clinical_search_data_pipeline_spark.operators.multimodal import encode_y4m
@@ -124,12 +135,7 @@ def attach_neardup_video(docs: DataFrame, wrap_base: int | None = None) -> DataF
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return fan_out(docs.select("doc_id")).mapInPandas(
-        _encode,
-        schema=StructType(
-            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-        ),
-    )
+    return _encode
 
 
 def video_fingerprints(media: DataFrame) -> DataFrame:
@@ -138,6 +144,29 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
     sequence, emit one sign bit per consecutive-frame comparison over the
     first FP_BITS+1 frames, pack into 4 16-bit bands.
     Output: (doc_id, width, height, fps_num, n_frames, b0..b3)."""
+    return media.mapInPandas(_video_fingerprinter(), schema=VIDEO_FP_SCHEMA)
+
+
+def video_neardup_fingerprints(
+    docs: DataFrame, wrap_base: int | None = None
+) -> DataFrame:
+    """attach_neardup_video ∘ video_fingerprints fused into ONE Python
+    crossing (guide §4.1, the dhash_neardup_images rationale): the Y4M
+    payloads never round-trip through the JVM between encode and decode.
+    Values identical to the chained form (same two generators, composed)."""
+    enc = _video_encoder(wrap_base)
+    fp = _video_fingerprinter()
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from fp(enc(batches))
+
+    return fan_out(docs.select("doc_id")).mapInPandas(
+        _fused, schema=VIDEO_FP_SCHEMA
+    )
+
+
+def _video_fingerprinter():
+    """The video_fingerprints batch generator (see video_neardup_fingerprints)."""
     from clinical_search_data_pipeline_spark.operators.multimodal import (
         decode_y4m_frame_sums,
     )
@@ -179,7 +208,7 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_fp, schema=VIDEO_FP_SCHEMA)
+    return _fp
 
 
 # DuckDB twin: per-frame luma energies, difference-sign bits, band values
@@ -249,7 +278,7 @@ def q_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and thresholds consecutive-frame luma-energy differences into 64
     sign bits; the oracle recomputes every bit arithmetically."""
     docs = read_table(spark, sf_dir, "documents")
-    return video_fingerprints(attach_neardup_video(docs))
+    return video_neardup_fingerprints(docs)
 
 
 @register(
@@ -281,5 +310,5 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface."""
     docs = read_table(spark, sf_dir, "documents")
     return banded_hamming_pairs(
-        video_fingerprints(attach_neardup_video(docs)), ham_max=VF_HAM_MAX
+        video_neardup_fingerprints(docs), ham_max=VF_HAM_MAX
     )
