@@ -549,14 +549,26 @@ def corpus_prefix_index(
 
 def _batch_prefix(batch_sets: DataFrame, df_stats: DataFrame, t: float) -> DataFrame:
     """Batch-side rarest-first prefixes ranked by the FROZEN corpus df
-    (left join; unseen shingles coalesce to df 0). Keyed by
-    xxhash64(shingle) — must match corpus_prefix_index's keying."""
+    (unseen shingles coalesce to df 0). Keyed by xxhash64(shingle) — must
+    match corpus_prefix_index's keying.
+
+    Shape (r14, guide §3.1): the df lookup should not put the corpus-sized
+    df_stats on the build/probe side of an OUTER join per (micro-)batch —
+    the batch side is bounded by ingest cadence, the corpus side is not.
+    The batch's distinct shingle keys first prune df_stats to a BATCH-sized
+    df_sub via an inner semi-join (AQE broadcasts the tiny key side at
+    runtime), and the outer df attach then joins the batch against the
+    batch-sized df_sub only. No forced broadcast hints — the repo's lint
+    discipline de-hints anything not provably bounded from the plan; AQE
+    picks the broadcast at runtime from the true sizes."""
     batch_sh = batch_sets.select(
         "doc_id",
         "n",
         F.explode(F.expr("transform(sset, s -> xxhash64(s))")).alias("shingle"),
     )
-    ranked = batch_sh.join(df_stats, "shingle", "left").withColumn(
+    keys = batch_sh.select("shingle").distinct()
+    df_sub = df_stats.join(keys, "shingle")
+    ranked = batch_sh.join(df_sub, "shingle", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0))
     )
     return _rarest_prefix(ranked, t)

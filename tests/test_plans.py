@@ -252,15 +252,20 @@ def test_doc_chunks_zero_shuffle(spark):
 
 def test_ewma_chunked_bounded_tasks(spark):
     """The skew-hardened EWMA must (a) group on (user_id, chunk) — the
-    bounded-task stage, (b) run the per-user sequential pass as a SECOND
-    grouped map over the summary relation only, and (c) never collapse to a
-    single partition. (The zero_state subtree appears once per cache
+    bounded-task stage, (b) run the per-user stitch as a SECOND
+    aggregation over the chunk-summary relation only, (c) never collapse
+    to a single partition, and (d) — since r14 — carry NO Python eval node
+    anywhere: both sequential folds run as SQL aggregate() HOFs over
+    collect_list'd groups (the response subtree appears once per cache
     consumer in the rendered plan; the InMemoryRelation proves it executes
-    once.)"""
+    once)."""
     plan = pl.physical_plan(build(spark, "q_ewma_user_values_chunked"), "simple")
-    assert "zero_state" in plan and "stitch" in plan, plan
-    assert "InMemoryRelation" in plan, plan
     assert "Exchange hashpartitioning(user_id" in plan, plan
+    assert "chunk" in plan, plan
+    assert "InMemoryRelation" in plan, plan
+    for node in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython",
+                 "MapInPandas"):
+        assert node not in plan, (node, plan)
     assert "Exchange SinglePartition" not in plan, plan
 
 
