@@ -120,10 +120,22 @@ def scale_lint(df: DataFrame) -> list[str]:
     scalar side is a designed plan in several registered queries (see
     tests/test_plans.py BOUNDED_BROADCAST_NLJ_OK), so findings name the
     hazard and the usual fix rather than failing."""
-    findings = lint_plan_text(physical_plan(df, "simple"), physical_plan(df))
-    findings += lint_broadcast_hints(
-        df._jdf.queryExecution().analyzed().treeString()
+    return scale_lint_texts(
+        physical_plan(df, "simple"),
+        physical_plan(df),
+        df._jdf.queryExecution().analyzed().treeString(),
     )
+
+
+def scale_lint_texts(
+    simple: str, formatted: str, analyzed_tree: str
+) -> list[str]:
+    """scale_lint over pre-rendered plan strings — the SAME rules, exposed
+    so a sweep that already holds every query's plans (the repo's
+    registry-wide tests share one rendering pass across modules) does not
+    re-run Catalyst explain per consumer."""
+    findings = lint_plan_text(simple, formatted)
+    findings += lint_broadcast_hints(analyzed_tree)
     return findings
 
 

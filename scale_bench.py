@@ -112,6 +112,11 @@ HEAVY_FAMILY = (
     # jaccard/minhash entries above since the evidence table is exactly
     # their pipelines plus config-keyed counting.
     "q_minhash_recall",
+    # ANN recall evidence (r14: the 10 variants now share ONE cached
+    # subvector/encode/assignment build): output is CONSTANT (one row per
+    # variant); time must track the shared index build + the variant
+    # probes, i.e. stay ~linear like the individual ann_* entries above.
+    "q_ann_recall",
     # Systematic PPS sample: output ~k rows CONSTANT at any corpus size
     # (stride scales with the weight total); the only non-scan work is
     # the 64-row bucket-offset prefix sum + bucket-keyed cumsum window —

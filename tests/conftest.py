@@ -23,6 +23,35 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(scope="session")
+def registry_plans(spark):
+    """One rendering pass over every registered BATCH query's plans at the
+    smoke SF, shared by the registry-wide sweeps (test_plans cartesian
+    check, test_scale_lint's lint sweep): {name: (simple, formatted,
+    analyzed_tree)}. Building + explaining ~150 plans costs ~1 min of
+    Catalyst work — previously each sweep paid it separately (guide §1.2:
+    don't compute things twice). Streaming queries are excluded exactly as
+    in both consumers (building them executes the stream)."""
+    from clinical_search_data_pipeline_spark.caching import release_caches
+    from clinical_search_data_pipeline_spark.plans import introspect as pl
+    from clinical_search_data_pipeline_spark.registry import all_specs
+
+    out = {}
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith("q_stream_"):
+            continue
+        try:
+            df = spec.builder(spark, SF_SMOKE)
+            out[name] = (
+                pl.physical_plan(df, "simple"),
+                pl.physical_plan(df),
+                df._jdf.queryExecution().analyzed().treeString(),
+            )
+        finally:
+            release_caches()
+    return out
+
+
 @pytest.fixture(params=["posix", "memory"])
 def commit_backend(request):
     """Run the requesting test under BOTH commit-log backends (VERDICT

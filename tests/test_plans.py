@@ -168,17 +168,15 @@ def test_semdedup_flag_join_is_unhinted_equi_join(spark):
     assert pl.lint_broadcast_hints(analyzed) == []
 
 
-def test_registry_wide_no_cartesian(spark):
+def test_registry_wide_no_cartesian(registry_plans):
     """EVERY registered batch query must plan without a CartesianProduct,
     and without a BroadcastNestedLoopJoin unless its nested side is a
     bounded broadcast (allowlist above). Streaming queries are excluded:
     building them executes the stream and their returned relation is a
-    memory-sink scan, so there is no logical plan to inspect."""
+    memory-sink scan, so there is no logical plan to inspect. Plans come
+    from the session-shared rendering pass (conftest.registry_plans)."""
     bad = []
-    for name, spec in sorted(all_specs().items()):
-        if name.startswith("q_stream_"):
-            continue
-        plan = pl.physical_plan(spec.builder(spark, SF_SMOKE), "simple")
+    for name, (plan, _formatted, _analyzed) in registry_plans.items():
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
         elif "BroadcastNestedLoopJoin" in plan and name not in BOUNDED_BROADCAST_NLJ_OK:

@@ -102,24 +102,21 @@ SMJ_NO_BROADCAST_OK = {
 # not allowlisted.
 
 
-def test_registered_queries_lint_clean_or_allowlisted(spark):
+def test_registered_queries_lint_clean_or_allowlisted(registry_plans):
     """Every registered batch query linted: every finding class is either
     absent or covered by a NAMED allowlist entry (no blanket advisory
     skips) — the user-facing diagnostic and the plan tests tell one
     story. The pushdown advisory has no allowlist because no registered
-    query triggers it."""
-    from clinical_search_data_pipeline_spark.caching import release_caches
-    from clinical_search_data_pipeline_spark.registry import all_specs
+    query triggers it. Lints run over the session-shared plan rendering
+    (conftest.registry_plans) through the same scale_lint rule set."""
+    from clinical_search_data_pipeline_spark.plans.introspect import (
+        scale_lint_texts,
+    )
     from tests.test_plans import BOUNDED_BROADCAST_NLJ_OK
 
     bad = []
-    for name, spec in all_specs().items():
-        if name.startswith("q_stream_"):
-            continue
-        try:
-            findings = scale_lint(spec.builder(spark, SF_SMOKE))
-        finally:
-            release_caches()
+    for name, (simple, formatted, analyzed) in registry_plans.items():
+        findings = scale_lint_texts(simple, formatted, analyzed)
         for f in findings:
             if "BroadcastNestedLoopJoin" in f and name in BOUNDED_BROADCAST_NLJ_OK:
                 continue
